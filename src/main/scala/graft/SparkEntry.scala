@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has either a DuckDB oracle in `oracleSql`
+  * (byte-identical result contract: integer/string outputs, md5-based
+  * hashing, order-identical double folds) or — for DGGS cell math that
+  * SQL cannot express — golden-value ScalaTest coverage instead.
+  */
 object SparkEntry {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("corpus_geo_spans")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational anchors (harness sanity + shuffle/agg shapes) ----
+    "q1_agg" -> ((s, dir) => {
+      Tables.tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("n"))
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val orders = Tables.tbl(s, dir, "orders")
+      val customer = Tables.tbl(s, dir, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_total_cents"))
+    }),
+    "q3_window_topn" -> ((s, dir) => {
+      val ev = Tables.tbl(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(cents(col("value"))).as("v_cents"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("v_cents").desc, col("user_id").asc)
+      ev.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 3)
+    }),
+    "q4_time_rollup" -> ((s, dir) => {
+      Tables.tbl(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("v_cents"))
+    }),
+
+    // ---- dedup family over `documents` ----
+    "dedup_exact" -> ((s, dir) => TextOps.dedupExact(Tables.tbl(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(Tables.tbl(s, dir, "documents"), 3, 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5)),
+    "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
+
+    // ---- text analysis over `documents` ----
+    "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.tbl(s, dir, "documents"))),
+    "text_lang_id" -> ((s, dir) => TextOps.langId(Tables.tbl(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.tbl(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.tbl(s, dir, "documents"))),
+
+    // ---- similarity search over `embeddings` ----
+    "emb_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(Tables.tbl(s, dir, "embeddings"), 3)),
+    "emb_lsh_buckets" -> ((s, dir) => VectorOps.lshBuckets(Tables.tbl(s, dir, "embeddings"))),
+
+    // ---- interleaved-doc corpus (input_hint schema) ----
+    "corpus_span_digest" -> ((s, dir) =>
+      CorpusOps.spanSequenceDigest(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
+    "corpus_geo_spans" -> ((s, dir) =>
+      CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents"))))
+  )
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL. Shared CTE fragments keep the two sides aligned.
+  // ---------------------------------------------------------------------
+
+  /** word 3-shingles, distinct per doc */
+  private val shinglesCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+      |        FROM words WHERE len(w) >= 3),
+      |shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |             FROM idx)""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $shinglesCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM shingles a JOIN shingles b
+       |             ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+       |       CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / CAST(ca.n + cb.n - n_common AS DOUBLE) >= """.stripMargin
+
+  /** deterministic interleaved-doc spans rebuilt in SQL (FIXTURES.md §3) */
+  private val corpusCte =
+    """base AS (SELECT doc_id AS i FROM documents),
+      |offs AS (SELECT i, unnest(generate_series(0, CAST(i % 7 AS INT))) AS off FROM base),
+      |spans AS (SELECT i, off,
+      |  CASE (i + off) % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'media' ELSE 'geo' END AS kind,
+      |  CASE (i + off) % 3
+      |    WHEN 0 THEN printf('tok-%d-%d', i, off)
+      |    WHEN 1 THEN ''
+      |    ELSE printf('POINT(%.3f %.3f)',
+      |                -180.0 + CAST((i*9973 + off*7919) % 360000 AS DOUBLE)/1000.0,
+      |                -90.0  + CAST((i*6271 + off*4409) % 180000 AS DOUBLE)/1000.0)
+      |  END AS text,
+      |  CASE (i + off) % 3 WHEN 1 THEN printf('media://%d/%d', i, off) ELSE '' END
+      |    AS media_ref
+      |  FROM offs)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q3_window_topn" ->
+      """SELECT * FROM (
+        |  SELECT event_type, user_id, v_cents,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY v_cents DESC, user_id ASC) AS rnk
+        |  FROM (SELECT event_type, user_id,
+        |               sum(CAST(round(value*100) AS BIGINT)) AS v_cents
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rnk <= 3""".stripMargin,
+    "q4_time_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        |       sum(CAST(round(value*100) AS BIGINT)) AS v_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" -> (jaccardSql + "0.8"),
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |hs AS (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM shingles),
+         |sigs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS m
+         |         FROM hs GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, h // 2 AS b, string_agg(m, ',' ORDER BY h) AS sig
+         |          FROM sigs GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |           FROM shingles a JOIN shingles b
+         |             ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jac AS (SELECT doc_a, doc_b,
+         |               CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE)
+         |                 AS jaccard
+         |        FROM common JOIN cnt ca ON ca.doc_id = doc_a
+         |                    JOIN cnt cb ON cb.doc_id = doc_b)
+         |SELECT c.doc_a, c.doc_b, j.jaccard
+         |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+         |WHERE j.jaccard >= 0.5""".stripMargin,
+    "dedup_simhash" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hx AS (SELECT doc_id, md5(w) AS hh FROM wrds),
+        |dg AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hh, p, 1)) - 1 AS d
+        |       FROM hx, (SELECT unnest(generate_series(1, 16)) AS p)),
+        |bits AS (SELECT doc_id, p,
+        |  sum(CASE WHEN (d & 8) > 0 THEN 1 ELSE -1 END) AS s8,
+        |  sum(CASE WHEN (d & 4) > 0 THEN 1 ELSE -1 END) AS s4,
+        |  sum(CASE WHEN (d & 2) > 0 THEN 1 ELSE -1 END) AS s2,
+        |  sum(CASE WHEN (d & 1) > 0 THEN 1 ELSE -1 END) AS s1
+        |  FROM dg GROUP BY 1, 2),
+        |chars AS (SELECT doc_id, p, substr('0123456789abcdef',
+        |  (CASE WHEN s8 > 0 THEN 8 ELSE 0 END + CASE WHEN s4 > 0 THEN 4 ELSE 0 END +
+        |   CASE WHEN s2 > 0 THEN 2 ELSE 0 END + CASE WHEN s1 > 0 THEN 1 ELSE 0 END) + 1,
+        |  1) AS c FROM bits)
+        |SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
+        |FROM chars GROUP BY doc_id""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(len(text) AS BIGINT) AS len_chars,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '), t -> len(t)), 'sum')
+        |       AS BIGINT) AS sum_token_len
+        |FROM documents""".stripMargin,
+    "text_lang_id" ->
+      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |  sum(CASE WHEN w IN ('der','die','und','das') THEN 1 ELSE 0 END) AS c_de,
+        |  sum(CASE WHEN w IN ('the','a','and','of') THEN 1 ELSE 0 END) AS c_en,
+        |  sum(CASE WHEN w IN ('el','los','las','una') THEN 1 ELSE 0 END) AS c_es,
+        |  sum(CASE WHEN w IN ('le','les','et','une') THEN 1 ELSE 0 END) AS c_fr
+        |  FROM wrds GROUP BY 1)
+        |SELECT doc_id, c_de, c_en, c_es, c_fr,
+        |  CASE
+        |    WHEN c_fr > c_es AND c_fr > c_en AND c_fr > c_de AND c_fr > 0 THEN 'fr'
+        |    WHEN c_es > c_en AND c_es > c_de AND c_es > 0 THEN 'es'
+        |    WHEN c_en > c_de AND c_en > 0 THEN 'en'
+        |    WHEN c_de > 0 THEN 'de'
+        |    ELSE 'und'
+        |  END AS pred_lang
+        |FROM c""".stripMargin,
+    "text_fingerprint" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i
+        |        FROM words WHERE len(w) >= 5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM idx)
+        |SELECT doc_id, min(md5(s)) AS fp, count(*) AS n_shingles
+        |FROM sh GROUP BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |    t -> CASE WHEN t IN ('the','a','and','of','to','in') THEN 1 ELSE 0 END),
+        |    'sum') AS BIGINT) AS n_stopwords,
+        |  CAST(len(text) - len(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens
+        |FROM documents""".stripMargin,
+    "emb_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> v[i]*v[i]), 'sum')) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT vec_id, rnk, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |         CAST(row_number() OVER (PARTITION BY vec_id
+        |              ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rnk
+        |  FROM p)
+        |WHERE rnk <= 3""".stripMargin,
+    "emb_lsh_buckets" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, """.stripMargin + (0 until 8).map(j =>
+        s"""(CASE WHEN list_aggregate(list_transform(generate_series(1, 64),
+           |  i -> v[i] * (CASE WHEN strpos('0123456789abcdef',
+           |       substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+           |     THEN 1.0 ELSE -1.0 END)), 'sum') > 0 THEN '1' ELSE '0' END)""".stripMargin)
+        .mkString(" || ") + " AS bucket FROM e"),
+    "corpus_span_digest" ->
+      s"""WITH $corpusCte
+         |SELECT printf('doc-%012d', i) AS doc_id, count(*) AS n_spans,
+         |       md5(string_agg(kind || '|' || text || '|' || media_ref, '#'
+         |                      ORDER BY off)) AS seq_md5
+         |FROM spans GROUP BY 1""".stripMargin,
+    "corpus_geo_spans" ->
+      s"""WITH $corpusCte
+         |SELECT printf('doc-%012d', i) AS doc_id, CAST(off AS INT) AS offset,
+         |  CAST((i*9973 + off*7919) % 360000 - 180000 AS DOUBLE)/1000.0 AS lon,
+         |  CAST((i*6271 + off*4409) % 180000 - 90000  AS DOUBLE)/1000.0 AS lat,
+         |  (i*9973 + off*7919) % 360000 - 180000 AS lon_mdeg,
+         |  (i*6271 + off*4409) % 180000 - 90000  AS lat_mdeg
+         |FROM spans WHERE kind = 'geo'""".stripMargin
+  )
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text pipeline operators over the `documents`
+  * table (`doc_id: long, text: string, lang: string, source: string,
+  * n_chars: long`).
+  *
+  * Design notes for 100 TB scale:
+  *  - Everything is declarative DataFrame ops → whole-stage codegen; no
+  *    Scala UDFs, no driver-side collects.
+  *  - All hashing is `md5` over strings so the DuckDB oracle reproduces
+  *    results byte-for-byte (Spark's `hash()` is murmur3 and engine
+  *    specific; md5 is standard).
+  *  - All cross-checked aggregates are integer-valued or order-identical
+  *    left-folds (see VectorOps) so floating point is deterministic.
+  *  - Pairwise ops (jaccard, minhash candidates) shuffle on content keys
+  *    (shingle / band signature), never materialize N² — the only N² op
+  *    is the brute-force ANN *baseline* in VectorOps.
+  */
+object TextOps {
+
+  /** Tokenization shared by all ops: text is single-space separated. */
+  private def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles, one row per (doc_id, shingle). Docs with
+    * fewer than k tokens yield no shingles (guard needed because Spark's
+    * `sequence(1, 0)` counts DOWN rather than producing an empty array).
+    */
+  def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val w = col("w")
+    val sh = transform(sequence(lit(1), size(w) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(d => element_at(w, i + d)): _*))
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(w) >= k)
+      .select(col("doc_id"), explode(array_distinct(sh)).as("s"))
+  }
+
+  /** Exact duplicate grouping by content hash. Scale: single hash
+    * aggregate, partial+final map-side combine for free.
+    */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** N-gram (word 3-shingle) Jaccard near-duplicate pairs with
+    * similarity >= minJaccard. Shuffles on shingle (content key), so two
+    * near-identical docs meet without an N² join. At 100 TB the hot
+    * shingles (stop-phrase shingles) are the skew risk → `df` above uses
+    * distinct-per-doc shingles, and extremely frequent shingles could be
+    * dropped by a document-frequency cap (not needed at test scale).
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: `numHashes` independent min-hashes per doc,
+    * h_i(doc) = min over shingles of md5(i || '|' || shingle).
+    * Using the md5 hex string itself as the hash value keeps the oracle
+    * byte-identical. Partial-aggregated min → no skew concern.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
+    shingles(docs, k)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
+      .groupBy("doc_id", "h")
+      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")).cast("binary"))).as("m"))
+
+  /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
+    * Bands of `rowsPerBand` minhashes; docs sharing any full band
+    * signature become candidates (shuffle key = band signature, so the
+    * join is an equi-join — broadcastable when the candidate side is
+    * small, AQE otherwise). Candidates are then verified with the exact
+    * shingle-Jaccard (filter-refine).
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, k, numHashes)
+    val bands = sigs
+      .groupBy(col("doc_id"), floor(col("h") / rowsPerBand).cast("int").as("b"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("h"), col("m")))), x => x.getField("m")),
+        ",").as("sig"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val verified = ngramJaccardPairs(docs, k, minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cand.join(verified, Seq("doc_a", "doc_b"))
+  }
+
+  /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex
+    * digits of md5(word) (4 bits each); each word votes ±1 per bit,
+    * majority (sum > 0) sets the bit. Pure conditional aggregation —
+    * one shuffle on (doc_id), partial-combined.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hexdigits = "0123456789abcdef"
+    val wordRows = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w").cast("binary")).as("hh"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("hh"))
+      .select(col("doc_id"), col("p"),
+        conv(col("hh").substr(col("p"), lit(1)), 16, 10).cast("int").as("d"))
+    val vote = (mask: Int) =>
+      sum(when(col("d").bitwiseAND(lit(mask)) > 0, lit(1)).otherwise(lit(-1)))
+    val bits = wordRows.groupBy("doc_id", "p")
+      .agg(vote(8).as("s8"), vote(4).as("s4"), vote(2).as("s2"), vote(1).as("s1"))
+    val v = when(col("s8") > 0, lit(8)).otherwise(lit(0)) +
+      when(col("s4") > 0, lit(4)).otherwise(lit(0)) +
+      when(col("s2") > 0, lit(2)).otherwise(lit(0)) +
+      when(col("s1") > 0, lit(1)).otherwise(lit(0))
+    bits.select(col("doc_id"), col("p"), lit(hexdigits).substr(v + 1, lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("c")))), x => x.getField("c")),
+        "").as("simhash64"))
+  }
+
+  /** Token statistics per document. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_uniq_tokens"),
+      length(col("text")).cast("long").as("len_chars"),
+      aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .as("sum_token_len"))
+  }
+
+  /** Language-ID by marker-token counts (n-gram/stopword heuristic).
+    * Deterministic argmax with tie-break on language code order.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "und", "das"),
+      "en" -> Seq("the", "a", "and", "of"),
+      "es" -> Seq("el", "los", "las", "una"),
+      "fr" -> Seq("le", "les", "et", "une"))
+    val w = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+    val counts = markers.map { case (lang, ms) =>
+      sum(when(col("w").isInCollection(ms), 1L).otherwise(0L)).as(s"c_$lang")
+    }
+    val agged = w.groupBy("doc_id").agg(counts.head, counts.tail: _*)
+    // argmax with ties broken by language-code ascending: strictly-greater
+    // comparison scanning in order de, en, es, fr
+    val best = markers.map(_._1).foldLeft((lit("und"), lit(0L))) {
+      case ((bl, bc), lang) =>
+        val c = col(s"c_$lang")
+        (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    agged.select((col("doc_id") +: markers.map(m => col(s"c_${m._1}"))) :+
+      best._1.as("pred_lang"): _*)
+  }
+
+  /** Content-defined fingerprint: min over word 5-shingles of the shingle
+    * md5 (winnowing-style min-sampling; deterministic, portable).
+    */
+  def fingerprint(docs: DataFrame, k: Int = 5): DataFrame =
+    shingles(docs, k)
+      .groupBy("doc_id")
+      .agg(min(md5(col("s").cast("binary"))).as("fp"), count(lit(1)).as("n_shingles"))
+
+  /** Text quality scoring: integer-valued features a filtering pipeline
+    * thresholds on (all exact → oracle-checkable).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      size(w).cast("long").as("n_tokens"),
+      aggregate(transform(w, t => when(t.isInCollection(stop), 1L).otherwise(0L)),
+        lit(0L), (a, x) => a + x).as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_spaces"),
+      size(array_distinct(w)).cast("long").as("n_uniq_tokens"))
+  }
+}

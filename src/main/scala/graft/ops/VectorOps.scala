@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`embeddings` table:
+  * `vec_id: long, embedding: array<float>, label: int`).
+  *
+  * Determinism: dot products are order-identical left folds over the
+  * array after a cast to double — IEEE ops in identical order are
+  * bit-identical across engines, so the DuckDB oracle matches exactly.
+  *
+  * Scale notes: brute-force top-k is the N·Q baseline (quadratic — only
+  * correct for small Q or as a verifier); the LSH-bucketed variant is the
+  * 100 TB path: each vector hashes to a small bucket key, candidates are
+  * an equi-join on the bucket, and only candidates pay the exact-cosine
+  * refine. An IVF variant would replace the hash with nearest-centroid
+  * assignment (same join shape).
+  */
+object VectorOps {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Sequential left-fold dot product (deterministic). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Per-vector L2 norm materialized once (computed on the scan side so
+    * the join doesn't recompute it per pair).
+    */
+  def withNorm(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Brute-force cosine top-k neighbours for every vector (baseline /
+    * verifier). N² pairs — use only at calibration scale or on a bounded
+    * query set.
+    */
+  def cosineTopK(embs: DataFrame, k: Int = 3): DataFrame = {
+    val e = withNorm(embs).cache()
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket per vector: `nBits` sign bits of dot
+    * products with deterministic ±1 hyperplanes derived from md5 (so the
+    * oracle reproduces them). This is the scale path: grouping by
+    * `bucket` gives candidate sets; a bucketed self-join + exact cosine
+    * refine replaces the N² scan.
+    */
+  def lshBuckets(embs: DataFrame, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = toDouble(col("embedding"))
+    // sign(j,i) = +1 if first hex digit of md5("j:i") >= 8 else -1
+    def signed(j: Int): Column =
+      aggregate(
+        transform(sequence(lit(1), lit(dim)), i =>
+          element_at(e, i) *
+            when(conv(md5(concat(lit(s"$j:"), i.cast("string")).cast("binary"))
+              .substr(1, 1), 16, 10).cast("int") >= 8, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+    val bits = (0 until nBits).map(j => when(signed(j) > 0, lit("1")).otherwise(lit("0")))
+    embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share a bucket, refined
+    * by exact cosine. Equi-join on bucket → broadcast/AQE friendly.
+    */
+  def lshTopK(embs: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(embs, nBits, dim)
+    val e = withNorm(embs).join(b, "vec_id").cache()
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+  }
+}
