@@ -16,9 +16,12 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * interleaved corpus → geometry extraction → ISEA7H res-5 cell
+    * assignment (the BASELINE.json flagship pipeline).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("corpus_geo_spans")(spark, "/root/testdata/sf0.001")
+    queries("dggs_cell_assign")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational anchors (harness sanity + shuffle/agg shapes) ----
@@ -73,7 +76,85 @@ object SparkEntry {
     "corpus_span_digest" -> ((s, dir) =>
       CorpusOps.spanSequenceDigest(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
     "corpus_geo_spans" -> ((s, dir) =>
-      CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents"))))
+      CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
+
+    // ---- DGGS operators (cell math not SQL-expressible: stats has a
+    // closed-form oracle; the rest are rows-only checks here and golden
+    // DGGRID-parity checks in the ScalaTest suite) ----
+    "dggs_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15)
+        .select(col("Resolution").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_cell_assign" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_parent_rollup" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      import graft.spark.{DggsFunctions => F}
+      GridOps.cellsForGeoPoints(geo, "lon", "lat", 6)
+        .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(3))).as("name3"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_bin_values" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+        .withColumn("v", (col("lon_mdeg") % 1000).cast("double"))
+      GridOps.binPointVals(geo, "lon", "lat", "v", 4)
+        .select(col("name"), col("value_mean"), col("value_count"))
+    }),
+    "dggs_presence" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+        .withColumn("cls", (col("offset") % 3).cast("string"))
+      GridOps.binPointPresence(geo, "lon", "lat", "cls", Seq("0", "1", "2"), 3)
+        .select(col("name"), col("presence"), col("num_classes"))
+    }),
+    "dggs_extent_ids" -> ((s, _) => {
+      GridOps.gridCellIdsForExtent(s, 4, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
+    }),
+    "dggs_coarse_children" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{DggsFunctions => F}
+      // the FIXTURES.md §1.4 parent/children cases: "023" res1→res5,
+      // "000125023" res7→res9
+      val parents = Seq(("023", 5), ("000125023", 9)).toDF("parent", "to_res")
+      parents
+        .withColumn("cell_id",
+          explode(F.z7DescendantsAt(F.z7FromString(col("parent")), col("to_res"))))
+        .select(col("parent"), F.z7String(col("cell_id")).as("name"))
+    }),
+    "dggs_spatial_join" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val polys = Seq(
+        ("estonia", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"),
+        ("oregon", "POLYGON ((-124.6 42.0, -116.5 42.0, -116.5 46.3, -124.6 46.3, -124.6 42.0))"),
+        ("tropics", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"))
+      SpatialOps.pointInPolygonJoin(geo, "lon", "lat", polys, 4)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    "dggs_knn" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val queries = geo.where(col("offset") === 2)
+        .select(col("doc_id").as("q_doc"), col("lon"), col("lat"))
+      val targets = geo.select(col("doc_id").as("t_doc"), col("lon"), col("lat"))
+      SpatialOps.knnJoin(queries, targets, "lon", "lat", 3, 1)
+        .select(col("q_doc"), col("rnk"), col("t_doc"), round(col("dist_km"), 6).as("dist_km"))
+    }),
+    "dggs_dateline_split" -> ((s, _) => {
+      val cells = GridOps.gridCellPolygonsForExtent(s, 2)
+      DatelineOps.splitDateline(cells, "boundary")
+        .groupBy("name").agg(count(lit(1)).as("n_pieces"))
+        .where(col("n_pieces") > 1)
+    }),
+    "dggs_addr_transform" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
+        .select(col("doc_id"), col("offset"), col("name"))
+      GridOps.addressTransform(cells, "name", "Z7_STRING", "SEQNUM", 4)
+        .select(col("doc_id"), col("offset"), col("name"), col("out_addr").as("seqnum"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -260,6 +341,16 @@ object SparkEntry {
          |       md5(string_agg(kind || '|' || text || '|' || media_ref, '#'
          |                      ORDER BY off)) AS seq_md5
          |FROM spans GROUP BY 1""".stripMargin,
+    "dggs_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(10 * power(7, r) + 2 AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / CAST(10 * power(7, r) + 2 AS BIGINT) AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / CAST(10 * power(7, r) + 2 AS BIGINT))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
     "corpus_geo_spans" ->
       s"""WITH $corpusCte
          |SELECT printf('doc-%012d', i) AS doc_id, CAST(off AS INT) AS offset,

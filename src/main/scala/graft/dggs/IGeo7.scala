@@ -338,6 +338,18 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     }.toArray
   }
 
+  /** k=1 ring: the adjacent cells (6 for hexagons, 5 for pentagons),
+    * exact in lattice space (igeo7_ext.py:103-156 semantics without the
+    * geometric buffer fallback).
+    */
+  def ring1(z: Long): Array[Long] = {
+    val fix = decode(z)
+    Units.map { u =>
+      val (vtx, digits) = digitsOf(CellFix(fix.quad, fix.v + u, fix.res))
+      Z7.pack(baseOfVertex(vtx), digits.toSeq)
+    }.distinct.filter(_ != z)
+  }
+
   private def pentagonBoundary(z: Long): Array[GeoRad] = {
     val r = Z7.resolution(z)
     val vtx = vertexOfBase(Z7.baseCell(z))

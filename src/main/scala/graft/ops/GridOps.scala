@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dggs.{Sphere, Z7}
+import graft.spark.{DggsFunctions => F, Grids}
+
+/** The dggrid4py-equivalent high-level API (SURVEY.md §2.2), re-expressed
+  * as DataFrame transforms. Cell ids are Z7 int64 (`cell_id`) plus
+  * Z7_STRING (`name` — the reference's id column name); geometry is
+  * `array<struct<lon,lat>>` rings plus WKT.
+  *
+  * Scale design: generation is a 12-row seed expanded levelwise by an
+  * exploding generator with clip pruning at every level (the reference
+  * pushes its clip into the DGGRID binary the same way —
+  * dggrid_runner.py:823-825); point ops are narrow maps; binning is a
+  * partial-aggregated hash aggregate; children expansion is a generator
+  * whose output is prefix-clustered (Z7 order = spatial locality).
+  */
+object GridOps {
+
+  /** closed-form stats table (reference grid_stats_table,
+    * dggrid_runner.py:1280-1301): exact column names preserved.
+    * ISEA7H/IGEO7: N(r) = 10·7^r + 2 on the authalic sphere.
+    */
+  def gridStatsTable(spark: SparkSession, maxRes: Int,
+                     aperture: Int = 7, topology: String = "HEXAGON"): DataFrame = {
+    import spark.implicits._
+    val R = Sphere.EarthRadiusKm
+    val earthArea = 4.0 * math.Pi * R * R
+    val rows = (0 to maxRes).map { r =>
+      val cells: Long = (aperture, topology) match {
+        case (a, "HEXAGON") => 10L * math.pow(a, r).toLong + 2
+        case (4, "TRIANGLE") => 20L * math.pow(4, r).toLong
+        case (4, "DIAMOND") => 10L * math.pow(4, r).toLong
+        case _ => throw new IllegalArgumentException(s"unsupported $aperture/$topology")
+      }
+      val area = earthArea / cells
+      // CLS: diameter of the spherical cap with the cell's area
+      val cls = 2.0 * R * math.acos(1.0 - area / (2.0 * math.Pi * R * R))
+      (r, cells, area, cls)
+    }
+    rows.toDF("Resolution", "Cells", "Area (km^2)", "CLS (km)")
+  }
+
+  /** grid generation for an extent: all cells at `res` whose center or
+    * boundary touches the lon/lat box (whole earth when no clip).
+    * Levelwise children expansion with per-level pruning: a cell is kept
+    * while its center is within the box expanded by its circumradius —
+    * the clip-pushdown the reference delegates to DGGRID
+    * (clip_subset_type, dggrid_runner.py:1332-1340).
+    */
+  def gridCellIdsForExtent(spark: SparkSession, res: Int,
+                           clip: Option[(Double, Double, Double, Double)] = None,
+                           lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                           az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    var df = (0 to 11).map(b => Z7.pack(b, Seq.empty)).toDF("cell_id")
+    for (k <- 1 to res) {
+      df = df.select(explode(F.z7Children(col("cell_id"))).as("cell_id"))
+      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+        // circumradius at res k in degrees (generous: equatorial scale)
+        val marginDeg = clipMarginDeg(k)
+        val c = F.cellCenter(col("cell_id"), lat0, lon0, az)
+        df = df.where(boxContains(c, lonMin - marginDeg, latMin - marginDeg,
+          lonMax + marginDeg, latMax + marginDeg))
+      }
+      if (k % 4 == 0 && res - k > 1) {
+        // keep the plan from deepening into very long UDF chains
+        df = df.localCheckpoint(eager = true)
+      }
+    }
+    clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+      // final refine: keep cells whose center is in the box OR any
+      // boundary vertex is in the box (vertex test covers partial overlap)
+      val c = F.cellCenter(col("cell_id"), lat0, lon0, az)
+      val bnd = F.cellBoundary(col("cell_id"), lat0, lon0, az)
+      val inBox = boxContains(c, lonMin, latMin, lonMax, latMax) ||
+        exists(bnd, v => boxContains(v, lonMin, latMin, lonMax, latMax))
+      df = df.where(inBox)
+    }
+    df
+  }
+
+  private def clipMarginDeg(res: Int): Double = {
+    // hex circumradius on the unit sphere at res r ≈ rc/7^(r/2) rad —
+    // converted to degrees with a 2× safety factor for projection
+    // distortion and pole latitude scaling
+    val rcirc = 0.6954709 / math.pow(7.0, res / 2.0)
+    math.toDegrees(rcirc) * 2.0
+  }
+
+  private def boxContains(pt: Column, lonMin: Double, latMin: Double,
+                          lonMax: Double, latMax: Double): Column =
+    pt.getField("lon") >= lonMin && pt.getField("lon") <= lonMax &&
+      pt.getField("lat") >= latMin && pt.getField("lat") <= latMax
+
+  /** H1: cell polygons for extent. */
+  def gridCellPolygonsForExtent(spark: SparkSession, res: Int,
+                                clip: Option[(Double, Double, Double, Double)] = None,
+                                lat0: Double = Grids.DefaultLat,
+                                lon0: Double = Grids.DefaultLon,
+                                az: Double = Grids.DefaultAz): DataFrame =
+    gridCellIdsForExtent(spark, res, clip, lat0, lon0, az)
+      .withColumn("name", F.z7String(col("cell_id")))
+      .withColumn("boundary", F.cellBoundary(col("cell_id"), lat0, lon0, az))
+      .withColumn("wkt", F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az))
+
+  /** H2: centroids for extent. */
+  def gridCellCentroidsForExtent(spark: SparkSession, res: Int,
+                                 clip: Option[(Double, Double, Double, Double)] = None,
+                                 lat0: Double = Grids.DefaultLat,
+                                 lon0: Double = Grids.DefaultLon,
+                                 az: Double = Grids.DefaultAz): DataFrame =
+    gridCellIdsForExtent(spark, res, clip, lat0, lon0, az)
+      .withColumn("name", F.z7String(col("cell_id")))
+      .withColumn("center", F.cellCenter(col("cell_id"), lat0, lon0, az))
+
+  /** H3/H4 COARSE_CELLS mode: descendants of given parents at `res`
+    * (the parent/child rollup primitive; reference
+    * dggrid_runner.py:1547-1561). Input: df with z7-string parent ids.
+    */
+  def gridCellsFromCoarseCells(parents: DataFrame, idCol: String, res: Int): DataFrame =
+    parents
+      .withColumn("cell_id",
+        explode(F.z7DescendantsAt(F.z7FromString(col(idCol)), lit(res))))
+      .withColumn("name", F.z7String(col("cell_id")))
+
+  /** H3: polygons for explicit cell id list (z7 strings). */
+  def gridCellPolygonsFromCellIds(cells: DataFrame, idCol: String,
+                                  lat0: Double = Grids.DefaultLat,
+                                  lon0: Double = Grids.DefaultLon,
+                                  az: Double = Grids.DefaultAz): DataFrame =
+    cells.withColumn("cell_id", F.z7FromString(col(idCol)))
+      .withColumn("boundary", F.cellBoundary(col("cell_id"), lat0, lon0, az))
+      .withColumn("wkt", F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az))
+
+  /** H6: point→cell assignment (the flagship op). Adds `cell_id` (Z7
+    * int64) + `name` (Z7_STRING) to any df with lon/lat columns —
+    * the reference's cells_for_geo_points with cell_ids_only=True
+    * (dggrid_runner.py:1859-1959). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints(points: DataFrame, lonCol: String, latCol: String, res: Int,
+                        lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                        az: Double = Grids.DefaultAz): DataFrame =
+    points
+      .withColumn("cell_id", F.cellForPoint(col(lonCol), col(latCol), lit(res), lat0, lon0, az))
+      .withColumn("name", F.z7String(col("cell_id")))
+
+  /** O3 BIN_POINT_VALS: per-cell arithmetic mean of point values
+    * (+ count) — occupied cells only (OUTPUT_OCCUPIED), like the
+    * reference default (dggrid_runner.py:1025-1118).
+    */
+  def binPointVals(points: DataFrame, lonCol: String, latCol: String,
+                   valCol: String, res: Int): DataFrame =
+    cellsForGeoPoints(points, lonCol, latCol, res)
+      .groupBy("cell_id", "name")
+      .agg(avg(col(valCol)).as("value_mean"), count(lit(1)).as("value_count"))
+
+  /** O4 BIN_POINT_PRESENCE: per-cell presence bit-vector over classes
+    * + number of classes present (dggrid_runner.py:1121-1202).
+    */
+  def binPointPresence(points: DataFrame, lonCol: String, latCol: String,
+                       classCol: String, classes: Seq[String], res: Int): DataFrame = {
+    val present = cellsForGeoPoints(points, lonCol, latCol, res)
+      .groupBy("cell_id", "name")
+      .agg(collect_set(col(classCol)).as("cls"))
+    val vector = concat(classes.map(c =>
+      when(array_contains(col("cls"), c), lit("1")).otherwise(lit("0"))): _*)
+    present.select(col("cell_id"), col("name"), vector.as("presence"),
+      size(col("cls")).cast("long").as("num_classes"))
+  }
+
+  /** H7: address transform between Z7 int64, Z7_STRING, SEQNUM (engine
+    * canonical), and GEO center (dggrid_runner.py:1962-2025).
+    */
+  def addressTransform(cells: DataFrame, idCol: String,
+                       from: String, to: String, res: Int): DataFrame = {
+    val asZ7: Column = from match {
+      case "Z7" => col(idCol)
+      case "Z7_STRING" => F.z7FromString(col(idCol))
+      case "SEQNUM" => F.seqnumToZ7(col(idCol), lit(res))
+      case other => throw new IllegalArgumentException(s"unsupported input $other")
+    }
+    val out: Column = to match {
+      case "Z7" => asZ7
+      case "Z7_STRING" => F.z7String(asZ7)
+      case "SEQNUM" => F.z7ToSeqnum(asZ7)
+      case "GEO" => F.cellCenter(asZ7)
+      case other => throw new IllegalArgumentException(s"unsupported output $other")
+    }
+    cells.withColumn("out_addr", out)
+  }
+}

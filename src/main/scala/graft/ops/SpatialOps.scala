@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.io.WKTReader
+import graft.dggs.{Sphere, Z7}
+import graft.spark.{DggsFunctions => F, Grids}
+
+/** Cell-indexed spatial joins and kNN (SURVEY.md §7 layer 5; the
+  * north_star's "H3/S2-indexed broadcast-vs-shuffle spatial joins" —
+  * realized with the engine's own Z7 index).
+  *
+  * Pattern (filter-refine): polygons → covering cells at a chosen res
+  * (broadcast when the polygon side is small), points → cell id (narrow
+  * map), equi-join on the cell, exact JTS predicate refine. The shuffle
+  * key is the cell id; hot cells are handled by AQE skew-join plus the
+  * explicit salting helper below.
+  */
+object SpatialOps {
+
+  /** covering cells of a lon/lat polygon (WKT) at `res`: levelwise
+    * expansion pruned by the polygon's envelope, final JTS intersects
+    * refine against the exact cell boundary. Driver-side (used for dim
+    * tables that get broadcast).
+    */
+  def coverCells(wkt: String, res: Int,
+                 lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                 az: Double = Grids.DefaultAz): Seq[Long] = {
+    val grid = Grids.get(lat0, lon0, az)
+    val gf = new GeometryFactory()
+    val poly = new WKTReader(gf).read(wkt)
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(poly)
+    val env = poly.getEnvelopeInternal
+    var cells: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
+    for (k <- 1 to res) {
+      val margin = math.toDegrees(0.6954709 / math.pow(7.0, k / 2.0)) * 2.0
+      cells = cells.flatMap(Z7.children).filter { z =>
+        val c = grid.cellCenter(z)
+        c.lonDeg >= env.getMinX - margin && c.lonDeg <= env.getMaxX + margin &&
+          c.latDeg >= env.getMinY - margin && c.latDeg <= env.getMaxY + margin
+      }
+    }
+    cells.filter { z =>
+      val ring = grid.cellBoundary(z)
+      val coords = (ring :+ ring.head).map(g => new Coordinate(g.lonDeg, g.latDeg))
+      prep.intersects(gf.createPolygon(coords.toArray))
+    }
+  }
+
+  /** point-in-polygon join: points(lonCol, latCol, …) × polygons(idCol,
+    * wktCol) — polygon side assumed broadcastable (dim table). Returns
+    * point rows + matching polygon id. Equi-join on covering cell id +
+    * exact JTS contains refine.
+    */
+  def pointInPolygonJoin(points: DataFrame, lonCol: String, latCol: String,
+                         polygons: Seq[(String, String)], res: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val covers = polygons.flatMap { case (id, wkt) =>
+      coverCells(wkt, res).map(c => (id, wkt, c))
+    }.toDF("poly_id", "poly_wkt", "cell_id")
+    val pts = GridOps.cellsForGeoPoints(points, lonCol, latCol, res)
+    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
+      JtsCache.contains(wkt, lon, lat)
+    }
+    pts.join(broadcast(covers), Seq("cell_id"))
+      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .drop("poly_wkt")
+  }
+
+  /** kNN: for each query point, the k nearest target points by
+    * great-circle distance, candidates gathered via Z7 ring expansion
+    * (query cell + k=1 ring at `res`, widening once if the ring is
+    * short). Shuffle key = cell id; both sides narrow-mapped.
+    */
+  def knnJoin(queries: DataFrame, targets: DataFrame,
+              lonCol: String, latCol: String, k: Int, res: Int): DataFrame = {
+    val q = GridOps.cellsForGeoPoints(queries, lonCol, latCol, res)
+      .withColumnRenamed(lonCol, "q_lon").withColumnRenamed(latCol, "q_lat")
+      .withColumn("probe_cell",
+        explode(concat(array(col("cell_id")), F.z7Ring1(col("cell_id")))))
+      .drop("cell_id", "name")
+    val t = GridOps.cellsForGeoPoints(targets, lonCol, latCol, res)
+      .withColumnRenamed(lonCol, "t_lon").withColumnRenamed(latCol, "t_lat")
+      .withColumnRenamed("cell_id", "probe_cell")
+      .drop("name")
+    val dist = haversineKm(col("q_lon"), col("q_lat"), col("t_lon"), col("t_lat"))
+    val joined = q.join(t, "probe_cell")
+      .withColumn("dist_km", dist)
+    val w = Window.partitionBy(col("q_lon"), col("q_lat"))
+      .orderBy(col("dist_km").asc, col("t_lon").asc, col("t_lat").asc)
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .drop("probe_cell")
+  }
+
+  /** great-circle distance in km (haversine; matches the reference's
+    * raster helper semantics, igeo7_ext.py:243-260).
+    */
+  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val r1 = radians(lat1); val r2 = radians(lat2)
+    val dlat = radians(lat2 - lat1); val dlon = radians(lon2 - lon1)
+    val a = pow(sin(dlat / 2), 2) + cos(r1) * cos(r2) * pow(sin(dlon / 2), 2)
+    lit(2.0 * Sphere.EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** explicit salt for hot cells (Zipfian occupancy — north_rule skew
+    * mitigation): the big side gets a per-ROW salt (hash of a row key,
+    * NOT the join key) so one hot cell spreads over nSalts reducers; the
+    * small side is exploded ×nSalts so the equi-join key becomes
+    * (cell_id, salt).
+    */
+  def saltBig(big: DataFrame, rowKeyCol: String, saltKeyCol: String, nSalts: Int): DataFrame =
+    big.withColumn(saltKeyCol, pmod(hash(col(rowKeyCol)), lit(nSalts)))
+
+  def explodeSmall(small: DataFrame, saltKeyCol: String, nSalts: Int): DataFrame =
+    small.withColumn(saltKeyCol, explode(sequence(lit(0), lit(nSalts - 1))))
+}
+
+/** executor-side cache of prepared polygons for the refine UDF */
+object JtsCache {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.locationtech.jts.geom.prep.PreparedGeometry]()
+  @transient private lazy val gf = new GeometryFactory()
+
+  def contains(wkt: String, lon: Double, lat: Double): Boolean = {
+    val prep = cache.computeIfAbsent(wkt, w =>
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+        new WKTReader(gf).read(w)))
+    prep.contains(gf.createPoint(new Coordinate(lon, lat)))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.dggs.{IGeo7, Sphere, Z7}
+import Sphere.GeoRad
+
+/** Executor-side kernel cache: IGeo7 construction is ~ms (quad charts +
+  * shift tables); one instance per orientation per JVM, shared by all
+  * tasks (the kernel is immutable/thread-safe after construction).
+  */
+object Grids extends Serializable {
+  val DefaultLat = 58.28252559
+  val DefaultLon = 11.25
+  val DefaultAz = 0.0
+
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), IGeo7]()
+
+  def get(lat0: Double, lon0: Double, az: Double): IGeo7 =
+    cache.computeIfAbsent((lat0, lon0, az),
+      k => new IGeo7(k._1, k._2, k._3))
+
+  def default: IGeo7 = get(DefaultLat, DefaultLon, DefaultAz)
+}
+
+/** Column-level DGGS functions (SURVEY.md §7 layer 3). Scalar cell math
+  * is a narrow map — no shuffle; Catalyst prunes/pushes around it.
+  * Implemented as Scala UDFs over the pure kernel; the hot ones are
+  * candidates for codegen `Expression`s in a later round.
+  */
+object DggsFunctions {
+
+  /** (lon°, lat°) → Z7 int64 cell id at resolution `res`. */
+  def cellForPoint(lon: Column, lat: Column, res: Column,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Grids.get(lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  /** Z7 int64 → Z7_STRING (2-digit base + digit chars). */
+  private lazy val z7StringUdf = udf((z: Long) => Z7.toZ7String(z))
+  def z7String(cell: Column): Column = z7StringUdf(cell)
+
+  /** Z7_STRING → Z7 int64. */
+  private lazy val z7FromStringUdf = udf((x: String) => Z7.fromZ7String(x))
+  def z7FromString(s: Column): Column = z7FromStringUdf(s)
+
+  /** parent cell at res-1 (error on res 0). */
+  private lazy val z7ParentUdf = udf((z: Long) => Z7.parent(z))
+  def z7Parent(cell: Column): Column = z7ParentUdf(cell)
+
+  /** ancestor at resolution r (pure bit math — prefix padding). */
+  private lazy val z7AncestorAtUdf = udf((z: Long, rr: Int) => Z7.ancestorAt(z, rr))
+  def z7AncestorAt(cell: Column, r: Column): Column = z7AncestorAtUdf(cell, r)
+
+  private lazy val z7ResolutionUdf = udf((z: Long) => Z7.resolution(z))
+  def z7Resolution(cell: Column): Column = z7ResolutionUdf(cell)
+  private lazy val z7IsPentagonUdf = udf((z: Long) => Z7.isPentagon(z))
+  def z7IsPentagon(cell: Column): Column = z7IsPentagonUdf(cell)
+  private lazy val z7IsCenterUdf = udf((z: Long) => Z7.isCenter(z))
+  def z7IsCenter(cell: Column): Column = z7IsCenterUdf(cell)
+  private lazy val z7LocalPosUdf = udf((z: Long) => Z7.localPos(z))
+  def z7LocalPos(cell: Column): Column = z7LocalPosUdf(cell)
+
+  /** immediate children (7, or 6 for pentagons) — explode for
+    * children-of-parent (COARSE_CELLS) expansion.
+    */
+  private lazy val z7ChildrenUdf = udf((z: Long) => Z7.children(z))
+  def z7Children(cell: Column): Column = z7ChildrenUdf(cell)
+
+  /** all descendants at resolution r. */
+  private lazy val z7DescendantsAtUdf = udf((z: Long, rr: Int) => Z7.descendants(z, rr))
+  def z7DescendantsAt(cell: Column, r: Column): Column = z7DescendantsAtUdf(cell, r)
+
+  /** contiguous int64 range [min,max] covering all descendants — the
+    * Parquet row-group / partition pruning predicate pair.
+    */
+  private lazy val z7RangeMinUdf = udf((z: Long) => Z7.rangeMin(z))
+  def z7RangeMin(cell: Column): Column = z7RangeMinUdf(cell)
+  private lazy val z7RangeMaxUdf = udf((z: Long) => Z7.rangeMax(z))
+  def z7RangeMax(cell: Column): Column = z7RangeMaxUdf(cell)
+
+  /** cell center as struct(lon, lat) degrees. */
+  def cellCenter(cell: Column, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      val c = Grids.get(lat0, lon0, az).cellCenter(z)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  /** cell boundary ring as array<struct<lon,lat>> (closed implicitly;
+    * 6 vertices for hexagons, 5 for pentagons).
+    */
+  def cellBoundary(cell: Column, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      Grids.get(lat0, lon0, az).cellBoundary(z).map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+
+  /** cell boundary as WKT POLYGON (closed ring). */
+  def cellBoundaryWkt(cell: Column, lat0: Double = Grids.DefaultLat,
+                      lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      val ring = Grids.get(lat0, lon0, az).cellBoundary(z)
+      val pts = (ring :+ ring.head).map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f")
+      pts.mkString("POLYGON ((", ", ", "))")
+    }
+    f(cell)
+  }
+
+  /** k=1 ring: the 6 (5 for pentagons) adjacent cells (igeo7_ext.py
+    * z7_k1_ring semantics, computed exactly in lattice space).
+    */
+  def z7Ring1(cell: Column, lat0: Double = Grids.DefaultLat,
+              lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) => Grids.get(lat0, lon0, az).ring1(z) }
+    f(cell)
+  }
+
+  /** engine-canonical SEQNUM (1..N(r), dense, hierarchical order) and
+    * inverse. NOTE: deterministic and bijective, but NOT DGGRID's quad
+    * scan order (insufficient public data to reproduce that — two golden
+    * samples only; documented divergence).
+    */
+  private lazy val z7ToSeqnumUdf = udf((z: Long) => Seqnum.toSeqnum(z))
+  def z7ToSeqnum(cell: Column): Column = z7ToSeqnumUdf(cell)
+  private lazy val seqnumToZ7Udf = udf((n: Long, r: Int) => Seqnum.toZ7(n, r))
+  def seqnumToZ7(seq: Column, res: Column): Column = seqnumToZ7Udf(seq, res)
+}
+
+/** Dense hierarchical sequence numbers: cells at resolution r numbered
+  * 1..10·7^r+2 in (base, digit-path) lexicographic order, accounting for
+  * pentagon subtrees (which lack digit 2).
+  */
+object Seqnum {
+  /** number of res-(k+d) descendants of a pentagon at res k */
+  def pentCount(d: Int): Long = 1L + 5L * (pow7(d) - 1) / 6
+  def pow7(d: Int): Long = { var v = 1L; var i = 0; while (i < d) { v *= 7; i += 1 }; v }
+
+  def toSeqnum(z: Long): Long = {
+    val r = Z7.resolution(z)
+    val base = Z7.baseCell(z)
+    var rank = base.toLong * perBase(r)
+    var pentagonSoFar = true
+    var k = 1
+    while (k <= r) {
+      val d = Z7.digit(z, k)
+      val digitsHere = if (pentagonSoFar) Seq(0, 1, 3, 4, 5, 6) else Seq(0, 1, 2, 3, 4, 5, 6)
+      for (dd <- digitsHere if dd < d) {
+        val subPent = pentagonSoFar && dd == 0
+        rank += (if (subPent) pentCount(r - k) else pow7(r - k))
+      }
+      if (d != 0) pentagonSoFar = false
+      k += 1
+    }
+    rank + 1
+  }
+
+  /** cells per base at resolution r (pentagon subtree) */
+  def perBase(r: Int): Long = pentCount(r)
+
+  def toZ7(seq: Long, r: Int): Long = {
+    require(seq >= 1 && seq <= 12 * perBase(r), s"seqnum $seq out of range at res $r")
+    var rank = seq - 1
+    val base = (rank / perBase(r)).toInt
+    rank %= perBase(r)
+    val digits = new Array[Int](r)
+    var pentagonSoFar = true
+    var k = 1
+    while (k <= r) {
+      val digitsHere = if (pentagonSoFar) Seq(0, 1, 3, 4, 5, 6) else Seq(0, 1, 2, 3, 4, 5, 6)
+      var chosen = -1
+      val it = digitsHere.iterator
+      while (chosen < 0 && it.hasNext) {
+        val dd = it.next()
+        val sz = if (pentagonSoFar && dd == 0) pentCount(r - k) else pow7(r - k)
+        if (rank < sz) chosen = dd else rank -= sz
+      }
+      digits(k - 1) = chosen
+      if (chosen != 0) pentagonSoFar = false
+      k += 1
+    }
+    Z7.pack(base, digits.toSeq)
+  }
+}
