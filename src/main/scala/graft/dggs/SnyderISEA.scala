@@ -44,10 +44,25 @@ final class SnyderISEA(val ico: Icosahedron) {
   @inline private def edgeDist(az: Double): Double =
     math.atan2(tanG, math.cos(az) + math.sin(az) * CotTheta)
 
-  /** Forward: point → (face, x, y). Tries faces nearest-first and keeps
-    * the first whose sub-triangle containment test passes.
+  /** Forward: point → (face, x, y). Fast path: the nearest face center's
+    * containment almost always passes; otherwise fall back to trying all
+    * faces nearest-first.
     */
   def forward(p: GeoRad): FacePoint = {
+    val f0 = ico.nearestFace(p)
+    val z0 = distance(ico.faceCenters(f0), p)
+    if (z0 < g + 1e-9) {
+      var az = azimuth(ico.faceCenters(f0), p) - ico.faceAz0(f0)
+      while (az < 0) az += TwoPi
+      while (az >= TwoPi) az -= TwoPi
+      val rot = math.floor(az / Deg120).toInt
+      val azF = az - rot * Deg120
+      if (z0 - edgeDist(azF) <= 1e-12) return project(f0, azF, z0, rot)
+    }
+    forwardSlow(p)
+  }
+
+  private def forwardSlow(p: GeoRad): FacePoint = {
     val order = ico.facesByCloseness(p)
     var i = 0
     var best: FacePoint = null
