@@ -148,6 +148,22 @@ object SparkEntry {
         .groupBy("name").agg(count(lit(1)).as("n_pieces"))
         .where(col("n_pieces") > 1)
     }),
+    "dggs_checkpoint_rollup" -> ((s, dir) => {
+      // resumable partitioned rollup: adaptive Z7-prefix ranges + manifest
+      // lineage (north_rule); result = the reassembled union of parts
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
+        .select("doc_id", "offset", "cell_id")
+      val ranges = CheckpointedRun.planRanges(cells, "cell_id", 1, 100)
+      val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      CheckpointedRun.run(cells, "cell_id", ranges, outDir) { df =>
+        df.groupBy(graft.spark.DggsFunctions.z7AncestorAt(col("cell_id"), lit(2)).as("cell2"))
+          .agg(count(lit(1)).as("n"))
+      }
+      CheckpointedRun.readOutput(s, outDir)
+        .groupBy("cell2").agg(sum("n").as("n"))
+        .select(graft.spark.DggsFunctions.z7String(col("cell2")).as("name2"), col("n"))
+    }),
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)

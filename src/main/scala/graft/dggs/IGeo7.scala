@@ -340,14 +340,32 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
 
   /** k=1 ring: the adjacent cells (6 for hexagons, 5 for pentagons),
     * exact in lattice space (igeo7_ext.py:103-156 semantics without the
-    * geometric buffer fallback).
+    * geometric buffer fallback). Pentagons are handled in index space:
+    * their neighbours are exactly the other children of their parent
+    * pentagon (igeo7_ext.py:112-115 — digits {1,3,4,5,6}); walking the
+    * 6th lattice unit would step through the vertex fan gap.
     */
   def ring1(z: Long): Array[Long] = {
-    val fix = decode(z)
-    Units.map { u =>
-      val (vtx, digits) = digitsOf(CellFix(fix.quad, fix.v + u, fix.res))
-      Z7.pack(baseOfVertex(vtx), digits.toSeq)
-    }.distinct.filter(_ != z)
+    val r = Z7.resolution(z)
+    if (Z7.isPentagon(z)) {
+      if (r == 0) {
+        // res-0 pentagons: the 5 vertices one icosahedron edge away
+        val vtx = vertexOfBase(Z7.baseCell(z))
+        val vp = ico.vertices(vtx)
+        (0 to 11).filter { w =>
+          w != vtx && math.abs(distance(vp, ico.vertices(w)) - ico.edgeArc) < 1e-9
+        }.map(w => Z7.pack(baseOfVertex(w), Seq.empty)).toArray
+      } else {
+        val parent = Z7.parent(z)
+        Z7.childDigits(parent).filter(_ != 0).map(Z7.child(parent, _)).toArray
+      }
+    } else {
+      val fix = decode(z)
+      Units.map { u =>
+        val (vtx, digits) = digitsOf(CellFix(fix.quad, fix.v + u, fix.res))
+        Z7.pack(baseOfVertex(vtx), digits.toSeq)
+      }.distinct.filter(_ != z)
+    }
   }
 
   private def pentagonBoundary(z: Long): Array[GeoRad] = {
