@@ -78,6 +78,39 @@ object SparkEntry {
     "corpus_geo_spans" -> ((s, dir) =>
       CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
 
+    "geo_authalic" -> ((s, dir) => {
+      import graft.spark.AuthalicFunctions
+      CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+        .select(col("doc_id"), col("offset"), col("lat"),
+          round(AuthalicFunctions.toAuthalicLat(col("lat")), 9).as("authalic_lat"))
+    }),
+
+    // ---- multimodal + raster ----
+    "media_features" -> ((s, dir) => {
+      val media = MediaOps.syntheticMedia(
+        CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val feats = MediaOps.extractFeatures(media).toDF()
+      val histCols = (0 until 16).map(i =>
+        element_at(col("nibble_hist"), i + 1).as(s"h$i"))
+      feats.select(Seq(col("doc_id"), col("media_ref"), col("media_type"),
+        col("n_bytes"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("frame_count").cast("long").as("frame_count")) ++ histCols: _*)
+    }),
+    "raster_points" -> ((s, _) => {
+      val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
+      RasterOps.pixelsToPoints(RasterOps.syntheticRaster(s, 256, 256, 64), t)
+        .select(col("tile_id").cast("long").as("tile_id"),
+          col("row").cast("long").as("px_row"), col("col").cast("long").as("px_col"),
+          col("value"), col("lon"), col("lat"))
+    }),
+    "raster_to_cells" -> ((s, _) => {
+      val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
+      RasterOps.rasterToCells(RasterOps.syntheticRaster(s, 256, 256, 64), t,
+        RasterOps.proposeDggsRes(RasterOps.pixelEdgeLenM(t, 53.7)))
+        .select(col("name"), col("value_mean"), col("value_count"))
+    }),
+
     // ---- DGGS operators (cell math not SQL-expressible: stats has a
     // closed-form oracle; the rest are rows-only checks here and golden
     // DGGRID-parity checks in the ScalaTest suite) ----
@@ -357,6 +390,49 @@ object SparkEntry {
          |       md5(string_agg(kind || '|' || text || '|' || media_ref, '#'
          |                      ORDER BY off)) AS seq_md5
          |FROM spans GROUP BY 1""".stripMargin,
+    "geo_authalic" ->
+      (s"""WITH $corpusCte
+         |SELECT printf('doc-%012d', i) AS doc_id, CAST(off AS INT) AS offset,
+         |  CAST((i*6271 + off*4409) % 180000 - 90000 AS DOUBLE)/1000.0 AS lat,
+         |  round(degrees(radians(lat) + (-0.0022392098386792335) * sin(2 * radians(lat)) + (2.1308606523879116e-06) * sin(4 * radians(lat)) + (-2.559259256553851e-09) * sin(6 * radians(lat)) + (3.3694991939688004e-12) * sin(8 * radians(lat))), 9) AS authalic_lat
+         |FROM spans WHERE kind = 'geo'""").stripMargin,
+    "media_features" ->
+      (s"""WITH $corpusCte,
+         |media AS (SELECT printf('doc-%012d', i) AS doc_id, media_ref, off
+         |          FROM spans WHERE kind = 'media'),
+         |px AS (SELECT doc_id, media_ref, off,
+         |         md5(media_ref) || md5(media_ref || '1') ||
+         |         md5(media_ref || '2') || md5(media_ref || '3') AS hx
+         |       FROM media)
+         |SELECT doc_id, media_ref,
+         |  CASE off % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+         |    AS media_type,
+         |  CAST(64 AS BIGINT) AS n_bytes,
+         |  CAST((strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 + 1) * 64 AS BIGINT)
+         |    AS width,
+         |  CAST((strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 + 1) * 64 AS BIGINT)
+         |    AS height,
+         |  CAST(CASE WHEN off % 3 = 2
+         |    THEN ((strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) & 3) + 1
+         |    ELSE 1 END AS BIGINT) AS frame_count,
+         |""".stripMargin + (0 until 16).map { v =>
+        val ch = "0123456789abcdef".charAt(v)
+        s"  CAST(128 - length(replace(hx, '$ch', '')) AS BIGINT) AS h$v"
+      }.mkString(",\n") + "\nFROM px"),
+    "raster_points" ->
+      """WITH px AS (
+        |  SELECT (r // 64) * 4 + (c // 64) AS tile_id, r AS px_row, c AS px_col,
+        |    CASE WHEN (r*7 + c*13) % 17 = 0 THEN NULL
+        |         ELSE CAST((r*31 + c*17) % 1000 AS DOUBLE) END AS value,
+        |    CAST(10.0 AS DOUBLE) + (c + CAST(0.5 AS DOUBLE)) * CAST(0.01 AS DOUBLE)
+        |      + (r + CAST(0.5 AS DOUBLE)) * CAST(0.0 AS DOUBLE) AS lon,
+        |    CAST(55.0 AS DOUBLE) + (c + CAST(0.5 AS DOUBLE)) * CAST(0.0 AS DOUBLE)
+        |      + (r + CAST(0.5 AS DOUBLE)) * CAST(-0.01 AS DOUBLE) AS lat
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS r),
+        |       (SELECT unnest(generate_series(0, 255)) AS c))
+        |SELECT CAST(tile_id AS BIGINT) AS tile_id, CAST(px_row AS BIGINT) AS px_row,
+        |       CAST(px_col AS BIGINT) AS px_col, value, lon, lat
+        |FROM px WHERE value IS NOT NULL""".stripMargin,
     "dggs_stats" ->
       """SELECT r AS resolution,
         |       CAST(10 * power(7, r) + 2 AS BIGINT) AS cells,

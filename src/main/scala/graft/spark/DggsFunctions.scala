@@ -191,3 +191,15 @@ object Seqnum {
     Z7.pack(base, digits.toSeq)
   }
 }
+
+/** Authalic latitude conversions as Column functions (reference
+  * auxlat.py — applied per vertex for geometry, per point for inputs).
+  */
+object AuthalicFunctions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.Authalic
+  private lazy val toAuthalicUdf = udf((lat: Double) => Authalic.toAuthalicDeg(lat))
+  private lazy val toGeodeticUdf = udf((lat: Double) => Authalic.toGeodeticDeg(lat))
+  def toAuthalicLat(lat: org.apache.spark.sql.Column) = toAuthalicUdf(lat)
+  def toGeodeticLat(lat: org.apache.spark.sql.Column) = toGeodeticUdf(lat)
+}

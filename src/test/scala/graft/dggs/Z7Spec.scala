@@ -86,3 +86,23 @@ class Z7Spec extends AnyFunSuite {
     assert(Z7.toZ7String(Z7.ancestorAt(z, 0)) == "00")
   }
 }
+
+/** Authalic latitude series: roundtrip + known characteristics. */
+class AuthalicSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("roundtrip geodetic <-> authalic under 1e-9 deg") {
+    var lat = -89.5
+    while (lat <= 89.5) {
+      val a = Authalic.toAuthalicDeg(lat)
+      assert(math.abs(Authalic.toGeodeticDeg(a) - lat) < 1e-9, s"lat $lat")
+      lat += 0.73
+    }
+  }
+  test("authalic pulls latitudes toward the equator, fixed points at 0/90") {
+    assert(Authalic.toAuthalicDeg(0.0) == 0.0)
+    assert(math.abs(Authalic.toAuthalicDeg(90.0) - 90.0) < 1e-12)
+    val a45 = Authalic.toAuthalicDeg(45.0)
+    assert(a45 > 44.85 && a45 < 44.90, s"authalic(45)=$a45")
+    assert(Authalic.toAuthalicDeg(30.0) < 30.0)
+    assert(Authalic.toAuthalicDeg(-30.0) > -30.0)
+  }
+}
