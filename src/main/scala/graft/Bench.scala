@@ -132,3 +132,64 @@ object BenchScaling {
     spark.stop()
   }
 }
+
+/** Skew demonstration (north_rule: explicit salt-based mitigation,
+  * measured): a Zipfian-style corpus with a configurable fraction of
+  * points in ONE res-6 cell, joined (shuffle join, broadcast disabled)
+  * against a per-cell attribute table — first unsalted (one reducer owns
+  * the hot cell), then salted via SpatialOps.saltBig/explodeSmall.
+  */
+object BenchSkew {
+  import graft.ops.SpatialOps
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nPts = if (args.length > 1) args(1).toLong else 4000000L
+    val hotFrac = if (args.length > 2) args(2).toDouble else 0.8
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.enabled", "false") // isolate the salting effect
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // skewed points: hotFrac of rows at one location (one res-6 cell),
+    // the rest spread deterministically world-wide
+    val pts = spark.range(nPts).select(col("id"),
+        when(pmod(col("id"), lit(1000)) < (hotFrac * 1000).toInt, lit(24.7))
+          .otherwise((pmod(col("id") * 9973L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+        when(pmod(col("id"), lit(1000)) < (hotFrac * 1000).toInt, lit(59.4))
+          .otherwise((pmod(col("id") * 6271L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+      .withColumn("cell_id", F.cellForPoint(col("lon"), col("lat"), lit(6)))
+      .select("id", "cell_id").cache()
+    pts.count()
+
+    // many-to-many dim: `dimPerCell` attribute rows per cell — the join
+    // output amplifies per key, which is where one hot key serializes an
+    // unsalted shuffle join into a single straggler task
+    val dimPerCell = 50
+    val dim = pts.select("cell_id").distinct()
+      .withColumn("k", explode(sequence(lit(0), lit(dimPerCell - 1))))
+      .withColumn("attr", pmod(col("cell_id") + col("k"), lit(1000)))
+      .drop("k").cache()
+    dim.count()
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"""{"skew":"$label","rows":$n,"wall_sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+    time("unsalted_shuffle_join") {
+      pts.join(dim, "cell_id").agg(sum("attr"), count(lit(1))).collect(); nPts
+    }
+    val nSalts = cpus.toInt
+    time("salted_shuffle_join") {
+      SpatialOps.saltedJoin(pts, dim, "cell_id", "id", nSalts, nPts / 100)
+        .agg(sum("attr"), count(lit(1))).collect(); nPts
+    }
+    spark.stop()
+  }
+}

@@ -110,13 +110,37 @@ object SpatialOps {
     * mitigation): the big side gets a per-ROW salt (hash of a row key,
     * NOT the join key) so one hot cell spreads over nSalts reducers; the
     * small side is exploded ×nSalts so the equi-join key becomes
-    * (cell_id, salt).
+    * (cell_id, salt). Use `saltedJoin` for the targeted variant that
+    * only salts detected hot keys (blanket-exploding a large dim side is
+    * catastrophic — measured in BenchSkew).
     */
   def saltBig(big: DataFrame, rowKeyCol: String, saltKeyCol: String, nSalts: Int): DataFrame =
     big.withColumn(saltKeyCol, pmod(hash(col(rowKeyCol)), lit(nSalts)))
 
   def explodeSmall(small: DataFrame, saltKeyCol: String, nSalts: Int): DataFrame =
     small.withColumn(saltKeyCol, explode(sequence(lit(0), lit(nSalts - 1))))
+
+  /** Targeted salted equi-join: detect keys whose big-side count exceeds
+    * `hotThreshold` (one aggregated pass), salt ONLY those — big side
+    * rows of hot keys get hash(rowKey) mod nSalts, everything else salt
+    * 0; the small side is exploded ×nSalts only for hot keys. The join
+    * key becomes (key, salt); output equals the plain join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCol: String,
+                 rowKeyCol: String, nSalts: Int, hotThreshold: Long): DataFrame = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val hotKeys = big.groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .where(col("n") > hotThreshold)
+      .select(col(keyCol)).as[Long].collect().toSet
+    val isHot = udf((k: Long) => hotKeys.contains(k))
+    val bigS = big.withColumn("salt",
+      when(isHot(col(keyCol)), pmod(hash(col(rowKeyCol)), lit(nSalts))).otherwise(lit(0)))
+    val smallS = small.withColumn("salt",
+      explode(when(isHot(col(keyCol)), sequence(lit(0), lit(nSalts - 1)))
+        .otherwise(array(lit(0)))))
+    bigS.join(smallS, Seq(keyCol, "salt")).drop("salt")
+  }
 }
 
 /** executor-side cache of prepared polygons for the refine UDF */

@@ -203,3 +203,31 @@ object AuthalicFunctions {
   def toAuthalicLat(lat: org.apache.spark.sql.Column) = toAuthalicUdf(lat)
   def toGeodeticLat(lat: org.apache.spark.sql.Column) = toGeodeticUdf(lat)
 }
+
+/** Q2DI-style quad coordinates (engine-canonical: the kernel's owner
+  * quad 1..10 + exact integer lattice coords at the cell's resolution;
+  * the reference consumes DGGRID's "Q I J" strings the same shape —
+  * igeo7_ext.py:60-73).
+  */
+object Q2diFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.Z7
+
+  private lazy val toQ2diUdf = udf { (z: Long) =>
+    val fix = Grids.default.decode(z)
+    (fix.quad, fix.v.a, fix.v.b)
+  }
+  /** cell -> struct(q, i, j) */
+  def z7ToQ2di(cell: Column): Column =
+    toQ2diUdf(cell).cast("struct<q:int,i:bigint,j:bigint>")
+
+  private lazy val fromQ2diUdf = udf { (q: Int, i: Long, j: Long, res: Int) =>
+    val g = Grids.default
+    val (vtx, digits) = g.digitsOf(g.CellFix(q, graft.dggs.Lattice.Eis(i, j), res))
+    Z7.pack(g.baseOfVertex(vtx), digits.toSeq)
+  }
+  /** (q, i, j, res) -> cell */
+  def q2diToZ7(q: Column, i: Column, j: Column, res: Column): Column =
+    fromQ2diUdf(q, i, j, res)
+}

@@ -137,3 +137,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall { case (_, pres, nc) => pres == "1" && nc == 1L })
   }
 }
+
+/** Structured Streaming + Q2DI integration. */
+class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false").appName("graft-stream-test").getOrCreate()
+
+  test("streaming cell assignment + windowed rollup over a memory stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val stream = mem.toDF().toDF("ts", "lon", "lat")
+    val out = StreamingOps.cellCountsWindowed(stream, "ts", "lon", "lat", 4,
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("cells")
+      .outputMode("update").start()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    mem.addData(
+      (base, 24.7, 59.4), (base, 24.8, 59.5), (base, -122.7, 45.4),
+      (new java.sql.Timestamp(base.getTime + 60 * 60 * 1000), 24.7, 59.4))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM cells").collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == 4, s"expected 4 events, got $total in ${rows.length} windows")
+    // the two Tallinn-area points at the same time share a window+cell
+    assert(rows.exists(_.getAs[Long]("n") == 2))
+  }
+
+  test("Q2DI round trip over res-3 cells") {
+    import spark.implicits._
+    import graft.spark.Q2diFunctions
+    var all: Seq[Long] = (0 to 11).map(b => graft.dggs.Z7.pack(b, Seq.empty))
+    for (_ <- 1 to 3) all = all.flatMap(graft.dggs.Z7.children)
+    val df = all.toDF("cell_id")
+      .withColumn("q2di", Q2diFunctions.z7ToQ2di(col("cell_id")))
+      .withColumn("back", Q2diFunctions.q2diToZ7(col("q2di.q"), col("q2di.i"),
+        col("q2di.j"), lit(3)))
+    assert(df.where(col("back") =!= col("cell_id")).count() == 0)
+  }
+}
