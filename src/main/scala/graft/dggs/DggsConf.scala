@@ -1,0 +1,73 @@
+package graft.dggs
+
+/** Grid configuration — the reference's `Dggs` dataclass + `dgselect`
+  * preset parsing (dggrid_runner.py:378-533) as a plain case class; the
+  * metafile string protocol disappears (constructor args are the plan).
+  */
+final case class DggsConf(
+    dggsType: String,
+    projection: String,
+    aperture: Int,
+    topology: String,
+    resolution: Int,
+    vert0LatDeg: Double = 58.28252559,
+    vert0LonDeg: Double = 11.25,
+    azimuthDeg: Double = 0.0) {
+  require(resolution >= 0 && resolution <= 20, s"resolution $resolution out of range [0,20]")
+  require(vert0LonDeg >= -180 && vert0LonDeg <= 180, s"vert0 lon $vert0LonDeg out of [-180,180]")
+  require(vert0LatDeg >= -90 && vert0LatDeg <= 90, s"vert0 lat $vert0LatDeg out of [-90,90]")
+  require(azimuthDeg >= 0 && azimuthDeg <= 360, s"azimuth $azimuthDeg out of [0,360]")
+
+  /** true when the geometry kernel supports this preset (aperture-7
+    * hexagonal ISEA — the IGEO7/ISEA7H family). Stats are supported for
+    * all hex/triangle/diamond apertures (closed form).
+    */
+  def kernelSupported: Boolean =
+    projection == "ISEA" && topology == "HEXAGON" && aperture == 7
+
+  def grid: IGeo7 = {
+    require(kernelSupported,
+      s"geometry kernel not implemented for $dggsType (ISEA aperture-7 hex only in v1; " +
+        "stats tables are available for all presets)")
+    new IGeo7(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+}
+
+object DggsConf {
+
+  /** the 15 reference presets (dggrid_runner.py:66-85); CUSTOM raises
+    * like the reference's `not yet implemented` (dggrid_runner.py:489).
+    */
+  val Presets: Set[String] = Set(
+    "CUSTOM", "SUPERFUND", "PLANETRISK",
+    "ISEA3H", "ISEA4H", "ISEA4T", "ISEA4D", "ISEA43H", "ISEA7H", "IGEO7",
+    "FULLER3H", "FULLER4H", "FULLER4T", "FULLER4D", "FULLER43H")
+
+  /** dgselect: parse projection/aperture/topology from the preset name
+    * (topology from the trailing letter, aperture from the numeric
+    * middle — dggrid_runner.py:414-427).
+    */
+  def apply(dggsType: String, resolution: Int,
+            vert0LatDeg: Double, vert0LonDeg: Double, azimuthDeg: Double): DggsConf = {
+    val t = dggsType.toUpperCase
+    require(Presets.contains(t), s"unknown dggs_type $dggsType (known: ${Presets.toSeq.sorted.mkString(", ")})")
+    require(t != "CUSTOM", "CUSTOM dggs_type not yet implemented") // parity with reference
+    val (proj, aperture, topo) = t match {
+      case "IGEO7" => ("ISEA", 7, "HEXAGON")
+      case "SUPERFUND" => ("FULLER", 43, "HEXAGON")
+      case "PLANETRISK" => ("ISEA", 43, "HEXAGON")
+      case s =>
+        val proj = if (s.startsWith("ISEA")) "ISEA" else "FULLER"
+        val rest = s.stripPrefix("ISEA").stripPrefix("FULLER")
+        val topo = rest.last match {
+          case 'H' => "HEXAGON"; case 'T' => "TRIANGLE"; case 'D' => "DIAMOND"
+        }
+        val ap = rest.dropRight(1).toInt
+        (proj, ap, topo)
+    }
+    DggsConf(t, proj, aperture, topo, resolution, vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  def apply(dggsType: String, resolution: Int): DggsConf =
+    apply(dggsType, resolution, 58.28252559, 11.25, 0.0)
+}

@@ -106,3 +106,32 @@ class AuthalicSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Authalic.toAuthalicDeg(-30.0) > -30.0)
   }
 }
+
+/** dgselect-equivalent preset parsing + error contract (reference
+  * dggrid_runner.py:378-533, 2058-2097).
+  */
+class DggsConfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("preset parsing: projection/aperture/topology from the name") {
+    assert(DggsConf("ISEA7H", 5) == DggsConf("ISEA7H", "ISEA", 7, "HEXAGON", 5))
+    assert(DggsConf("IGEO7", 4).aperture == 7)
+    assert(DggsConf("ISEA4T", 3).topology == "TRIANGLE")
+    assert(DggsConf("FULLER4D", 3).projection == "FULLER")
+    assert(DggsConf("ISEA43H", 3).aperture == 43)
+    assert(DggsConf("isea3h", 2).dggsType == "ISEA3H")
+  }
+  test("error contract: unknown type, CUSTOM, range validation") {
+    intercept[IllegalArgumentException](DggsConf("NOPE7H", 3))
+    intercept[IllegalArgumentException](DggsConf("CUSTOM", 3))
+    intercept[IllegalArgumentException](DggsConf("ISEA7H", 99))
+    intercept[IllegalArgumentException](DggsConf("ISEA7H", 3, 91.0, 0.0, 0.0))
+    intercept[IllegalArgumentException](DggsConf("ISEA7H", 3, 0.0, 181.0, 0.0))
+    intercept[IllegalArgumentException](DggsConf("ISEA7H", 3, 0.0, 0.0, 400.0))
+    intercept[IllegalArgumentException](DggsConf("FULLER3H", 3).grid)
+  }
+  test("kernel support gate") {
+    assert(DggsConf("ISEA7H", 5).kernelSupported)
+    assert(DggsConf("IGEO7", 5).kernelSupported)
+    assert(!DggsConf("ISEA4T", 5).kernelSupported)
+    assert(DggsConf("IGEO7", 5).grid.isInstanceOf[IGeo7])
+  }
+}
