@@ -31,7 +31,17 @@ object Grids extends Serializable {
   */
 object DggsFunctions {
 
-  /** (lon°, lat°) → Z7 int64 cell id at resolution `res`. */
+  /** (lon°, lat°) → Z7 int64 cell id at resolution `res`.
+    *
+    * Deliberately a Scala UDF, NOT the native `CellForPointExpr`:
+    * measured head-to-head the UDF already runs at raw-kernel speed
+    * (the projection math dominates, boxing is noise), and Catalyst
+    * treats UDFs as expensive — it will not inline them into multiple
+    * consuming expressions, whereas the native expression got
+    * re-evaluated per reference in the flagship plan (a measured 35%
+    * regression). `cellForPointExpr` remains available for
+    * single-reference pipelines.
+    */
   def cellForPoint(lon: Column, lat: Column, res: Column,
                    lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                    az: Double = Grids.DefaultAz): Column = {
@@ -40,6 +50,20 @@ object DggsFunctions {
     }
     f(lon, lat, res)
   }
+
+  /** native codegen variant (no boxing; see cellForPoint scaladoc for
+    * when NOT to use it).
+    */
+  def cellForPointExpr(lon: Column, lat: Column, res: Column,
+                       lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                       az: Double = Grids.DefaultAz): Column = {
+    import org.apache.spark.sql.graft.{CellForPointExpr, ExprBridge}
+    ExprBridge.column(CellForPointExpr(
+      expression(lon), expression(lat), expression(res.cast("int")), lat0, lon0, az))
+  }
+
+  private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graft.ExprBridge.expression(c)
 
   /** Z7 int64 → Z7_STRING (2-digit base + digit chars). */
   private lazy val z7StringUdf = udf((z: Long) => Z7.toZ7String(z))
@@ -56,6 +80,11 @@ object DggsFunctions {
   /** ancestor at resolution r (pure bit math — prefix padding). */
   private lazy val z7AncestorAtUdf = udf((z: Long, rr: Int) => Z7.ancestorAt(z, rr))
   def z7AncestorAt(cell: Column, r: Column): Column = z7AncestorAtUdf(cell, r)
+  /** native codegen variant of z7AncestorAt (inline bit math). */
+  def z7AncestorAtExpr(cell: Column, r: Column): Column = {
+    import org.apache.spark.sql.graft.{Z7AncestorExpr, ExprBridge}
+    ExprBridge.column(Z7AncestorExpr(expression(cell), expression(r.cast("int"))))
+  }
 
   private lazy val z7ResolutionUdf = udf((z: Long) => Z7.resolution(z))
   def z7Resolution(cell: Column): Column = z7ResolutionUdf(cell)
