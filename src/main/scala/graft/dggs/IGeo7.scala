@@ -154,6 +154,21 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
   def stepOf(v: Int, q: Int, digit: Int): Eis =
     Units(((idxOfDigit(digit) + shift((v, q))) % 6 + 6) % 6)
 
+  /** shift table as a primitive array for the hot walk (vertex 0..11 ×
+    * quad 1..10; -1 where not adjacent).
+    */
+  private val shiftArr: Array[Array[Int]] = {
+    val a = Array.fill(12, 11)(-1)
+    shift.foreach { case ((v, q), s) => a(v)(q) = s }
+    a
+  }
+  /** unit (a,b) -> direction index; a,b ∈ {-1,0,1} */
+  @inline private def unitIdx(a: Long, b: Long): Int =
+    if (a == 1 && b == 0) 0 else if (a == 0 && b == 1) 1
+    else if (a == -1 && b == 1) 2 else if (a == -1 && b == 0) 3
+    else if (a == 0 && b == -1) 4 else if (a == 1 && b == -1) 5
+    else -2
+
   // -------------------------------------------------------------------
   // Point -> cell
   // -------------------------------------------------------------------
@@ -257,9 +272,87 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
 
   /** point -> Z7 cell id */
   def cellForPoint(p: GeoRad, r: Int): Long = {
-    val (vtx, digits) = digitsOf(fixForPoint(p, r))
-    Z7.pack(baseOfVertex(vtx), digits.toSeq)
+    val fix = fixForPoint(p, r)
+    val fast = fastWalk(fix)
+    if (fast != -1L) fast
+    else {
+      val (vtx, digits) = digitsOf(fix)
+      Z7.pack(baseOfVertex(vtx), digits.toSeq)
+    }
   }
+
+  /** allocation-free primitive walk covering the common case (ends at a
+    * quad corner, no cut-edge retry needed). Returns the packed Z7, or
+    * -1 to fall back to the general path. Identical arithmetic to
+    * digitsOf (sevenSplit inlined on primitive longs).
+    */
+  private def fastWalk(fix: CellFix): Long = {
+    val r = fix.res
+    var va = fix.v.a; var vb = fix.v.b
+    var packed = 0L
+    var k = r
+    while (k >= 1) {
+      val odd = (k & 1) == 1
+      val fa = if (odd) 3L else 2L
+      val fb = if (odd) -1L else 1L
+      // w = v * conj(f); conj(a,b) = (a+b, -b)
+      val ca = fa + fb; val cb = -fb
+      val wa = va * ca - vb * cb
+      val wb = va * cb + vb * ca + vb * cb
+      // parent = hexRound(wa/7, wb/7) — inline cube rounding
+      val x = wa / 7.0; val z = wb / 7.0; val y = -x - z
+      var rx = math.rint(x); var ry = math.rint(y); var rz = math.rint(z)
+      val dx = math.abs(rx - x); val dy = math.abs(ry - y); val dz = math.abs(rz - z)
+      if (dx > dy && dx > dz) rx = -ry - rz
+      else if (dy > dz) ry = -rx - rz
+      else rz = -rx - ry
+      val pa = rx.toLong; val pb = rz.toLong
+      val pfa = pa * fa - pb * fb
+      val pfb = pa * fb + pb * fa + pb * fb
+      val sa = va - pfa; val sb = vb - pfb
+      if (sa != 0 || sb != 0) {
+        val ui = unitIdx(sa, sb)
+        if (ui == -2) return -1L
+        // store the raw unit index (1..6) until the base vertex is known
+        packed |= (ui + 1).toLong << (60 - 3 * k)
+      }
+      va = pa; vb = pb
+      k -= 1
+    }
+    // res-0 position must be a quad corner
+    val corner =
+      if (va == 0 && vb == 0) 0
+      else if (va == 1 && vb == 0) 1
+      else if (va == 0 && vb == 1) 2
+      else if (va == 1 && vb == 1) 3
+      else return -1L
+    val vtx = quads.corners(fix.quad)(corner)
+    val sh = shiftArr(vtx)(fix.quad)
+    if (sh < 0) return -1L
+    // relabel raw unit indices into digits; detect the cut-edge case
+    var out = baseOfVertex(vtx).toLong << 60
+    var kk = 1
+    while (kk <= r) {
+      val raw = ((packed >>> (60 - 3 * kk)) & 0x7L).toInt
+      val d =
+        if (raw == 0) 0
+        else digitAtDirBase((((raw - 1) - sh) % 6 + 6) % 6)
+      out |= (d.toLong << (60 - 3 * kk))
+      kk += 1
+    }
+    // pad digits beyond r
+    var kp = r + 1
+    while (kp <= 20) { out |= 0x7L << (60 - 3 * kp); kp += 1 }
+    // cut-edge cells (first nonzero digit 2) need the general retry
+    val fnzDigit = {
+      var i = 1; var d = 0
+      while (i <= r && d == 0) { d = ((out >>> (60 - 3 * i)) & 0x7L).toInt; i += 1 }
+      d
+    }
+    if (fnzDigit == 2) -1L else out
+  }
+
+
 
   // -------------------------------------------------------------------
   // Z7 -> geometry

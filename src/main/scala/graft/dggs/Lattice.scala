@@ -92,20 +92,22 @@ object Lattice {
   }
 
   /** residue of `v` modulo the norm-7 factor `f`: returns (digitStep,
-    * parentInParentCoords) with digitStep ∈ {0} ∪ Units.
+    * parentInParentCoords) with digitStep ∈ {0} ∪ Units. Computed
+    * directly: parent = hexRound(v·conj(f)/7) (the nearest coarse point
+    * — exact because every child is within one unit of its parent),
+    * step = v − parent·f.
     */
   def sevenSplit(v: Eis, f: Eis): (Eis, Eis) = {
-    // candidate residues: 0 and the six units
-    if (v.isDivisibleBy(f)) (Zero, v.divExact(f))
+    val w = v * f.conj // = v/f scaled by 7
+    val parent = hexRound(w.a / 7.0, w.b / 7.0)
+    val pf = parent * f
+    val step = Eis(v.a - pf.a, v.b - pf.b)
+    if (step.a == 0 && step.b == 0) (Zero, parent)
     else {
-      var i = 0
-      while (i < 6) {
-        val u = Units(i)
-        val w = v - u
-        if (w.isDivisibleBy(f)) return (u, w.divExact(f))
-        i += 1
-      }
-      throw new IllegalStateException(s"no residue found for $v mod $f")
+      // step must be one of the six units
+      if (step.norm != 1)
+        throw new IllegalStateException(s"bad residue $step for $v mod $f")
+      (step, parent)
     }
   }
 }
