@@ -186,8 +186,11 @@ object SparkEntry {
       // lineage (north_rule); result = the reassembled union of parts
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
-        .select("doc_id", "offset", "cell_id")
-      val ranges = CheckpointedRun.planRanges(cells, "cell_id", 1, 100)
+        .select("doc_id", "offset", "cell_id").cache()
+      // range granularity scaled to the input so the number of committed
+      // units stays near the parallelism, not the row count
+      val target = math.max(200L, cells.count() / 16)
+      val ranges = CheckpointedRun.planRanges(cells, "cell_id", 1, target)
       val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       CheckpointedRun.run(cells, "cell_id", ranges, outDir) { df =>
         df.groupBy(graft.spark.DggsFunctions.z7AncestorAt(col("cell_id"), lit(2)).as("cell2"))

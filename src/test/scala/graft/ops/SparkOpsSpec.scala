@@ -179,3 +179,36 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(df.where(col("back") =!= col("cell_id")).count() == 0)
   }
 }
+
+/** Z7-prefix clustered storage: pruning + completeness. */
+class CorpusStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false").appName("graft-store-test").getOrCreate()
+
+  test("range read equals full-scan filter; scan prunes row groups") {
+    import spark.implicits._
+    val geo = CorpusOps.geoSpans(
+      CorpusOps.interleavedDocs((0L until 20000L).toDF("doc_id")))
+    val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 6)
+      .select("doc_id", "offset", "cell_id")
+    val dir = java.nio.file.Files.createTempDirectory("clustered").toString
+    CorpusStore.writeClustered(cells, "cell_id", dir, 16)
+    val parent = graft.dggs.Z7.fromZ7String("023") // res-1 region
+    val pruned = CorpusStore.readCellRange(spark, dir, "cell_id", parent)
+    val full = spark.read.parquet(dir)
+    val expected = full.where(
+      graft.spark.DggsFunctions.z7AncestorAt(col("cell_id"), lit(1)) === parent)
+    assert(pruned.count() == expected.count())
+    assert(pruned.except(expected).count() == 0)
+    // the range predicate reaches the parquet scan (pushed filters)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(cell_id"), plan.take(500))
+    // file-level pruning: the range touches a strict subset of the files
+    val allFiles = full.inputFiles.length
+    val touched = pruned
+      .select(input_file_name()).distinct().count()
+    assert(touched < allFiles, s"touched $touched of $allFiles files (no pruning?)")
+  }
+}
