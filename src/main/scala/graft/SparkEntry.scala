@@ -440,10 +440,10 @@ object SparkEntry {
       """SELECT r AS resolution,
         |       CAST(10 * power(7, r) + 2 AS BIGINT) AS cells,
         |       4 * pi() * 6371.00718091847 * 6371.00718091847
-        |         / CAST(10 * power(7, r) + 2 AS BIGINT) AS area_km2,
+        |         / (10.0 * power(7, r)) AS area_km2,
         |       round(2 * 6371.00718091847 * acos(1 -
         |         (4 * pi() * 6371.00718091847 * 6371.00718091847
-        |            / CAST(10 * power(7, r) + 2 AS BIGINT))
+        |            / (10.0 * power(7, r)))
         |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
         |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
     "corpus_geo_spans" ->

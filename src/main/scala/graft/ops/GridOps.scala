@@ -29,13 +29,19 @@ object GridOps {
     val R = Sphere.EarthRadiusKm
     val earthArea = 4.0 * math.Pi * R * R
     val rows = (0 to maxRes).map { r =>
-      val cells: Long = (aperture, topology) match {
-        case (a, "HEXAGON") => 10L * math.pow(a, r).toLong + 2
-        case (4, "TRIANGLE") => 20L * math.pow(4, r).toLong
-        case (4, "DIAMOND") => 10L * math.pow(4, r).toLong
+      // cell count includes the 12 pentagons; the Area column is the
+      // HEXAGON area — hexes have exactly earthArea/(10·a^r) each and
+      // pentagons 5/6 of that (DGGRID's published stats follow this:
+      // ISEA3H res 1 = earthArea/30, not /32)
+      val (cells: Long, area: Double) = (aperture, topology) match {
+        case (a, "HEXAGON") =>
+          (10L * math.pow(a, r).toLong + 2, earthArea / (10.0 * math.pow(a, r)))
+        case (4, "TRIANGLE") =>
+          (20L * math.pow(4, r).toLong, earthArea / (20.0 * math.pow(4, r)))
+        case (4, "DIAMOND") =>
+          (10L * math.pow(4, r).toLong, earthArea / (10.0 * math.pow(4, r)))
         case _ => throw new IllegalArgumentException(s"unsupported $aperture/$topology")
       }
-      val area = earthArea / cells
       // CLS: diameter of the spherical cap with the cell's area
       val cls = 2.0 * R * math.acos(1.0 - area / (2.0 * math.Pi * R * R))
       (r, cells, area, cls)
