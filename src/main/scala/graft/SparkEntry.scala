@@ -71,6 +71,9 @@ object SparkEntry {
     // ---- similarity search over `embeddings` ----
     "emb_cosine_topk" -> ((s, dir) => VectorOps.cosineTopK(Tables.tbl(s, dir, "embeddings"), 3)),
     "emb_lsh_buckets" -> ((s, dir) => VectorOps.lshBuckets(Tables.tbl(s, dir, "embeddings"))),
+    "emb_lsh_topk" -> ((s, dir) =>
+      VectorOps.lshTopK(Tables.tbl(s, dir, "embeddings"), 3)
+        .select(col("vec_id"), col("rnk"), col("neighbor"), col("cos"))),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
