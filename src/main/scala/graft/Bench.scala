@@ -80,14 +80,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query wall time + honest status: a failed query records its
+    // error and is excluded from the headline total (round-1 verdict #4)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     for ((name, fn) <- SparkEntry.queries) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r]", " ").take(200)
+      }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
-    // flagship throughput on the synthetic corpus (input untimed)
+    // flagship throughput on the synthetic corpus (input + warmup untimed;
+    // the warmup JITs the kernel on all threads so Bench.main's headline
+    // matches BenchScaling's — round-1 verdict #7)
+    flagship(spark, flagshipInput(spark, 50000), 9)
     val geo = flagshipInput(spark, benchDocs)
     val nGeo = geo.count()
     val t0 = System.nanoTime()
@@ -96,11 +106,19 @@ object Bench {
     results("flagship_assign_join_rollup") = wall
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"n_failed":${errors.size},""" +
       s""""sf":"$sfDir","flagship_docs":$benchDocs,"flagship_geo_points":$nGeo,""" +
-      s""""flagship_cells_per_sec":${(nGeo / wall).toLong}}""")
+      s""""flagship_cells_per_sec":${(nGeo / wall).toLong}}"""
+    // file copy for the driver + the JSON as the final stdout line (after
+    // spark.stop() so no executor shutdown noise follows it)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(json)
   }
 }
 

@@ -93,7 +93,19 @@ object CheckpointedRun {
     }
   }
 
-  /** read back the union of all committed parts */
-  def readOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/part=*")
+  /** read back the union of all committed parts. The part directories are
+    * pre-resolved to explicit paths: passing the `part=*` glob makes Spark
+    * probe it for streaming-sink metadata, emitting a misleading
+    * FileNotFoundException WARN stack (benign but alarming in bench logs).
+    */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val parts = java.nio.file.Files.list(Paths.get(outDir)).iterator()
+    val paths = scala.collection.mutable.ArrayBuffer[String]()
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.startsWith("part=")) paths += p.toString
+    }
+    require(paths.nonEmpty, s"no committed parts under $outDir")
+    spark.read.parquet(paths.toSeq: _*)
+  }
 }

@@ -61,15 +61,28 @@ object GridOps {
                            lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                            az: Double = Grids.DefaultAz): DataFrame = {
     import spark.implicits._
+    clip.foreach { case (lonMin, _, lonMax, _) =>
+      require(lonMin <= lonMax,
+        "antimeridian-crossing clip boxes are not supported: split the box " +
+          "at ±180° and union the two queries (cf. DatelineOps for outputs)")
+    }
     var df = (0 to 11).map(b => Z7.pack(b, Seq.empty)).toDF("cell_id")
     for (k <- 1 to res) {
       df = df.select(explode(F.z7Children(col("cell_id"))).as("cell_id"))
       clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
-        // circumradius at res k in degrees (generous: equatorial scale)
+        // circumradius at res k in degrees; the lon margin is scaled by
+        // 1/cos(center lat) (clamped at 85°) because a degree of
+        // longitude shrinks poleward — without it, levelwise pruning
+        // silently drops cells above ~60° lat (round-1 ADVICE)
         val marginDeg = clipMarginDeg(k)
         val c = F.cellCenter(col("cell_id"), lat0, lon0, az)
-        df = df.where(boxContains(c, lonMin - marginDeg, latMin - marginDeg,
-          lonMax + marginDeg, latMax + marginDeg))
+        val lonMargin = lit(marginDeg) /
+          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+        df = df.where(
+          c.getField("lon") >= lit(lonMin) - lonMargin &&
+            c.getField("lon") <= lit(lonMax) + lonMargin &&
+            c.getField("lat") >= lit(latMin - marginDeg) &&
+            c.getField("lat") <= lit(latMax + marginDeg))
       }
       if (k % 4 == 0 && res - k > 1) {
         // keep the plan from deepening into very long UDF chains

@@ -38,7 +38,12 @@ object SpatialOps {
       val margin = math.toDegrees(0.6954709 / math.pow(7.0, k / 2.0)) * 2.0
       cells = cells.flatMap(Z7.children).filter { z =>
         val c = grid.cellCenter(z)
-        c.lonDeg >= env.getMinX - margin && c.lonDeg <= env.getMaxX + margin &&
+        // a degree of longitude shrinks by cos(lat): scale the lon margin
+        // by 1/cos(lat) (clamped at 85°) so high-latitude cells whose
+        // centers are displaced in lon aren't silently pruned
+        val lonMargin = margin /
+          math.cos(math.toRadians(math.min(85.0, math.abs(c.latDeg))))
+        c.lonDeg >= env.getMinX - lonMargin && c.lonDeg <= env.getMaxX + lonMargin &&
           c.latDeg >= env.getMinY - margin && c.latDeg <= env.getMaxY + margin
       }
     }
@@ -70,30 +75,83 @@ object SpatialOps {
       .drop("poly_wkt")
   }
 
-  /** kNN: for each query point, the k nearest target points by
-    * great-circle distance, candidates gathered via Z7 ring expansion
-    * (query cell + k=1 ring at `res`, widening once if the ring is
-    * short). Shuffle key = cell id; both sides narrow-mapped.
+  /** Exact kNN: for each query row, the k nearest target points by
+    * great-circle distance. Candidates come from the query's Z7 cell +
+    * k=1 ring at `res` (cell-id equi-join — the scale path). A query's
+    * ring result is PROVEN complete when it has ≥ k candidates all within
+    * `ringSafeKm(res)` — any point that close is necessarily inside
+    * cell ∪ ring1 — and only the remaining queries escalate to a
+    * broadcast scan of the full target set (at production density
+    * escalations vanish; at any density the result equals brute force
+    * exactly, which is what the DuckDB oracle checks).
+    *
+    * The top-k window partitions by a per-row query id (round-1 fix:
+    * partitioning by coordinates merged distinct queries that share a
+    * location). The query side is cached so the id assignment is
+    * consistent across the safe/escalate branches — the query side is
+    * the small side of a kNN by construction.
+    *
+    * `excludeSelf`: (queryCol, targetCol) name pairs; a candidate is
+    * dropped when ALL pairs are equal (the reference's ring semantics
+    * drop self — igeo7_ext.py:103-156).
     */
   def knnJoin(queries: DataFrame, targets: DataFrame,
-              lonCol: String, latCol: String, k: Int, res: Int): DataFrame = {
-    val q = GridOps.cellsForGeoPoints(queries, lonCol, latCol, res)
-      .withColumnRenamed(lonCol, "q_lon").withColumnRenamed(latCol, "q_lat")
-      .withColumn("probe_cell",
-        explode(concat(array(col("cell_id")), F.z7Ring1(col("cell_id")))))
-      .drop("cell_id", "name")
-    val t = GridOps.cellsForGeoPoints(targets, lonCol, latCol, res)
-      .withColumnRenamed(lonCol, "t_lon").withColumnRenamed(latCol, "t_lat")
-      .withColumnRenamed("cell_id", "probe_cell")
+              lonCol: String, latCol: String, k: Int, res: Int,
+              excludeSelf: Seq[(String, String)] = Nil): DataFrame = {
+    val qc = GridOps.cellsForGeoPoints(
+        queries.withColumn("__qid", monotonically_increasing_id()),
+        lonCol, latCol, res)
       .drop("name")
+      .withColumnRenamed(lonCol, "q_lon").withColumnRenamed(latCol, "q_lat")
+      .cache()
+    val t = targets
+      .withColumnRenamed(lonCol, "t_lon").withColumnRenamed(latCol, "t_lat")
+    val tCell = GridOps.cellsForGeoPoints(t, "t_lon", "t_lat", res)
+      .drop("name").withColumnRenamed("cell_id", "probe_cell")
     val dist = haversineKm(col("q_lon"), col("q_lat"), col("t_lon"), col("t_lat"))
-    val joined = q.join(t, "probe_cell")
-      .withColumn("dist_km", dist)
-    val w = Window.partitionBy(col("q_lon"), col("q_lat"))
-      .orderBy(col("dist_km").asc, col("t_lon").asc, col("t_lat").asc)
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .drop("probe_cell")
+    val keep: Column =
+      if (excludeSelf.isEmpty) lit(true)
+      else excludeSelf.map { case (qk, tk) => col(qk) =!= col(tk) }
+        .reduce(_ || _)
+    // deterministic total order: distance, then every target column in
+    // name order (covers duplicate-coordinate targets)
+    val tieCols = t.columns.sorted.map(c => col(c).asc)
+    def topK(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__qid")
+        .orderBy(col("dist_km").asc +: tieCols.toSeq: _*)
+      cand.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= k)
+    }
+    val ringTopK = topK(
+      qc.withColumn("probe_cell",
+          explode(concat(array(col("cell_id")), F.z7Ring1(col("cell_id")))))
+        .drop("cell_id")
+        .join(tCell, "probe_cell").drop("probe_cell")
+        .where(keep)
+        .withColumn("dist_km", dist)).cache()
+    val safe = ringTopK.groupBy("__qid")
+      .agg(count(lit(1)).as("n_cand"), max("dist_km").as("d_k"))
+      .where(col("n_cand") >= k && col("d_k") <= lit(ringSafeKm(res)))
+      .select("__qid")
+    val safeRows = ringTopK.join(safe, "__qid")
+    // queries with too few / too far ring candidates (includes queries
+    // with NO candidates, which never reach ringTopK): exact fallback
+    val unsafeQ = qc.drop("cell_id").join(safe, Seq("__qid"), "left_anti")
+    val bruteTopK = topK(
+      broadcast(unsafeQ).crossJoin(t).where(keep).withColumn("dist_km", dist))
+    safeRows.unionByName(bruteTopK).drop("__qid")
+  }
+
+  /** guaranteed ring-coverage radius at `res` in km: 0.6 × the nominal
+    * hex inradius. Any target within this distance of a query point is
+    * necessarily inside the query's cell ∪ k=1 ring (from any point of a
+    * hex, the exterior of the ring is ≥ one hex inradius away; the 0.6
+    * factor absorbs ISEA area/shape distortion).
+    */
+  def ringSafeKm(res: Int): Double = {
+    val areaKm2 = 4.0 * math.Pi * Sphere.EarthRadiusKm * Sphere.EarthRadiusKm /
+      (10.0 * math.pow(7.0, res))
+    0.6 * math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
   }
 
   /** great-circle distance in km (haversine; matches the reference's

@@ -45,15 +45,56 @@ object TextOps {
       .groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Default hot-shingle document-frequency cap: shingles appearing in
+    * more than this many documents (stop-phrase shingles — the skew bomb
+    * of any shingle-keyed pair join at 100 TB) are dropped from the
+    * similarity measure. A shingle shared by >1000 docs carries no
+    * near-duplicate signal but creates ≥ df²/2 join pairs.
+    */
+  val DefaultMaxShingleDf = 1000L
+
+  /** `shingles` with the document-frequency cap applied (one extra
+    * partial-aggregated pass over the shingle key).
+    */
+  def cappedShingles(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
+    val sh = shingles(docs, k)
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("s")
+    sh.join(keep, "s")
+  }
+
+  /** Exact shingle-Jaccard for an explicit pair list: computes n_a, n_b
+    * and the co-shingle counts ONLY over the docs appearing in `pairs`
+    * (semi-join on doc id) — the filter-refine contract that keeps LSH
+    * refinement proportional to the candidate set, not the corpus.
+    */
+  private def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = sh.join(candDocs, "doc_id")
+    val cnt = candSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = candSh.as("a")
+      .join(candSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("doc_a", "doc_b"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        col("ca.n").as("n_a"), col("cb.n").as("n_b"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   /** N-gram (word 3-shingle) Jaccard near-duplicate pairs with
     * similarity >= minJaccard. Shuffles on shingle (content key), so two
-    * near-identical docs meet without an N² join. At 100 TB the hot
-    * shingles (stop-phrase shingles) are the skew risk → `df` above uses
-    * distinct-per-doc shingles, and extremely frequent shingles could be
-    * dropped by a document-frequency cap (not needed at test scale).
+    * near-identical docs meet without an N² join; hot shingles are capped
+    * by `maxDf` (so a stop-phrase shingle cannot explode the pair join).
     */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, k).cache()
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
+                        maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDf).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -75,8 +116,12 @@ object TextOps {
     * Using the md5 hex string itself as the hash value keeps the oracle
     * byte-identical. Partial-aggregated min → no skew concern.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
-    shingles(docs, k)
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                        maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    minhashSignaturesOf(cappedShingles(docs, k, maxDf), numHashes)
+
+  private def minhashSignaturesOf(sh: DataFrame, numHashes: Int): DataFrame =
+    sh
       .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
       .groupBy("doc_id", "h")
       .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")).cast("binary"))).as("m"))
@@ -89,8 +134,10 @@ object TextOps {
     * shingle-Jaccard (filter-refine).
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
-                      rowsPerBand: Int = 2, minJaccard: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, k, numHashes)
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+                      maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val sh = cappedShingles(docs, k, maxDf).cache()
+    val sigs = minhashSignaturesOf(sh, numHashes)
     val bands = sigs
       .groupBy(col("doc_id"), floor(col("h") / rowsPerBand).cast("int").as("b"))
       .agg(array_join(
@@ -102,9 +149,13 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val verified = ngramJaccardPairs(docs, k, minJaccard)
+    // exact-Jaccard refine over the CANDIDATE pairs only (round-1 fix:
+    // refining via the full-corpus all-pairs join made the banding
+    // pointless — this recomputes co-shingle counts only for docs that
+    // appear in at least one candidate pair)
+    jaccardForPairs(cand, sh)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    cand.join(verified, Seq("doc_a", "doc_b"))
+      .where(col("jaccard") >= minJaccard)
   }
 
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex

@@ -35,13 +35,20 @@ object VectorOps {
     embs.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("nrm", norm(col("e")))
 
-  /** Brute-force cosine top-k neighbours for every vector (baseline /
-    * verifier). N² pairs — use only at calibration scale or on a bounded
-    * query set.
+  /** Brute-force cosine top-k neighbours (the exact baseline).
+    *
+    * With `queryFilter` set, the (small) filtered query side is broadcast
+    * and every target partition is scanned once — cost Q·N with constant
+    * Q, the legitimate brute-force shape at scale. Without it this is the
+    * full N² verifier: use ONLY at calibration scale / in tests (round-1
+    * verdict #6: the unbounded N² cartesian product must not be a driver
+    * query).
     */
-  def cosineTopK(embs: DataFrame, k: Int = 3): DataFrame = {
+  def cosineTopK(embs: DataFrame, k: Int = 3,
+                 queryFilter: Option[Column] = None): DataFrame = {
     val e = withNorm(embs).cache()
-    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+    val q = queryFilter.map(f => broadcast(e.where(f))).getOrElse(e)
+    val pairs = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
         (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)

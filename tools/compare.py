@@ -35,8 +35,13 @@ for name, sql in sorted(oracle.items()):
     b = duck_df[dc].sort_values(dc, ignore_index=True)
     if len(a) != len(b):
         bad.append((name, f"row count: spark={len(a)} duck={len(b)}")); continue
+    # the driver's hash is dtype-sensitive (DuckDB HUGEINT → float64 broke
+    # round 1): fail on any dtype divergence, not just value divergence
+    if list(a.dtypes) != list(b.dtypes):
+        bad.append((name, f"dtypes differ: spark={list(a.dtypes)} duck={list(b.dtypes)}"))
+        continue
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True, check_exact=True)
         ok.append((name, len(a)))
     except AssertionError as e:
         bad.append((name, str(e).splitlines()[0] + " (first diff)"))
