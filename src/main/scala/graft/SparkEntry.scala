@@ -212,6 +212,34 @@ object SparkEntry {
         .groupBy("cell2").agg(sum("n").as("n"))
         .select(graft.spark.DggsFunctions.z7String(col("cell2")).as("name2"), col("n"))
     }),
+    // ---- ISEA4T (aperture-4 triangle kernel) ----
+    "dggs_4t_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15, 4, "TRIANGLE")
+        .select(col("Resolution").cast("long").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_4t_cell_assign" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellsForGeoPoints4T(geo, "lon", "lat", 5)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_4t_parent_rollup" -> ((s, dir) => {
+      import graft.spark.{T4Functions => T}
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellsForGeoPoints4T(geo, "lon", "lat", 6)
+        .groupBy(T.t4String(T.t4AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_4t_children" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{T4Functions => T}
+      val parents = Seq(("05", 4), ("172031", 8)).toDF("parent", "to_res")
+      parents
+        .withColumn("cell_id",
+          explode(T.t4DescendantsAt(T.t4FromString(col("parent")), col("to_res"))))
+        .select(col("parent"), T.t4String(col("cell_id")).as("name"))
+    }),
+
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
@@ -289,7 +317,7 @@ object SparkEntry {
        |${OracleFixtures.geoCellCte},
        |gc AS (SELECT doc_id, "offset", lon, lat, geo.lon_mdeg AS lon_mdeg,
        |              geo.lat_mdeg AS lat_mdeg, c3, c4, c5, c6,
-       |              CAST(seq4 AS BIGINT) AS seq4
+       |              CAST(seq4 AS BIGINT) AS seq4, t6
        |       FROM geo JOIN cells
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
@@ -350,6 +378,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT '000125023' AS parent, '000125023' || d1.x || d2.x AS name
         |FROM d d1, d d2""".stripMargin,
+    // ---- ISEA4T oracles: frozen t6 column (T4 nests exactly, so every
+    // coarser name is a substr — the nesting is proven in Isea4TSpec) ----
+    "dggs_4t_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(20 * power(4, r) AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / (20.0 * power(4, r)) AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / (20.0 * power(4, r)))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
+    "dggs_4t_cell_assign" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", substr(t6, 1, 7) AS name FROM gc""".stripMargin,
+    "dggs_4t_parent_rollup" ->
+      s"""WITH $geoCellsCte
+         |SELECT substr(t6, 1, 4) AS name2, count(*) AS n
+         |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_4t_children" ->
+      """WITH d AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x)
+        |SELECT '05' AS parent, '05' || d1.x || d2.x || d3.x || d4.x AS name
+        |FROM d d1, d d2, d d3, d d4
+        |UNION ALL
+        |SELECT '172031' AS parent, '172031' || d1.x || d2.x || d3.x || d4.x AS name
+        |FROM d d1, d d2, d d3, d d4""".stripMargin,
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

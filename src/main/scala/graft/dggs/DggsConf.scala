@@ -18,18 +18,28 @@ final case class DggsConf(
   require(vert0LatDeg >= -90 && vert0LatDeg <= 90, s"vert0 lat $vert0LatDeg out of [-90,90]")
   require(azimuthDeg >= 0 && azimuthDeg <= 360, s"azimuth $azimuthDeg out of [0,360]")
 
-  /** true when the geometry kernel supports this preset (aperture-7
-    * hexagonal ISEA — the IGEO7/ISEA7H family). Stats are supported for
-    * all hex/triangle/diamond apertures (closed form).
+  /** true when a geometry kernel supports this preset: aperture-7
+    * hexagonal ISEA (IGEO7/ISEA7H, the Z7 kernel) or aperture-4 triangle
+    * ISEA (ISEA4T, the T4 kernel). Stats are supported for all
+    * hex/triangle/diamond apertures (closed form).
     */
   def kernelSupported: Boolean =
-    projection == "ISEA" && topology == "HEXAGON" && aperture == 7
+    (projection == "ISEA" && topology == "HEXAGON" && aperture == 7) ||
+      (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4)
 
   def grid: IGeo7 = {
-    require(kernelSupported,
-      s"geometry kernel not implemented for $dggsType (ISEA aperture-7 hex only in v1; " +
-        "stats tables are available for all presets)")
+    require(projection == "ISEA" && topology == "HEXAGON" && aperture == 7,
+      s"hex geometry kernel not implemented for $dggsType (ISEA aperture-7 hex; " +
+        s"ISEA4T has its own kernel via `triangleGrid`; stats tables are " +
+        "available for all presets)")
     new IGeo7(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  /** the aperture-4 triangle kernel (ISEA4T) */
+  def triangleGrid: Isea4T = {
+    require(projection == "ISEA" && topology == "TRIANGLE" && aperture == 4,
+      s"triangle kernel not implemented for $dggsType (ISEA4T only)")
+    new Isea4T(vert0LatDeg, vert0LonDeg, azimuthDeg)
   }
 }
 

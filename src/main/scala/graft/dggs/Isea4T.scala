@@ -1,0 +1,197 @@
+package graft.dggs
+
+import Sphere._
+
+/** T4 cell-id codec for the aperture-4 triangle DGGS (ISEA4T — the
+  * reference preset at dggrid_runner.py:73; topology/aperture parsing at
+  * dggrid_runner.py:414-427). Engine-canonical hierarchical ids (DGGRID
+  * publishes no golden ISEA4T ids in the reference tests, so — like
+  * SEQNUM — the digit convention is ours, documented, and exercised by
+  * property tests).
+  *
+  * Cell = icosahedron face 0..19 + one base-4 digit per resolution:
+  * digit 0 = central (inverted) child, digits 1/2/3 = the corner child at
+  * the triangle's local vertex 0/1/2. Children of any cell are exactly
+  * `cell + digit` — descendants enumerate as digit strings (the SQL
+  * oracle reproduces this by cross-joining digits).
+  *
+  * 64-bit layout: `(face*32 + res) << 48 | digits`, digits left-aligned
+  * two bits each (digit i of 1..res at bits 48-2i+1 .. 48-2i) — ids at
+  * one resolution sort in (face, digit-path) order, so sibling subtrees
+  * are contiguous ranges like Z7.
+  *
+  * String form: 2-digit face + digit chars ("05", "05231", …).
+  */
+object T4 {
+  val MaxRes = 24
+
+  def pack(face: Int, digits: Seq[Int]): Long = {
+    require(face >= 0 && face < 20, s"face $face")
+    require(digits.size <= MaxRes, s"res ${digits.size} > $MaxRes")
+    var d = 0L
+    var i = 0
+    while (i < digits.size) {
+      val dig = digits(i)
+      require(dig >= 0 && dig <= 3, s"digit $dig")
+      d |= dig.toLong << (48 - 2 * (i + 1))
+      i += 1
+    }
+    ((face.toLong * 32 + digits.size) << 48) | d
+  }
+
+  def face(id: Long): Int = ((id >>> 48) / 32).toInt
+  def resolution(id: Long): Int = ((id >>> 48) % 32).toInt
+  def digit(id: Long, i: Int): Int = ((id >>> (48 - 2 * i)) & 3L).toInt
+  def digits(id: Long): Seq[Int] = (1 to resolution(id)).map(digit(id, _))
+
+  def parent(id: Long): Long = {
+    val r = resolution(id)
+    require(r > 0, "res-0 cell has no parent")
+    ancestorAt(id, r - 1)
+  }
+
+  def ancestorAt(id: Long, r: Int): Long = {
+    val res = resolution(id)
+    require(r >= 0 && r <= res, s"ancestor res $r of res-$res cell")
+    val mask = if (r == 0) 0L else ~((1L << (48 - 2 * r)) - 1) & ((1L << 48) - 1)
+    ((face(id).toLong * 32 + r) << 48) | (id & mask)
+  }
+
+  def children(id: Long): Seq[Long] = {
+    val r = resolution(id)
+    require(r < MaxRes, s"res $r at max")
+    val base = (id & ((1L << 48) - 1))
+    (0 to 3).map(d =>
+      ((face(id).toLong * 32 + (r + 1)) << 48) | base | (d.toLong << (48 - 2 * (r + 1))))
+  }
+
+  def descendants(id: Long, atRes: Int): Seq[Long] = {
+    val r = resolution(id)
+    require(atRes >= r, s"descendants at $atRes of res-$r cell")
+    var cur = Seq(id)
+    for (_ <- r until atRes) cur = cur.flatMap(children)
+    cur
+  }
+
+  def toT4String(id: Long): String = {
+    val sb = new StringBuilder
+    val f = face(id)
+    if (f < 10) sb.append('0')
+    sb.append(f)
+    var i = 1
+    val r = resolution(id)
+    while (i <= r) { sb.append(('0' + digit(id, i)).toChar); i += 1 }
+    sb.toString
+  }
+
+  def fromT4String(s: String): Long = {
+    require(s.length >= 2, s"bad T4 string '$s'")
+    pack(s.substring(0, 2).toInt, s.drop(2).map(c => c - '0'))
+  }
+
+  /** contiguous id range [min,max] covering all descendants of `id` at
+    * any deeper single resolution — NOTE: unlike Z7, ids carry the res in
+    * high bits, so the range is per-target-res.
+    */
+  def rangeAt(id: Long, atRes: Int): (Long, Long) = {
+    val r = resolution(id)
+    require(atRes >= r)
+    val base = ((face(id).toLong * 32 + atRes) << 48) | (id & ((1L << 48) - 1))
+    val spare = 48 - 2 * atRes
+    val lowMask = (1L << (48 - 2 * r)) - 1 & ~((1L << spare) - 1)
+    (base, base | lowMask)
+  }
+}
+
+/** ISEA4T geometry kernel: Snyder ISEA projection (shared with IGeo7) +
+  * exact dyadic barycentric subdivision of each face's plane triangle.
+  * The face image under Snyder is an equilateral plane triangle with
+  * vertices at plane azimuths 0°/120°/240° and circumradius rc, so every
+  * cell is an exact plane triangle; cell corners/centers are
+  * inverse-projected to the sphere. Equal-area by construction: every
+  * res-r cell has area exactly A_earth/(20·4^r).
+  */
+final class Isea4T(vert0LatDeg: Double = 58.28252559,
+                   vert0LonDeg: Double = 11.25,
+                   azimuthDeg: Double = 0.0) extends Serializable {
+
+  val ico = new Icosahedron(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  val snyder = new SnyderISEA(ico)
+  private val rc = snyder.rc
+
+  // face triangle corners in the face-local plane (azimuth clockwise
+  // from +y; x = ρ sin α, y = ρ cos α)
+  private val s120 = math.sin(2.0 * math.Pi / 3.0)
+  private val c120 = math.cos(2.0 * math.Pi / 3.0)
+  private val T0x = 0.0; private val T0y = rc
+  private val T1x = rc * s120; private val T1y = rc * c120
+  private val T2x = -rc * s120; private val T2y = rc * c120
+
+  /** barycentric coordinates of (x,y) w.r.t. the face triangle */
+  private def faceBary(x: Double, y: Double): (Double, Double, Double) = {
+    val det = (T1y - T2y) * (T0x - T2x) + (T2x - T1x) * (T0y - T2y)
+    val a = ((T1y - T2y) * (x - T2x) + (T2x - T1x) * (y - T2y)) / det
+    val b = ((T2y - T0y) * (x - T2x) + (T0x - T2x) * (y - T2y)) / det
+    (a, b, 1.0 - a - b)
+  }
+
+  /** point → T4 cell at `res` */
+  def cellForPoint(p: GeoRad, res: Int): Long = {
+    val fp = snyder.forward(p)
+    var (a, b, c) = faceBary(fp.x, fp.y)
+    val digits = new Array[Int](res)
+    var i = 0
+    while (i < res) {
+      if (a >= 0.5) { digits(i) = 1; a = 2 * a - 1; b = 2 * b; c = 2 * c }
+      else if (b >= 0.5) { digits(i) = 2; a = 2 * a; b = 2 * b - 1; c = 2 * c }
+      else if (c >= 0.5) { digits(i) = 3; a = 2 * a; b = 2 * b; c = 2 * c - 1 }
+      else { digits(i) = 0; a = 1 - 2 * a; b = 1 - 2 * b; c = 1 - 2 * c }
+      i += 1
+    }
+    T4.pack(fp.face, digits.toSeq)
+  }
+
+  /** the cell's plane triangle corners (local vertex order 0,1,2) */
+  private def planeCorners(id: Long): Array[(Double, Double)] = {
+    var p0 = (T0x, T0y); var p1 = (T1x, T1y); var p2 = (T2x, T2y)
+    @inline def mid(u: (Double, Double), v: (Double, Double)) =
+      ((u._1 + v._1) / 2, (u._2 + v._2) / 2)
+    val r = T4.resolution(id)
+    var i = 1
+    while (i <= r) {
+      val m01 = mid(p0, p1); val m12 = mid(p1, p2); val m20 = mid(p2, p0)
+      T4.digit(id, i) match {
+        case 1 => p1 = m01; p2 = m20
+        case 2 => p0 = m01; p2 = m12
+        case 3 => p0 = m20; p1 = m12
+        case 0 => p0 = m12; p1 = m20; p2 = m01 // inverted center child
+      }
+      i += 1
+    }
+    Array(p0, p1, p2)
+  }
+
+  def cellCenter(id: Long): GeoRad = {
+    val cs = planeCorners(id)
+    val cx = (cs(0)._1 + cs(1)._1 + cs(2)._1) / 3.0
+    val cy = (cs(0)._2 + cs(1)._2 + cs(2)._2) / 3.0
+    snyder.inverse(snyder.FacePoint(T4.face(id), cx, cy))
+  }
+
+  /** cell boundary: the 3 triangle corners on the sphere */
+  def cellBoundary(id: Long): Seq[GeoRad] = {
+    val f = T4.face(id)
+    planeCorners(id).toSeq.map { case (x, y) =>
+      snyder.inverse(snyder.FacePoint(f, x, y))
+    }
+  }
+}
+
+/** per-JVM kernel cache (mirrors spark.Grids for IGeo7) */
+object Isea4TGrids extends Serializable {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), Isea4T]()
+  def get(lat0: Double, lon0: Double, az: Double): Isea4T =
+    cache.computeIfAbsent((lat0, lon0, az), k => new Isea4T(k._1, k._2, k._3))
+  def default: Isea4T = get(58.28252559, 11.25, 0.0)
+}

@@ -60,9 +60,21 @@ object CheckpointedRun {
   /** Run `transform` over each uncommitted range, writing
     * `outDir/part=<name>` and appending a manifest line per range.
     * Returns per-range results (including skipped ones).
+    *
+    * Scale shape (round-1 verdict #10): up to `maxConcurrency` ranges are
+    * submitted as CONCURRENT Spark jobs (one range must not serialize the
+    * cluster), and each range costs exactly ONE action — the write — with
+    * the in/out row counts collected as `Observation` metrics inside that
+    * same job instead of separate count() passes. The manifest append is
+    * the only synchronized section, and each line is still committed
+    * atomically after its range's write succeeds, so kill-and-resume
+    * semantics are unchanged.
     */
-  def run(input: DataFrame, cellCol: String, ranges: Seq[CellRange], outDir: String)
+  def run(input: DataFrame, cellCol: String, ranges: Seq[CellRange], outDir: String,
+          maxConcurrency: Int = 8)
          (transform: DataFrame => DataFrame): Seq[RangeResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     Files.createDirectories(Paths.get(outDir))
     val manifestPath = Paths.get(s"$outDir/_manifest.jsonl")
     val done: Set[String] =
@@ -73,24 +85,37 @@ object CheckpointedRun {
           .flatMap(l => """"name":"([^"]+)"""".r.findFirstMatchIn(l).map(_.group(1)))
           .toSet
       else Set.empty
-    ranges.map { r =>
-      if (done.contains(r.name))
-        RangeResult(r.name, r.lo, r.hi, "skipped", 0, 0, 0)
-      else {
-        val t0 = System.nanoTime()
-        val slice = input.where(col(cellCol) >= r.lo && col(cellCol) <= r.hi)
-        val inRows = slice.count()
-        val out = transform(slice)
-        out.write.mode("overwrite").parquet(s"$outDir/part=${r.name}")
-        val outRows = out.sparkSession.read.parquet(s"$outDir/part=${r.name}").count()
-        val wallMs = (System.nanoTime() - t0) / 1000000
-        val line = s"""{"name":"${r.name}","lo":${r.lo},"hi":${r.hi},""" +
-          s""""status":"done","in_rows":$inRows,"out_rows":$outRows,"wall_ms":$wallMs}"""
-        Files.write(manifestPath, java.util.List.of(line),
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
-        RangeResult(r.name, r.lo, r.hi, "done", inRows, outRows, wallMs)
+    val lock = new Object
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrency, ranges.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = ranges.map { r =>
+        if (done.contains(r.name))
+          Future.successful(RangeResult(r.name, r.lo, r.hi, "skipped", 0, 0, 0))
+        else Future {
+          val t0 = System.nanoTime()
+          val inObs = org.apache.spark.sql.Observation(s"ckpt_in_${r.name}_$t0")
+          val outObs = org.apache.spark.sql.Observation(s"ckpt_out_${r.name}_$t0")
+          val slice = input
+            .where(col(cellCol) >= r.lo && col(cellCol) <= r.hi)
+            .observe(inObs, count(lit(1)).as("n"))
+          val out = transform(slice).observe(outObs, count(lit(1)).as("n"))
+          out.write.mode("overwrite").parquet(s"$outDir/part=${r.name}")
+          val inRows = inObs.get("n").asInstanceOf[Long]
+          val outRows = outObs.get("n").asInstanceOf[Long]
+          val wallMs = (System.nanoTime() - t0) / 1000000
+          val line = s"""{"name":"${r.name}","lo":${r.lo},"hi":${r.hi},""" +
+            s""""status":"done","in_rows":$inRows,"out_rows":$outRows,"wall_ms":$wallMs}"""
+          lock.synchronized {
+            Files.write(manifestPath, java.util.List.of(line),
+              StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+          }
+          RangeResult(r.name, r.lo, r.hi, "done", inRows, outRows, wallMs)
+        }
       }
-    }
+      futures.map(f => Await.result(f, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** read back the union of all committed parts. The part directories are

@@ -190,6 +190,51 @@ object GridOps {
       size(col("cls")).cast("long").as("num_classes"))
   }
 
+  // ------------------------------------------------------------------
+  // ISEA4T (aperture-4 triangle) variants — T4 kernel, same API shapes
+  // ------------------------------------------------------------------
+
+  /** H6 for ISEA4T: point→triangle-cell assignment (`cell_id` T4 int64 +
+    * `name` T4 string). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints4T(points: DataFrame, lonCol: String, latCol: String, res: Int,
+                          lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                          az: Double = Grids.DefaultAz): DataFrame = {
+    import graft.spark.{T4Functions => T}
+    points
+      .withColumn("cell_id", T.cellForPoint(col(lonCol), col(latCol), lit(res), lat0, lon0, az))
+      .withColumn("name", T.t4String(col("cell_id")))
+  }
+
+  /** whole-earth / box-clipped T4 cell generation at `res` (kept-while-
+    * center-in-expanded-box levelwise pruning like the Z7 variant).
+    */
+  def gridCellIdsForExtent4T(spark: SparkSession, res: Int,
+                             clip: Option[(Double, Double, Double, Double)] = None,
+                             lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                             az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    import graft.spark.{T4Functions => T}
+    var df = (0 to 19).map(f => graft.dggs.T4.pack(f, Seq.empty)).toDF("cell_id")
+    for (k <- 1 to res) {
+      df = df.select(explode(T.t4Children(col("cell_id"))).as("cell_id"))
+      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+        // triangle circumradius at res k ≈ rc/2^k rad, 2× safety; lon
+        // margin scaled by 1/cos(lat) like the hex path
+        val marginDeg = math.toDegrees(0.8047 / math.pow(2.0, k)) * 2.0
+        val c = T.cellCenter(col("cell_id"), lat0, lon0, az)
+        val lonMargin = lit(marginDeg) /
+          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+        df = df.where(
+          c.getField("lon") >= lit(lonMin) - lonMargin &&
+            c.getField("lon") <= lit(lonMax) + lonMargin &&
+            c.getField("lat") >= lit(latMin - marginDeg) &&
+            c.getField("lat") <= lit(latMax + marginDeg))
+      }
+    }
+    df
+  }
+
   /** H7: address transform between Z7 int64, Z7_STRING, SEQNUM (engine
     * canonical), and GEO center (dggrid_runner.py:1962-2025).
     */

@@ -221,6 +221,56 @@ object Seqnum {
   }
 }
 
+/** Column functions for the ISEA4T aperture-4 triangle kernel (T4 ids;
+  * graft.dggs.Isea4T). Same narrow-map UDF design as DggsFunctions.
+  */
+object T4Functions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.{Isea4TGrids, T4}
+
+  def cellForPoint(lon: Column, lat: Column, res: Column,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Isea4TGrids.get(lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  private lazy val toStringUdf = udf((id: Long) => T4.toT4String(id))
+  def t4String(cell: Column): Column = toStringUdf(cell)
+  private lazy val fromStringUdf = udf((s: String) => T4.fromT4String(s))
+  def t4FromString(s: Column): Column = fromStringUdf(s)
+  private lazy val parentUdf = udf((id: Long) => T4.parent(id))
+  def t4Parent(cell: Column): Column = parentUdf(cell)
+  private lazy val ancestorUdf = udf((id: Long, r: Int) => T4.ancestorAt(id, r))
+  def t4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  private lazy val resolutionUdf = udf((id: Long) => T4.resolution(id))
+  def t4Resolution(cell: Column): Column = resolutionUdf(cell)
+  private lazy val childrenUdf = udf((id: Long) => T4.children(id))
+  def t4Children(cell: Column): Column = childrenUdf(cell)
+  private lazy val descendantsUdf = udf((id: Long, r: Int) => T4.descendants(id, r))
+  def t4DescendantsAt(cell: Column, r: Column): Column = descendantsUdf(cell, r)
+
+  def cellCenter(cell: Column, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val c = Isea4TGrids.get(lat0, lon0, az).cellCenter(id)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  /** the 3 triangle corners as array<struct<lon,lat>> */
+  def cellBoundary(cell: Column, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      Isea4TGrids.get(lat0, lon0, az).cellBoundary(id).map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+}
+
 /** Authalic latitude conversions as Column functions (reference
   * auxlat.py — applied per vertex for geometry, per point for inputs).
   */

@@ -1,0 +1,98 @@
+package graft.dggs
+
+import org.scalatest.funsuite.AnyFunSuite
+import Sphere._
+
+/** ISEA4T kernel properties. No DGGRID golden ids exist for ISEA4T in the
+  * reference tests (ids are engine-canonical, documented in T4's
+  * scaladoc); these properties pin the geometry instead: cell counts
+  * 20·4^r, center→cell roundtrips, exact hierarchical nesting (unlike
+  * hex apertures, triangle subdivision nests exactly), codec bijection.
+  */
+class Isea4TSpec extends AnyFunSuite {
+
+  private val g = Isea4TGrids.default
+
+  test("T4 codec: pack/unpack/string round-trips, parent/children") {
+    val id = T4.pack(17, Seq(0, 3, 1, 2))
+    assert(T4.face(id) == 17)
+    assert(T4.resolution(id) == 4)
+    assert(T4.digits(id) == Seq(0, 3, 1, 2))
+    assert(T4.toT4String(id) == "170312")
+    assert(T4.fromT4String("170312") == id)
+    assert(T4.parent(id) == T4.pack(17, Seq(0, 3, 1)))
+    assert(T4.ancestorAt(id, 2) == T4.pack(17, Seq(0, 3)))
+    assert(T4.ancestorAt(id, 0) == T4.pack(17, Seq.empty))
+    val kids = T4.children(id)
+    assert(kids.size == 4 && kids.distinct.size == 4)
+    assert(kids.forall(k => T4.parent(k) == id))
+    assert(kids.map(T4.digit(_, 5)).sorted == Seq(0, 1, 2, 3))
+  }
+
+  test("T4 descendants count 4^d and stay in contiguous id ranges") {
+    val p = T4.pack(3, Seq(2, 1))
+    val ds = T4.descendants(p, 5)
+    assert(ds.size == 64 && ds.distinct.size == 64)
+    val (lo, hi) = T4.rangeAt(p, 5)
+    assert(ds.forall(d => d >= lo && d <= hi))
+    assert(ds.min == lo && ds.max == hi)
+    // siblings' ranges are disjoint
+    val ranges = T4.children(p).map(T4.rangeAt(_, 5)).sortBy(_._1)
+    ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1) }
+  }
+
+  test("whole-earth cell count is 20·4^r (r = 0..3)") {
+    for (r <- 0 to 3) {
+      val all = (0 to 19).flatMap(f => T4.descendants(T4.pack(f, Seq.empty), r))
+      assert(all.size == 20 * math.pow(4, r).toLong)
+      assert(all.distinct.size == all.size)
+    }
+  }
+
+  test("center→cell round-trip for every res-3 cell and res-6 samples") {
+    val all3 = (0 to 19).flatMap(f => T4.descendants(T4.pack(f, Seq.empty), 3))
+    all3.foreach { id =>
+      assert(g.cellForPoint(g.cellCenter(id), 3) == id, T4.toT4String(id))
+    }
+    // deeper spot checks on a deterministic sample
+    val sample6 = (0 until 200).map { i =>
+      T4.pack(i % 20, Seq(i % 4, (i / 4) % 4, (i / 16) % 4, (i * 7) % 4, (i * 3) % 4, (i * 11) % 4))
+    }
+    sample6.foreach { id =>
+      assert(g.cellForPoint(g.cellCenter(id), 6) == id, T4.toT4String(id))
+    }
+  }
+
+  test("exact hierarchical nesting: res-(r+1) assignment refines res-r") {
+    val pts = (0 until 500).map { i =>
+      GeoRad.fromDeg(-89.5 + (i * 179.0) / 499.0, -179.5 + (i * 7919 % 360) * 359.0 / 359.0 / 1.0)
+    }
+    pts.foreach { p =>
+      val c5 = g.cellForPoint(p, 5)
+      val c7 = g.cellForPoint(p, 7)
+      assert(T4.ancestorAt(c7, 5) == c5)
+    }
+  }
+
+  test("boundary: 3 corners; res-0 cell center is the face center") {
+    val id = T4.pack(8, Seq.empty)
+    assert(g.cellBoundary(id).size == 3)
+    val c = g.cellCenter(id)
+    val fc = g.ico.faceCenters(8)
+    assert(distance(c, fc) < 1e-9)
+    // res-0 corners are the icosahedron vertices of face 8
+    val corners = g.cellBoundary(id)
+    val verts = g.ico.faceVerts(8).map(g.ico.vertices(_))
+    corners.foreach { cr =>
+      assert(verts.exists(v => distance(cr, v) < 1e-9))
+    }
+  }
+
+  test("corner child keeps the parent vertex; boundary vertices shrink by half") {
+    val parent = T4.pack(2, Seq(1))
+    val pCorners = g.cellBoundary(parent)
+    val child1 = T4.pack(2, Seq(1, 1)) // corner child at local vertex 0
+    val cCorners = g.cellBoundary(child1)
+    assert(distance(pCorners.head, cCorners.head) < 1e-12)
+  }
+}

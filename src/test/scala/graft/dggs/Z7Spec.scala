@@ -131,7 +131,8 @@ class DggsConfSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("kernel support gate") {
     assert(DggsConf("ISEA7H", 5).kernelSupported)
     assert(DggsConf("IGEO7", 5).kernelSupported)
-    assert(!DggsConf("ISEA4T", 5).kernelSupported)
+    assert(DggsConf("ISEA4T", 5).kernelSupported) // T4 kernel (round 2)
+    assert(!DggsConf("ISEA3H", 5).kernelSupported)
     assert(DggsConf("IGEO7", 5).grid.isInstanceOf[IGeo7])
   }
 }
