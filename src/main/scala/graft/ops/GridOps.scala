@@ -240,10 +240,18 @@ object GridOps {
     */
   def addressTransform(cells: DataFrame, idCol: String,
                        from: String, to: String, res: Int): DataFrame = {
+    import graft.spark.{AddrFunctions => A, Q2diFunctions => Q}
+    val c = col(idCol)
     val asZ7: Column = from match {
-      case "Z7" => col(idCol)
-      case "Z7_STRING" => F.z7FromString(col(idCol))
-      case "SEQNUM" => F.seqnumToZ7(col(idCol), lit(res))
+      case "Z7" => c
+      case "Z7_STRING" => F.z7FromString(c)
+      case "SEQNUM" => F.seqnumToZ7(c, lit(res))
+      case "Q2DI" => Q.q2diToZ7(c.getField("q"), c.getField("i"), c.getField("j"), lit(res))
+      case "Q2DD" => A.q2ddToZ7(c.getField("q"), c.getField("x"), c.getField("y"), lit(res))
+      case "PROJTRI" =>
+        A.projtriToZ7(c.getField("t"), c.getField("x"), c.getField("y"), lit(res))
+      case "PLANE" => A.planeToZ7(c.getField("x"), c.getField("y"), lit(res))
+      case "GEO" => F.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
       case other => throw new IllegalArgumentException(s"unsupported input $other")
     }
     val out: Column = to match {
@@ -251,6 +259,19 @@ object GridOps {
       case "Z7_STRING" => F.z7String(asZ7)
       case "SEQNUM" => F.z7ToSeqnum(asZ7)
       case "GEO" => F.cellCenter(asZ7)
+      case "Q2DI" => Q.z7ToQ2di(asZ7)
+      case "Q2DD" => A.z7ToQ2dd(asZ7)
+      case "PROJTRI" => A.z7ToProjtri(asZ7)
+      case "PLANE" => A.z7ToPlane(asZ7)
+      case "INTERLEAVE" | "Z3" | "Z3_STRING" | "ZORDER" | "ZORDER_STRING" =>
+        // parity with the reference's own constraint: these exist only
+        // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236),
+        // which have no geometry kernel here (ISEA3H/4H documented out of
+        // scope) — same contract as the reference's CUSTOM error path
+        throw new IllegalArgumentException(
+          s"$to is defined for aperture-3/4 hexagon grids only " +
+            "(reference dggrid_runner.py:125); the engine kernels are " +
+            "aperture-7 hexagon (Z7) and aperture-4 triangle (T4)")
       case other => throw new IllegalArgumentException(s"unsupported output $other")
     }
     cells.withColumn("out_addr", out)

@@ -54,6 +54,60 @@ object SpatialOps {
     }
   }
 
+  /** Distributed covering cells: polygons(poly_id, wkt) → (poly_id, wkt,
+    * cell_id) at `res`. The same levelwise expansion as `coverCells` but
+    * as a DataFrame explode — scales to thousands of polygons / high-res
+    * covers where the driver-side Seq would bottleneck (round-1 verdict
+    * "pointInPolygonJoin builds polygon covers on the driver").
+    * Envelope pruning per level (lon margin 1/cos(lat)-scaled), exact
+    * prepared-JTS intersects refine at the end.
+    */
+  def coverCellsDf(polygons: DataFrame, res: Int,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): DataFrame = {
+    val envUdf = udf { (wkt: String) =>
+      val env = new WKTReader(new GeometryFactory()).read(wkt).getEnvelopeInternal
+      (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+    }
+    val seed = polygons
+      .withColumn("__env", envUdf(col("wkt"))
+        .cast("struct<minx:double,miny:double,maxx:double,maxy:double>"))
+      .withColumn("cell_id", explode(lit((0 to 11).map(b => Z7.pack(b, Seq.empty)).toArray)))
+    var df = seed
+    for (k <- 1 to res) {
+      val margin = math.toDegrees(0.6954709 / math.pow(7.0, k / 2.0)) * 2.0
+      val c = F.cellCenter(col("cell_id"), lat0, lon0, az)
+      val lonMargin = lit(margin) /
+        cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+      df = df.select(col("poly_id"), col("wkt"), col("__env"),
+          explode(F.z7Children(col("cell_id"))).as("cell_id"))
+        .where(
+          c.getField("lon") >= col("__env.minx") - lonMargin &&
+            c.getField("lon") <= col("__env.maxx") + lonMargin &&
+            c.getField("lat") >= col("__env.miny") - lit(margin) &&
+            c.getField("lat") <= col("__env.maxy") + lit(margin))
+    }
+    val refine = udf { (wkt: String, ring: Seq[org.apache.spark.sql.Row]) =>
+      JtsCache.intersectsRing(wkt,
+        ring.map(r => (r.getDouble(0), r.getDouble(1))))
+    }
+    df.where(refine(col("wkt"), F.cellBoundary(col("cell_id"), lat0, lon0, az)))
+      .select("poly_id", "wkt", "cell_id")
+  }
+
+  /** Arbitrary-geometry clipped cell generation (reference
+    * clip_subset_type GDAL — dggrid_runner.py:1328-1340): all cells at
+    * `res` whose straight-edge boundary polygon intersects the WKT
+    * geometry. Fully distributed (no driver-side cell materialization).
+    */
+  def gridCellIdsForWkt(spark: SparkSession, wkt: String, res: Int,
+                        lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                        az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    val one = Seq(("clip", wkt)).toDF("poly_id", "wkt")
+    coverCellsDf(one, res, lat0, lon0, az).select("cell_id")
+  }
+
   /** point-in-polygon join: points(lonCol, latCol, …) × polygons(idCol,
     * wktCol) — polygon side assumed broadcastable (dim table). Returns
     * point rows + matching polygon id. Equi-join on covering cell id +
@@ -208,10 +262,17 @@ object JtsCache {
       org.locationtech.jts.geom.prep.PreparedGeometry]()
   @transient private lazy val gf = new GeometryFactory()
 
-  def contains(wkt: String, lon: Double, lat: Double): Boolean = {
-    val prep = cache.computeIfAbsent(wkt, w =>
+  private def prepared(wkt: String) =
+    cache.computeIfAbsent(wkt, w =>
       org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
         new WKTReader(gf).read(w)))
-    prep.contains(gf.createPoint(new Coordinate(lon, lat)))
+
+  def contains(wkt: String, lon: Double, lat: Double): Boolean =
+    prepared(wkt).contains(gf.createPoint(new Coordinate(lon, lat)))
+
+  /** prepared-intersects of the polygon against a (lon,lat) ring */
+  def intersectsRing(wkt: String, ring: Seq[(Double, Double)]): Boolean = {
+    val coords = (ring :+ ring.head).map { case (lo, la) => new Coordinate(lo, la) }
+    prepared(wkt).intersects(gf.createPolygon(coords.toArray))
   }
 }

@@ -71,7 +71,10 @@ object TextOps {
   private def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val candSh = sh.join(candDocs, "doc_id")
+    // cached: consumed by both sides of the co-shingle self-join and the
+    // per-doc counts — without this the upstream LSH pipeline recomputes
+    // once per consumer (measured 2× bench regression)
+    val candSh = sh.join(candDocs, "doc_id").cache()
     val cnt = candSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = candSh.as("a")
       .join(candSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -137,18 +140,27 @@ object TextOps {
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                       maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh = cappedShingles(docs, k, maxDf).cache()
-    val sigs = minhashSignaturesOf(sh, numHashes)
-    val bands = sigs
-      .groupBy(col("doc_id"), floor(col("h") / rowsPerBand).cast("int").as("b"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("h"), col("m")))), x => x.getField("m")),
-        ",").as("sig"))
+    // all `numHashes` min-hashes in ONE partial-aggregated pass: 8 agg
+    // columns instead of an 8× row explosion — the shuffle carries
+    // numHashes strings per doc per map partition, not per shingle
+    // (same m values as minhashSignatures: md5("h|shingle"))
+    val sigCols = (0 until numHashes).map(h =>
+      min(md5(concat(lit(s"$h|"), col("s")).cast("binary"))).as(s"m$h"))
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("b"),
+        concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+          .as("sig"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache() // tiny; referenced by candDocs AND the final pair join
     // exact-Jaccard refine over the CANDIDATE pairs only (round-1 fix:
     // refining via the full-corpus all-pairs join made the banding
     // pointless — this recomputes co-shingle counts only for docs that

@@ -61,16 +61,25 @@ object VectorOps {
     * oracle reproduces them). This is the scale path: grouping by
     * `bucket` gives candidate sets; a bucketed self-join + exact cosine
     * refine replaces the N² scan.
+    *
+    * The sign matrix is a FIXED nBits×dim table — precomputed on the
+    * driver and embedded as literals, so the hot path is nBits codegen'd
+    * dot products per row with zero md5 calls (the md5-per-element
+    * variant cost dim·nBits digests per row; the oracle still re-derives
+    * the same signs in SQL).
     */
   def lshBuckets(embs: DataFrame, nBits: Int = 8, dim: Int = 64): DataFrame = {
     val e = toDouble(col("embedding"))
-    // sign(j,i) = +1 if first hex digit of md5("j:i") >= 8 else -1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // sign(j,i) = +1 if the first hex digit of md5("j:i") >= 8 (i 1-based)
+    val signs: Array[Seq[Double]] = Array.tabulate(nBits) { j =>
+      (1 to dim).map { i =>
+        val h = md.digest(s"$j:$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
+      }
+    }
     def signed(j: Int): Column =
-      aggregate(
-        transform(sequence(lit(1), lit(dim)), i =>
-          element_at(e, i) *
-            when(conv(md5(concat(lit(s"$j:"), i.cast("string")).cast("binary"))
-              .substr(1, 1), 16, 10).cast("int") >= 8, lit(1.0)).otherwise(lit(-1.0))),
+      aggregate(zip_with(e, typedLit(signs(j)), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
     val bits = (0 until nBits).map(j => when(signed(j) > 0, lit("1")).otherwise(lit("0")))
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))

@@ -310,3 +310,35 @@ object Q2diFunctions {
   def q2diToZ7(q: Column, i: Column, j: Column, res: Column): Column =
     fromQ2diUdf(q, i, j, res)
 }
+
+/** Q2DD / PROJTRI / PLANE address transforms (graft.dggs.Addr — see its
+  * scaladoc for the engine-canonical frame definitions).
+  */
+object AddrFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.Addr
+
+  private lazy val q2ddUdf = udf((z: Long) => Addr.z7ToQ2dd(Grids.default, z))
+  def z7ToQ2dd(cell: Column): Column =
+    q2ddUdf(cell).cast("struct<q:int,x:double,y:double>")
+  private lazy val q2ddInvUdf =
+    udf((q: Int, x: Double, y: Double, r: Int) => Addr.q2ddToZ7(Grids.default, q, x, y, r))
+  def q2ddToZ7(q: Column, x: Column, y: Column, res: Column): Column =
+    q2ddInvUdf(q, x, y, res)
+
+  private lazy val projtriUdf = udf((z: Long) => Addr.z7ToProjtri(Grids.default, z))
+  def z7ToProjtri(cell: Column): Column =
+    projtriUdf(cell).cast("struct<t:int,x:double,y:double>")
+  private lazy val projtriInvUdf =
+    udf((t: Int, x: Double, y: Double, r: Int) => Addr.projtriToZ7(Grids.default, t, x, y, r))
+  def projtriToZ7(t: Column, x: Column, y: Column, res: Column): Column =
+    projtriInvUdf(t, x, y, res)
+
+  private lazy val planeUdf = udf((z: Long) => Addr.z7ToPlane(Grids.default, z))
+  def z7ToPlane(cell: Column): Column =
+    planeUdf(cell).cast("struct<x:double,y:double>")
+  private lazy val planeInvUdf =
+    udf((x: Double, y: Double, r: Int) => Addr.planeToZ7(Grids.default, x, y, r))
+  def planeToZ7(x: Column, y: Column, res: Column): Column = planeInvUdf(x, y, res)
+}

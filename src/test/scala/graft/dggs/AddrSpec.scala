@@ -1,0 +1,51 @@
+package graft.dggs
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip properties of the Q2DD / PROJTRI / PLANE address frames
+  * (graft.dggs.Addr). The frames are engine-canonical (no DGGRID goldens
+  * exist in the reference tests — divergence documented per-type in
+  * COVERAGE.md); what must hold exactly is cell → addr → cell identity.
+  */
+class AddrSpec extends AnyFunSuite {
+
+  private val g = new IGeo7() // default vert0/azimuth
+
+  private def cellsAt(r: Int): Seq[Long] =
+    (0 to 11).flatMap(b => Z7.descendants(Z7.pack(b, Seq.empty), r))
+
+  test("Q2DD round-trips every res-3 cell (incl. pentagons)") {
+    cellsAt(3).foreach { z =>
+      val (q, x, y) = Addr.z7ToQ2dd(g, z)
+      assert(q >= 1 && q <= 10)
+      assert(Addr.q2ddToZ7(g, q, x, y, 3) == z, Z7.toZ7String(z))
+    }
+  }
+
+  test("PROJTRI round-trips every res-3 cell") {
+    cellsAt(3).foreach { z =>
+      val (t, x, y) = Addr.z7ToProjtri(g, z)
+      assert(t >= 0 && t < 20)
+      assert(math.hypot(x, y) <= g.snyder.rc + 1e-12)
+      assert(Addr.projtriToZ7(g, t, x, y, 3) == z, Z7.toZ7String(z))
+    }
+  }
+
+  test("PLANE round-trips every res-3 cell; face frames are disjoint") {
+    val seen = scala.collection.mutable.HashSet[(Double, Double)]()
+    cellsAt(3).foreach { z =>
+      val (px, py) = Addr.z7ToPlane(g, z)
+      assert(seen.add((px, py)), s"PLANE collision at ${Z7.toZ7String(z)}")
+      assert(Addr.planeToZ7(g, px, py, 3) == z, Z7.toZ7String(z))
+    }
+  }
+
+  test("Q2DD chart coords land inside the unit quad chart (deep res spot check)") {
+    val ids = (0 until 100).map(i => Z7.pack(i % 12, Seq(1, 3, 0, (i % 7), 5, (i * 3) % 7)))
+      .filter(z => !Z7.isPentagon(Z7.ancestorAt(z, 0)) || Z7.digits(z).forall(_ != 2))
+    ids.foreach { z =>
+      val (q, x, y) = Addr.z7ToQ2dd(g, z)
+      assert(Addr.q2ddToZ7(g, q, x, y, 6) == z)
+    }
+  }
+}

@@ -81,6 +81,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == total)
   }
 
+  test("distributed polygon covers equal the driver-side covers (WKT clip)") {
+    import spark.implicits._
+    // non-rectangular polygon (Estonia-ish pentagon crossing 60°N, where
+    // the unscaled lon margin used to silently drop cells)
+    val wkt = "POLYGON ((21.0 57.3, 28.0 57.8, 27.5 59.7, 24.0 60.4, 21.5 59.5, 21.0 57.3))"
+    for (res <- Seq(3, 4)) {
+      val driverSide = SpatialOps.coverCells(wkt, res).toSet
+      val distributed = SpatialOps.coverCellsDf(
+          Seq(("p", wkt)).toDF("poly_id", "wkt"), res)
+        .select("cell_id").as[Long].collect().toSet
+      assert(distributed == driverSide, s"res $res")
+      val viaWktApi = SpatialOps.gridCellIdsForWkt(spark, wkt, res)
+        .as[Long].collect().toSet
+      assert(viaWktApi == driverSide, s"res $res (wkt api)")
+    }
+  }
+
   test("ring1: reciprocity and size over all res-2 cells") {
     val g = Grids.default
     var all: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
