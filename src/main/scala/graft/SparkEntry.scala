@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5)),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
 
     // ---- text analysis over `documents` ----
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.tbl(s, dir, "documents"))),
@@ -322,6 +324,37 @@ object SparkEntry {
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
 
+  /** 64-bit simhash as a reusable CTE (final relation `sh(doc_id,
+    * simhash64)`) — shared by the signature dump and the pair query
+    */
+  private val simhashCte =
+    """wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |hx AS (SELECT doc_id, md5(w) AS hh FROM wrds),
+      |dg AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hh, p, 1)) - 1 AS d
+      |       FROM hx, (SELECT unnest(generate_series(1, 16)) AS p)),
+      |bits AS (SELECT doc_id, p,
+      |  sum(CASE WHEN (d & 8) > 0 THEN 1 ELSE -1 END) AS s8,
+      |  sum(CASE WHEN (d & 4) > 0 THEN 1 ELSE -1 END) AS s4,
+      |  sum(CASE WHEN (d & 2) > 0 THEN 1 ELSE -1 END) AS s2,
+      |  sum(CASE WHEN (d & 1) > 0 THEN 1 ELSE -1 END) AS s1
+      |  FROM dg GROUP BY 1, 2),
+      |chars AS (SELECT doc_id, p, substr('0123456789abcdef',
+      |  (CASE WHEN s8 > 0 THEN 8 ELSE 0 END + CASE WHEN s4 > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN s2 > 0 THEN 2 ELSE 0 END + CASE WHEN s1 > 0 THEN 1 ELSE 0 END) + 1,
+      |  1) AS c FROM bits),
+      |sh AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
+      |       FROM chars GROUP BY doc_id)""".stripMargin
+
+  /** exact Hamming distance between two 16-hex-char simhashes `h_a`,
+    * `h_b`: per-position nibble XOR popcount (mirrors
+    * TextOps.simhashPairs)
+    */
+  private val simhashHammingSql: String = (1 to 16).map { p =>
+    val x = s"xor(strpos('0123456789abcdef', substr(h_a, $p, 1)) - 1, " +
+      s"strpos('0123456789abcdef', substr(h_b, $p, 1)) - 1)"
+    s"(($x)//8)%2 + (($x)//4)%2 + (($x)//2)%2 + ($x)%2"
+  }.mkString(" + ")
+
   /** random-hyperplane LSH bucket over a DOUBLE[] column `v` (the same
     * deterministic md5-derived hyperplanes as VectorOps.lshBuckets)
     */
@@ -506,22 +539,19 @@ object SparkEntry {
          |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
          |WHERE j.jaccard >= 0.5""".stripMargin,
     "dedup_simhash" ->
-      """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |hx AS (SELECT doc_id, md5(w) AS hh FROM wrds),
-        |dg AS (SELECT doc_id, p, strpos('0123456789abcdef', substr(hh, p, 1)) - 1 AS d
-        |       FROM hx, (SELECT unnest(generate_series(1, 16)) AS p)),
-        |bits AS (SELECT doc_id, p,
-        |  sum(CASE WHEN (d & 8) > 0 THEN 1 ELSE -1 END) AS s8,
-        |  sum(CASE WHEN (d & 4) > 0 THEN 1 ELSE -1 END) AS s4,
-        |  sum(CASE WHEN (d & 2) > 0 THEN 1 ELSE -1 END) AS s2,
-        |  sum(CASE WHEN (d & 1) > 0 THEN 1 ELSE -1 END) AS s1
-        |  FROM dg GROUP BY 1, 2),
-        |chars AS (SELECT doc_id, p, substr('0123456789abcdef',
-        |  (CASE WHEN s8 > 0 THEN 8 ELSE 0 END + CASE WHEN s4 > 0 THEN 4 ELSE 0 END +
-        |   CASE WHEN s2 > 0 THEN 2 ELSE 0 END + CASE WHEN s1 > 0 THEN 1 ELSE 0 END) + 1,
-        |  1) AS c FROM bits)
-        |SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
-        |FROM chars GROUP BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash64 FROM sh""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bands AS (SELECT doc_id, simhash64, b, substr(simhash64, b*4 + 1, 4) AS key
+         |          FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash64 AS h_a,
+         |                y.doc_id AS doc_b, y.simhash64 AS h_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         |ham AS (SELECT doc_a, doc_b, ($simhashHammingSql) AS hamming FROM cand)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 3""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -431,6 +431,41 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     }.toArray
   }
 
+  /** cell boundary densified with `densify` extra vertices per edge
+    * (reference `densification` metafile param, dggrid_runner.py:295 —
+    * DGGRID densifies in the projection plane, so edges follow the
+    * projected straight line, and equal-area is preserved piecewise).
+    * Hexagons interpolate between corner points in the owning quad's
+    * chart; pentagon corners live in different quad charts, so pentagon
+    * edges densify along the great circle instead (geodetic
+    * densification, the reference's `geodetic_densify` variant at
+    * dggrid_runner.py:296).
+    */
+  def cellBoundaryDensified(z: Long, densify: Int): Array[GeoRad] = {
+    if (densify <= 0) return cellBoundary(z)
+    if (Z7.isPentagon(z))
+      return IGeo7.densifyGeodesic(cellBoundary(z), densify)
+    val r = Z7.resolution(z)
+    val fix = decode(z)
+    val (cx, cy) = latticeToChart(fix.v, r)
+    val corners = (0 until 6).map { i =>
+      val su = Eis(Units(i).a + Units((i + 1) % 6).a, Units(i).b + Units((i + 1) % 6).b)
+      val (dx, dy) = latticeToChart(su, r)
+      (cx + dx / 3.0, cy + dy / 3.0)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[GeoRad]()
+    for (i <- 0 until 6) {
+      val (ax, ay) = corners(i)
+      val (bx, by) = corners((i + 1) % 6)
+      out += chartToSphere(fix.quad, ax, ay)
+      for (k <- 1 to densify) {
+        val t = k.toDouble / (densify + 1)
+        out += chartToSphere(fix.quad, ax + (bx - ax) * t, ay + (by - ay) * t)
+      }
+    }
+    out.toArray
+  }
+
   /** k=1 ring: the adjacent cells (6 for hexagons, 5 for pentagons),
     * exact in lattice space (igeo7_ext.py:103-156 semantics without the
     * geometric buffer fallback). Pentagons are handled in index space:
@@ -485,5 +520,28 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
       val a = sorted(i); val b = sorted((i + 1) % nv)
       toGeo(toVec(vpos) + toVec(a) + toVec(b))
     }.toArray
+  }
+}
+
+object IGeo7 {
+  import Sphere._
+
+  /** densify a closed ring along great circles: `densify` extra vertices
+    * per edge (the reference's geodetic_densify variant,
+    * dggrid_runner.py:296).
+    */
+  def densifyGeodesic(ring: Array[GeoRad], densify: Int): Array[GeoRad] = {
+    if (densify <= 0) return ring
+    val out = scala.collection.mutable.ArrayBuffer[GeoRad]()
+    val nv = ring.length
+    for (i <- 0 until nv) {
+      val a = ring(i); val b = ring((i + 1) % nv)
+      out += a
+      val az = azimuth(a, b)
+      val d = distance(a, b)
+      for (k <- 1 to densify)
+        out += destination(a, az, d * k / (densify + 1))
+    }
+    out.toArray
   }
 }

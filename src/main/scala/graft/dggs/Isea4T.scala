@@ -185,6 +185,27 @@ final class Isea4T(vert0LatDeg: Double = 58.28252559,
       snyder.inverse(snyder.FacePoint(f, x, y))
     }
   }
+
+  /** boundary with `densify` extra vertices per edge, interpolated in
+    * the face plane (projection-space densification like DGGRID's
+    * `densification` param — dggrid_runner.py:295)
+    */
+  def cellBoundaryDensified(id: Long, densify: Int): Seq[GeoRad] = {
+    if (densify <= 0) return cellBoundary(id)
+    val f = T4.face(id)
+    val cs = planeCorners(id)
+    val out = scala.collection.mutable.ArrayBuffer[GeoRad]()
+    for (i <- 0 until 3) {
+      val (ax, ay) = cs(i)
+      val (bx, by) = cs((i + 1) % 3)
+      out += snyder.inverse(snyder.FacePoint(f, ax, ay))
+      for (k <- 1 to densify) {
+        val t = k.toDouble / (densify + 1)
+        out += snyder.inverse(snyder.FacePoint(f, ax + (bx - ax) * t, ay + (by - ay) * t))
+      }
+    }
+    out.toSeq
+  }
 }
 
 /** per-JVM kernel cache (mirrors spark.Grids for IGeo7) */

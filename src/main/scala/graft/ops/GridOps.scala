@@ -114,16 +114,24 @@ object GridOps {
     pt.getField("lon") >= lonMin && pt.getField("lon") <= lonMax &&
       pt.getField("lat") >= latMin && pt.getField("lat") <= latMax
 
-  /** H1: cell polygons for extent. */
+  /** H1: cell polygons for extent. `densify` = extra vertices per edge
+    * (reference `densification`/`geodetic_densify` params,
+    * dggrid_runner.py:295-296; 0 = plain 6/5-vertex rings).
+    */
   def gridCellPolygonsForExtent(spark: SparkSession, res: Int,
                                 clip: Option[(Double, Double, Double, Double)] = None,
                                 lat0: Double = Grids.DefaultLat,
                                 lon0: Double = Grids.DefaultLon,
-                                az: Double = Grids.DefaultAz): DataFrame =
+                                az: Double = Grids.DefaultAz,
+                                densify: Int = 0): DataFrame = {
+    val boundary =
+      if (densify <= 0) F.cellBoundary(col("cell_id"), lat0, lon0, az)
+      else F.cellBoundaryDensified(col("cell_id"), lit(densify), lat0, lon0, az)
     gridCellIdsForExtent(spark, res, clip, lat0, lon0, az)
       .withColumn("name", F.z7String(col("cell_id")))
-      .withColumn("boundary", F.cellBoundary(col("cell_id"), lat0, lon0, az))
+      .withColumn("boundary", boundary)
       .withColumn("wkt", F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az))
+  }
 
   /** H2: centroids for extent. */
   def gridCellCentroidsForExtent(spark: SparkSession, res: Int,

@@ -145,6 +145,19 @@ object DggsFunctions {
     f(cell)
   }
 
+  /** boundary with n extra vertices per edge (reference `densification`
+    * param — projection-plane interpolation; pentagons geodesic).
+    */
+  def cellBoundaryDensified(cell: Column, densify: Column,
+                            lat0: Double = Grids.DefaultLat,
+                            lon0: Double = Grids.DefaultLon,
+                            az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long, n: Int) =>
+      Grids.get(lat0, lon0, az).cellBoundaryDensified(z, n).map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell, densify).cast("array<struct<lon:double,lat:double>>")
+  }
+
   /** k=1 ring: the 6 (5 for pentagons) adjacent cells (igeo7_ext.py
     * z7_k1_ring semantics, computed exactly in lattice space).
     */

@@ -88,6 +88,34 @@ class Isea4TSpec extends AnyFunSuite {
     }
   }
 
+  test("densified boundaries: vertex count, corner preservation, on-edge points") {
+    // T4: plane interpolation
+    val t4id = T4.pack(7, Seq(2, 0, 1))
+    val plain = g.cellBoundary(t4id)
+    val dense = g.cellBoundaryDensified(t4id, 4)
+    assert(dense.size == 3 * 5)
+    (0 until 3).foreach(i => assert(distance(dense(i * 5), plain(i)) < 1e-12))
+    // Z7 hex: chart interpolation — corners preserved, count 6·(n+1)
+    val hg = new IGeo7()
+    val hex = Z7.pack(3, Seq(1, 4, 2))
+    val hPlain = hg.cellBoundary(hex)
+    val hDense = hg.cellBoundaryDensified(hex, 3)
+    assert(hDense.length == 6 * 4)
+    (0 until 6).foreach(i => assert(distance(hDense(i * 4), hPlain(i)) < 1e-12))
+    // every densified point lies close to the chord between its corners
+    // (well under one cell diameter)
+    for (i <- 0 until 6; k <- 1 to 3) {
+      val p = hDense(i * 4 + k)
+      val a = hPlain(i); val b = hPlain((i + 1) % 6)
+      assert(distance(a, p) + distance(p, b) < distance(a, b) * 1.01)
+    }
+    // Z7 pentagon: geodesic path, 5·(n+1) vertices
+    val pent = Z7.pack(4, Seq(0, 0))
+    assert(Z7.isPentagon(pent))
+    val pDense = hg.cellBoundaryDensified(pent, 2)
+    assert(pDense.length == 5 * 3)
+  }
+
   test("corner child keeps the parent vertex; boundary vertices shrink by half") {
     val parent = T4.pack(2, Seq(1))
     val pCorners = g.cellBoundary(parent)
