@@ -242,6 +242,25 @@ object SparkEntry {
         .select(col("parent"), T.t4String(col("cell_id")).as("name"))
     }),
 
+    // ---- ISEA4D (aperture-4 diamond kernel) ----
+    "dggs_4d_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15, 4, "DIAMOND")
+        .select(col("Resolution").cast("long").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_4d_cell_assign" -> ((s, dir) => {
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellsForGeoPoints4D(geo, "lon", "lat", 5)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_4d_parent_rollup" -> ((s, dir) => {
+      import graft.spark.{D4Functions => D}
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellsForGeoPoints4D(geo, "lon", "lat", 6)
+        .groupBy(D.d4String(D.d4AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
@@ -319,7 +338,7 @@ object SparkEntry {
        |${OracleFixtures.geoCellCte},
        |gc AS (SELECT doc_id, "offset", lon, lat, geo.lon_mdeg AS lon_mdeg,
        |              geo.lat_mdeg AS lat_mdeg, c3, c4, c5, c6,
-       |              CAST(seq4 AS BIGINT) AS seq4, t6
+       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6
        |       FROM geo JOIN cells
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
@@ -437,6 +456,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT '172031' AS parent, '172031' || d1.x || d2.x || d3.x || d4.x AS name
         |FROM d d1, d d2, d d3, d d4""".stripMargin,
+    // ---- ISEA4D oracles (frozen d6 column; D4 nests exactly) ----
+    "dggs_4d_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(10 * power(4, r) AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / (10.0 * power(4, r)) AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / (10.0 * power(4, r)))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
+    "dggs_4d_cell_assign" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", substr(d6, 1, 7) AS name FROM gc""".stripMargin,
+    "dggs_4d_parent_rollup" ->
+      s"""WITH $geoCellsCte
+         |SELECT substr(d6, 1, 4) AS name2, count(*) AS n
+         |FROM gc GROUP BY 1""".stripMargin,
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

@@ -25,7 +25,8 @@ final case class DggsConf(
     */
   def kernelSupported: Boolean =
     (projection == "ISEA" && topology == "HEXAGON" && aperture == 7) ||
-      (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4)
+      (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4) ||
+      (projection == "ISEA" && topology == "DIAMOND" && aperture == 4)
 
   def grid: IGeo7 = {
     require(projection == "ISEA" && topology == "HEXAGON" && aperture == 7,
@@ -40,6 +41,13 @@ final case class DggsConf(
     require(projection == "ISEA" && topology == "TRIANGLE" && aperture == 4,
       s"triangle kernel not implemented for $dggsType (ISEA4T only)")
     new Isea4T(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  /** the aperture-4 diamond kernel (ISEA4D) */
+  def diamondGrid: Isea4D = {
+    require(projection == "ISEA" && topology == "DIAMOND" && aperture == 4,
+      s"diamond kernel not implemented for $dggsType (ISEA4D only)")
+    new Isea4D(vert0LatDeg, vert0LonDeg, azimuthDeg)
   }
 }
 

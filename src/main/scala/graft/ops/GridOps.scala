@@ -243,6 +243,18 @@ object GridOps {
     df
   }
 
+  /** H6 for ISEA4D: point→diamond-cell assignment (`cell_id` D4 int64 +
+    * `name` D4 string). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints4D(points: DataFrame, lonCol: String, latCol: String, res: Int,
+                          lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                          az: Double = Grids.DefaultAz): DataFrame = {
+    import graft.spark.{D4Functions => D}
+    points
+      .withColumn("cell_id", D.cellForPoint(col(lonCol), col(latCol), lit(res), lat0, lon0, az))
+      .withColumn("name", D.d4String(col("cell_id")))
+  }
+
   /** H7: address transform between Z7 int64, Z7_STRING, SEQNUM (engine
     * canonical), and GEO center (dggrid_runner.py:1962-2025).
     */

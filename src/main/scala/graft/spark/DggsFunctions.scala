@@ -284,6 +284,51 @@ object T4Functions {
   }
 }
 
+/** Column functions for the ISEA4D aperture-4 diamond kernel (D4 ids;
+  * graft.dggs.Isea4D).
+  */
+object D4Functions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.{Isea4DGrids, D4}
+
+  def cellForPoint(lon: Column, lat: Column, res: Column,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Isea4DGrids.get(lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  private lazy val toStringUdf = udf((id: Long) => D4.toD4String(id))
+  def d4String(cell: Column): Column = toStringUdf(cell)
+  private lazy val fromStringUdf = udf((s: String) => D4.fromD4String(s))
+  def d4FromString(s: Column): Column = fromStringUdf(s)
+  private lazy val ancestorUdf = udf((id: Long, r: Int) => D4.ancestorAt(id, r))
+  def d4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  private lazy val childrenUdf = udf((id: Long) => D4.children(id))
+  def d4Children(cell: Column): Column = childrenUdf(cell)
+  private lazy val descendantsUdf = udf((id: Long, r: Int) => D4.descendants(id, r))
+  def d4DescendantsAt(cell: Column, r: Column): Column = descendantsUdf(cell, r)
+
+  def cellCenter(cell: Column, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val c = Isea4DGrids.get(lat0, lon0, az).cellCenter(id)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  def cellBoundary(cell: Column, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      Isea4DGrids.get(lat0, lon0, az).cellBoundary(id).map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+}
+
 /** Authalic latitude conversions as Column functions (reference
   * auxlat.py — applied per vertex for geometry, per point for inputs).
   */
