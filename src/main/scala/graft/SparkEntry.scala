@@ -81,6 +81,8 @@ object SparkEntry {
     "emb_lsh_topk" -> ((s, dir) =>
       VectorOps.lshTopK(Tables.tbl(s, dir, "embeddings"), 3)
         .select(col("vec_id"), col("rnk"), col("neighbor"), col("cos"))),
+    "emb_ivf_topk" -> ((s, dir) =>
+      VectorOps.ivfTopK(Tables.tbl(s, dir, "embeddings"), 3, 16, 2)),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
@@ -106,6 +108,17 @@ object SparkEntry {
         col("n_bytes"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         col("frame_count").cast("long").as("frame_count")) ++ histCols: _*)
+    }),
+    "media_frames" -> ((s, dir) => {
+      val media = MediaOps.syntheticMedia(
+        CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      MediaOps.sampleFrames(media).toDF()
+        .select(col("doc_id"), col("media_ref"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_offset").cast("long").as("frame_offset"),
+          length(col("frame_payload")).cast("long").as("frame_len"),
+          conv(substring(hex(col("frame_payload")), 1, 2), 16, 10)
+            .cast("long").as("frame_head"))
     }),
     "raster_points" -> ((s, _) => {
       val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
@@ -456,6 +469,34 @@ object SparkEntry {
         |UNION ALL
         |SELECT '172031' AS parent, '172031' || d1.x || d2.x || d3.x || d4.x AS name
         |FROM d d1, d d2, d d3, d d4""".stripMargin,
+    "emb_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> v[i]*v[i]), 'sum')) AS nrm FROM e),
+        |cents AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |sim AS (SELECT n.vec_id AS vec_id, c,
+        |          list_aggregate(list_transform(generate_series(1, 64),
+        |            i -> v[i]*cv[i]), 'sum') / (nrm*cnrm) AS cs
+        |        FROM n, cents),
+        |ranked AS (SELECT vec_id, c,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY cs DESC, c ASC) AS rk
+        |           FROM sim),
+        |tb AS (SELECT vec_id, c AS bucket FROM ranked WHERE rk = 1),
+        |qp AS (SELECT vec_id, c AS probe FROM ranked WHERE rk <= 2),
+        |p AS (SELECT q.vec_id AS vec_id, t.vec_id AS neighbor,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+        |      FROM qp q JOIN tb t ON q.probe = t.bucket AND q.vec_id <> t.vec_id
+        |      JOIN n a ON a.vec_id = q.vec_id
+        |      JOIN n b ON b.vec_id = t.vec_id)
+        |SELECT vec_id, rnk, neighbor, cos FROM (
+        |  SELECT vec_id, neighbor, cos,
+        |         CAST(row_number() OVER (PARTITION BY vec_id
+        |              ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rnk
+        |  FROM p)
+        |WHERE rnk <= 3""".stripMargin,
     // ---- ISEA4D oracles (frozen d6 column; D4 nests exactly) ----
     "dggs_4d_stats" ->
       """SELECT r AS resolution,
@@ -687,6 +728,24 @@ object SparkEntry {
         val ch = "0123456789abcdef".charAt(v)
         s"  CAST(128 - length(replace(hx, '$ch', '')) AS BIGINT) AS h$v"
       }.mkString(",\n") + "\nFROM px"),
+    "media_frames" ->
+      (s"""WITH $corpusCte,
+          |media AS (SELECT printf('doc-%012d', i) AS doc_id, media_ref,
+          |            md5(media_ref) || md5(media_ref || '1') ||
+          |            md5(media_ref || '2') || md5(media_ref || '3') AS px
+          |          FROM spans WHERE kind = 'media' AND off % 3 = 2),
+          |v AS (SELECT doc_id, media_ref, px,
+          |        (strpos('0123456789abcdef', substr(px, 2, 1)) - 1) % 4 + 1 AS n
+          |      FROM media),
+          |frames AS (SELECT doc_id, media_ref, px, 64 // n AS flen,
+          |             unnest(generate_series(0, n - 1)) AS fi FROM v)
+          |SELECT doc_id, media_ref, CAST(fi AS BIGINT) AS frame_idx,
+          |  CAST(fi * flen AS BIGINT) AS frame_offset,
+          |  CAST(flen AS BIGINT) AS frame_len,
+          |  CAST((strpos('0123456789abcdef', substr(px, fi*flen*2 + 1, 1)) - 1) * 16
+          |     + (strpos('0123456789abcdef', substr(px, fi*flen*2 + 2, 1)) - 1)
+          |    AS BIGINT) AS frame_head
+          |FROM frames""".stripMargin),
     "raster_points" ->
       """WITH px AS (
         |  SELECT (r // 64) * 4 + (c // 64) AS tile_id, r AS px_row, c AS px_col,

@@ -95,6 +95,33 @@ object MediaOps {
       }
   }
 
+  final case class MediaFrame(doc_id: String, media_ref: String, frame_idx: Int,
+                              frame_offset: Int, frame_payload: Array[Byte])
+
+  /** frame sampling for video payloads, partition-wise: one row per
+    * sampled frame carrying the frame's byte slice (the shape a training
+    * pipeline hands to a per-frame encoder). Deterministic stub offsets
+    * (`frameOffsets`); swap for keyframe detection without touching the
+    * Spark plumbing.
+    */
+  def sampleFrames(media: DataFrame): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("media_type") === "video")
+      .select("doc_id", "media_ref", "payload")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (doc, ref, payload) =>
+          val offs = frameOffsets(payload)
+          val flen = math.max(1, payload.length / offs.length)
+          offs.zipWithIndex.map { case (off, i) =>
+            MediaFrame(doc, ref, i, off,
+              payload.slice(off, math.min(payload.length, off + flen)))
+          }
+        }
+      }
+  }
+
   /** features → dense float vector (joins the VectorOps ANN path). */
   def featureVectors(features: Dataset[MediaFeature]): DataFrame =
     features.toDF().select(col("doc_id"), col("media_ref"),

@@ -85,6 +85,46 @@ object VectorOps {
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path next
+    * to LSH. Centroids are the `nCentroids` lowest-id vectors
+    * (deterministic "training" so the DuckDB oracle reproduces the
+    * algorithm bit-for-bit; swap in k-means offline for quality).
+    * Every vector is assigned to its argmax-cosine centroid (bucket);
+    * a query probes its `nProbe` nearest centroids and pays exact
+    * cosine only against those buckets' members — candidate generation
+    * is a bucket equi-join, cost N·nCentroids + candidates, never N².
+    */
+  def ivfTopK(embs: DataFrame, k: Int = 3, nCentroids: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val e = withNorm(embs).cache()
+    val cents = e.where(col("vec_id") < nCentroids).orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2)))
+    val sims = array(cents.map { case (c, cv, cn) =>
+      struct((dot(col("e"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cs"),
+        lit(c).as("c"))
+    }.toSeq: _*)
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .otherwise(when(l.getField("c") < r.getField("c"), -1)
+          .when(l.getField("c") > r.getField("c"), 1).otherwise(0))
+    val withSorted = e.withColumn("srt", array_sort(sims, cmp))
+    val targets = withSorted
+      .withColumn("bucket", element_at(col("srt"), 1).getField("c")).drop("srt")
+    val queries = withSorted
+      .withColumn("probe",
+        explode(transform(slice(col("srt"), 1, nProbe), x => x.getField("c"))))
+      .drop("srt")
+    val pairs = queries.as("a").join(targets.as("b"),
+        col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket, refined
     * by exact cosine. Equi-join on bucket → broadcast/AQE friendly.
     */
