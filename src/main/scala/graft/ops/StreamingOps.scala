@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.spark.{DggsFunctions => F}
 
 /** Structured Streaming surface: the cell math is a narrow stateless
@@ -37,4 +38,44 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDur),
         F.z7AncestorAt(col("cell_id"), lit(toRes)).as("cell_coarse"))
       .agg(count(lit(1)).as("n"))
+
+  /** per-content-hash dedup state: the first doc that claimed the hash +
+    * how many duplicates have been seen since
+    */
+  final case class SeenState(firstDocId: String, nDups: Long)
+  final case class DedupVerdict(h: String, doc_id: String, keep: Boolean, dup_of: String)
+
+  /** Streaming exact dedup with CUSTOM STATE (flatMapGroupsWithState —
+    * the stateful primitive the batch `TextOps.dedupExact` cannot give a
+    * stream): first document to arrive with a content hash is kept; every
+    * later arrival (same batch or any later batch) is flagged with the
+    * keeper's id. Within a batch, arrival order is made deterministic by
+    * doc id (min wins), matching `dedupExact`'s `min(doc_id)` contract.
+    * State is one (hash → first id, dup count) entry per distinct
+    * content hash, partitioned by the hash — the same content-key
+    * sharding as the batch pipeline, so hot shards don't form.
+    */
+  def dedupExactStream(stream: DataFrame, idCol: String, textCol: String)
+  : Dataset[DedupVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(md5(col(textCol).cast("binary")).as("h"),
+        col(idCol).cast("string").as("doc_id"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(String, String)], state: GroupState[SeenState]) =>
+          val ids = rows.map(_._2).toVector.sorted
+          val prior = state.getOption
+          val first = prior.map(_.firstDocId).getOrElse(ids.head)
+          val dupsBefore = prior.map(_.nDups).getOrElse(0L)
+          state.update(SeenState(first,
+            dupsBefore + (if (prior.isEmpty) ids.size - 1 else ids.size)))
+          ids.iterator.map { id =>
+            DedupVerdict(h, id, keep = prior.isEmpty && id == first,
+              dup_of = if (id == first && prior.isEmpty) "" else first)
+          }
+      }
+  }
 }

@@ -184,6 +184,31 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n") == 2))
   }
 
+  test("streaming stateful exact dedup: first-seen wins across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.dedupExactStream(stream, "doc_id", "text")
+    val q = out.toDF().writeStream.format("memory").queryName("dedup")
+      .outputMode("update").start()
+    // batch 1: d2 and d5 share content; min id (d2) must win
+    mem.addData(("d5", "same text"), ("d2", "same text"), ("d1", "unique a"))
+    q.processAllAvailable()
+    // batch 2: a LATER batch re-sends the same content + a new doc
+    mem.addData(("d0", "same text"), ("d9", "unique b"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM dedup").collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Boolean]("keep"),
+        r.getAs[String]("dup_of"))).toSet
+    q.stop()
+    assert(rows.contains(("d2", true, "")))      // first claimant kept
+    assert(rows.contains(("d5", false, "d2")))   // same-batch duplicate
+    assert(rows.contains(("d0", false, "d2")))   // cross-batch duplicate
+    assert(rows.contains(("d1", true, "")))
+    assert(rows.contains(("d9", true, "")))
+  }
+
   test("Q2DI round trip over res-3 cells") {
     import spark.implicits._
     import graft.spark.Q2diFunctions
