@@ -170,6 +170,12 @@ object SparkEntry {
       GridOps.gridCellIdsForExtent(s, 4, Some((20.2, 57.0, 28.4, 60.0)))
         .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
     }),
+    "dggs_wkt_extent_ids" -> ((s, _) => {
+      // arbitrary-geometry clip (reference clip_subset_type GDAL):
+      // distributed cover expansion, no driver-side cell materialization
+      SpatialOps.gridCellIdsForWkt(s, OracleFixtures.wktClip, 5)
+        .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
+    }),
     "dggs_coarse_children" -> ((s, _) => {
       import s.implicits._
       import graft.spark.{DggsFunctions => F}
@@ -433,6 +439,7 @@ object SparkEntry {
          |SELECT substr(c5, 1, 4) AS name2, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
     "dggs_extent_ids" -> OracleFixtures.extentIdsSql,
+    "dggs_wkt_extent_ids" -> OracleFixtures.wktExtentSql,
     "dggs_dateline_split" -> OracleFixtures.datelineSql,
     "dggs_coarse_children" ->
       // Z7 descendants of a non-pentagon parent = every digit string over
