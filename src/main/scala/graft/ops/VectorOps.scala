@@ -109,13 +109,16 @@ object VectorOps {
         .when(l.getField("cs") < r.getField("cs"), 1)
         .otherwise(when(l.getField("c") < r.getField("c"), -1)
           .when(l.getField("c") > r.getField("c"), 1).otherwise(0))
-    val withSorted = e.withColumn("srt", array_sort(sims, cmp))
-    val targets = withSorted
-      .withColumn("bucket", element_at(col("srt"), 1).getField("c")).drop("srt")
-    val queries = withSorted
-      .withColumn("probe",
-        explode(transform(slice(col("srt"), 1, nProbe), x => x.getField("c"))))
-      .drop("srt")
+    // centroid scoring happens ONCE per row (cached): both the target
+    // (bucket = best centroid) and query (nProbe best) branches reuse it
+    val assigned = e
+      .withColumn("probes", transform(array_sort(sims, cmp), x => x.getField("c")))
+      .cache()
+    val targets = assigned
+      .withColumn("bucket", element_at(col("probes"), 1)).drop("probes")
+    val queries = assigned
+      .withColumn("probe", explode(slice(col("probes"), 1, nProbe)))
+      .drop("probes")
     val pairs = queries.as("a").join(targets.as("b"),
         col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
