@@ -40,6 +40,25 @@ class AddrSpec extends AnyFunSuite {
     }
   }
 
+  test("error contract: INTERLEAVE/Z3/ZORDER raise the aperture-3/4 constraint") {
+    // mirrors the reference's own type constraint (dggrid_runner.py:125)
+    // and its ValueError error-contract style (dggrid_runner.py:2077-2086)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val cells = Seq("00123").toDF("name")
+    for (bad <- Seq("INTERLEAVE", "Z3", "ZORDER")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.GridOps.addressTransform(cells, "name", "Z7_STRING", bad, 3)
+      }
+      assert(e.getMessage.contains("aperture-3/4"), bad)
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.GridOps.addressTransform(cells, "name", "WAT", "Z7", 3)
+    }
+    assert(e2.getMessage.contains("unsupported input"))
+  }
+
   test("Q2DD chart coords land inside the unit quad chart (deep res spot check)") {
     val ids = (0 until 100).map(i => Z7.pack(i % 12, Seq(1, 3, 0, (i % 7), 5, (i * 3) % 7)))
       .filter(z => !Z7.isPentagon(Z7.ancestorAt(z, 0)) || Z7.digits(z).forall(_ != 2))
