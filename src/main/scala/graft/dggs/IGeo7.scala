@@ -274,11 +274,21 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
   def cellForPoint(p: GeoRad, r: Int): Long = {
     val fix = fixForPoint(p, r)
     val fast = fastWalk(fix)
-    if (fast != -1L) fast
-    else {
-      val (vtx, digits) = digitsOf(fix)
-      Z7.pack(baseOfVertex(vtx), digits.toSeq)
+    if (fast != -1L) return fast
+    // cut-edge / cross-quad-home case (~1/6 of cells: the walk's first
+    // nonzero digit came out 2, meaning the cell's label-home chart is
+    // across a quad edge): retry the PRIMITIVE walk on each re-expressed
+    // fix — same order and validity rule as digitsOf, measured ~3×
+    // cheaper than falling straight into the allocating general path
+    val cfs = crossFixes(fix)
+    var i = 0
+    while (i < cfs.length) {
+      val z = fastWalk(cfs(i))
+      if (z != -1L) return z
+      i += 1
     }
+    val (vtx, digits) = digitsOf(fix)
+    Z7.pack(baseOfVertex(vtx), digits.toSeq)
   }
 
   /** allocation-free primitive walk covering the common case (ends at a
@@ -286,6 +296,9 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     * -1 to fall back to the general path. Identical arithmetic to
     * digitsOf (sevenSplit inlined on primitive longs).
     */
+  /** diagnostic hook for tools.BenchKernel (fallback-rate measurement) */
+  def fastWalkProbe(fix: CellFix): Long = fastWalk(fix)
+
   private def fastWalk(fix: CellFix): Long = {
     val r = fix.res
     var va = fix.v.a; var vb = fix.v.b
