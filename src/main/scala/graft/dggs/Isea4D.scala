@@ -86,6 +86,18 @@ object D4 {
     pack(quad, ds)
   }
 
+  /** contiguous id range [min,max] of this cell's descendants at
+    * `atRes` (ids carry the res in high bits — range is per-target-res)
+    */
+  def rangeAt(id: Long, atRes: Int): (Long, Long) = {
+    val r = resolution(id)
+    require(atRes >= r)
+    val base = ((quad(id).toLong * 32 + atRes) << 48) | (id & ((1L << 48) - 1))
+    val spare = 48 - 2 * atRes
+    val lowMask = (1L << (48 - 2 * r)) - 1 & ~((1L << spare) - 1)
+    (base, base | lowMask)
+  }
+
   def toD4String(id: Long): String = {
     val sb = new StringBuilder
     val q = quad(id)

@@ -37,4 +37,20 @@ object CorpusStore {
   def readCellPrefix(spark: SparkSession, dir: String, cellCol: String,
                      prefix: String): DataFrame =
     readCellRange(spark, dir, cellCol, Z7.fromZ7String(prefix))
+
+  /** T4/D4 variants: triangle and diamond ids carry the resolution in
+    * their high bits, so the descendant range is per-target-resolution
+    * (the stored column's resolution). Same contiguous-BETWEEN pruning.
+    */
+  def readT4Range(spark: SparkSession, dir: String, cellCol: String,
+                  parent: Long, storedRes: Int): DataFrame = {
+    val (lo, hi) = graft.dggs.T4.rangeAt(parent, storedRes)
+    spark.read.parquet(dir).where(col(cellCol) >= lo && col(cellCol) <= hi)
+  }
+
+  def readD4Range(spark: SparkSession, dir: String, cellCol: String,
+                  parent: Long, storedRes: Int): DataFrame = {
+    val (lo, hi) = graft.dggs.D4.rangeAt(parent, storedRes)
+    spark.read.parquet(dir).where(col(cellCol) >= lo && col(cellCol) <= hi)
+  }
 }

@@ -253,4 +253,25 @@ class CorpusStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select(input_file_name()).distinct().count()
     assert(touched < allFiles, s"touched $touched of $allFiles files (no pruning?)")
   }
+
+  test("T4/D4 clustered range reads equal ancestor filters and prune files") {
+    import spark.implicits._
+    val geo = CorpusOps.geoSpans(
+      CorpusOps.interleavedDocs((0L until 20000L).toDF("doc_id")))
+    // D4 path (T4.rangeAt is covered by Isea4TSpec; exercise the store
+    // end-to-end with the diamond kernel)
+    val cells = GridOps.cellsForGeoPoints4D(geo, "lon", "lat", 6)
+      .select("doc_id", "offset", "cell_id")
+    val dir = java.nio.file.Files.createTempDirectory("clustered4d").toString
+    CorpusStore.writeClustered(cells, "cell_id", dir, 16)
+    val parent = graft.dggs.D4.fromD4String("0312") // res-2 region
+    val pruned = CorpusStore.readD4Range(spark, dir, "cell_id", parent, 6)
+    val full = spark.read.parquet(dir)
+    val expected = full.where(
+      graft.spark.D4Functions.d4AncestorAt(col("cell_id"), lit(2)) === parent)
+    assert(pruned.count() == expected.count() && pruned.count() > 0)
+    assert(pruned.except(expected).count() == 0)
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched < full.inputFiles.length)
+  }
 }
