@@ -383,15 +383,17 @@ object SparkEntry {
       |sh AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash64
       |       FROM chars GROUP BY doc_id)""".stripMargin
 
-  /** exact Hamming distance between two 16-hex-char simhashes `h_a`,
-    * `h_b`: per-position nibble XOR popcount (mirrors
-    * TextOps.simhashPairs)
+  /** 32-bit halves of the 16-hex-char simhash as BIGINTs (the Hamming
+    * refine is then integer XOR popcount — mirrors TextOps.simhashPairs)
     */
-  private val simhashHammingSql: String = (1 to 16).map { p =>
-    val x = s"xor(strpos('0123456789abcdef', substr(h_a, $p, 1)) - 1, " +
-      s"strpos('0123456789abcdef', substr(h_b, $p, 1)) - 1)"
-    s"(($x)//8)%2 + (($x)//4)%2 + (($x)//2)%2 + ($x)%2"
-  }.mkString(" + ")
+  private val simhashHalvesSql: String = {
+    def half(lo: Int): String = (0 until 8).map { i =>
+      val p = lo + i
+      val shift = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr(simhash64, $p, 1)) - 1) * $shift"
+    }.mkString(" + ")
+    s"CAST(${half(1)} AS BIGINT) AS hi, CAST(${half(9)} AS BIGINT) AS lo"
+  }
 
   /** random-hyperplane LSH bucket over a DOUBLE[] column `v` (the same
     * deterministic md5-derived hyperplanes as VectorOps.lshBuckets)
@@ -628,13 +630,20 @@ object SparkEntry {
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashCte,
-         |bands AS (SELECT doc_id, simhash64, b, substr(simhash64, b*4 + 1, 4) AS key
-         |          FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash64 AS h_a,
-         |                y.doc_id AS doc_b, y.simhash64 AS h_b
+         |ih AS (SELECT doc_id, simhash64, $simhashHalvesSql FROM sh),
+         |bands0 AS (SELECT doc_id, hi, lo, b, substr(simhash64, b*4 + 1, 4) AS key
+         |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
+         |          HAVING count(*) <= 10000),
+         |bands AS (SELECT bands0.* FROM bands0
+         |          JOIN bkeep ON bands0.b = bkeep.b AND bands0.key = bkeep.key),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.hi AS hi_a, x.lo AS lo_a,
+         |                y.doc_id AS doc_b, y.hi AS hi_b, y.lo AS lo_b
          |         FROM bands x JOIN bands y
          |           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
-         |ham AS (SELECT doc_a, doc_b, ($simhashHammingSql) AS hamming FROM cand)
+         |ham AS (SELECT doc_a, doc_b,
+         |          bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+         |        FROM cand)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM ham WHERE hamming <= 3""".stripMargin,
     "text_token_stats" ->

@@ -177,24 +177,26 @@ object TextOps {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val hexdigits = "0123456789abcdef"
+    // ONE row per word and ONE partial-aggregated shuffle: all 64 bit
+    // votes (16 hex positions × 4 bits) as wide conditional sums —
+    // the 16×-row explode + two-level groupBy variant shuffled 16N rows
+    // (round-2 plan-shape fix; same trick as the minhash signatures)
     val wordRows = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .select(col("doc_id"), md5(col("w").cast("binary")).as("hh"))
-      .select(col("doc_id"), explode(sequence(lit(1), lit(16))).as("p"), col("hh"))
-      .select(col("doc_id"), col("p"),
-        conv(col("hh").substr(col("p"), lit(1)), 16, 10).cast("int").as("d"))
-    val vote = (mask: Int) =>
-      sum(when(col("d").bitwiseAND(lit(mask)) > 0, lit(1)).otherwise(lit(-1)))
-    val bits = wordRows.groupBy("doc_id", "p")
-      .agg(vote(8).as("s8"), vote(4).as("s4"), vote(2).as("s2"), vote(1).as("s1"))
-    val v = when(col("s8") > 0, lit(8)).otherwise(lit(0)) +
-      when(col("s4") > 0, lit(4)).otherwise(lit(0)) +
-      when(col("s2") > 0, lit(2)).otherwise(lit(0)) +
-      when(col("s1") > 0, lit(1)).otherwise(lit(0))
-    bits.select(col("doc_id"), col("p"), lit(hexdigits).substr(v + 1, lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("c")))), x => x.getField("c")),
-        "").as("simhash64"))
+      // nibbles projected ONCE per row — the 64 vote sums below would
+      // otherwise each re-evaluate conv(substr(...)) (4× per position)
+      .select(col("doc_id") +:
+        (1 to 16).map(p => conv(col("hh").substr(p, 1), 16, 10).cast("int").as(s"n$p")): _*)
+    val votes = for (p <- 1 to 16; mask <- Seq(8, 4, 2, 1)) yield
+      sum(when(col(s"n$p").bitwiseAND(lit(mask)) > 0, lit(1)).otherwise(lit(-1)))
+        .as(s"s_${p}_$mask")
+    val agged = wordRows.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val chars = (1 to 16).map { p =>
+      val v = Seq(8, 4, 2, 1).map(m =>
+        when(col(s"s_${p}_$m") > 0, lit(m)).otherwise(lit(0))).reduce(_ + _)
+      lit(hexdigits).substr(v + 1, lit(1))
+    }
+    agged.select(col("doc_id"), concat(chars: _*).as("simhash64"))
   }
 
   /** SimHash near-duplicate pairs (round-2: the verdict flagged simhash
@@ -205,31 +207,46 @@ object TextOps {
     * Candidates (equi-join on the band value — the scale path) are then
     * refined with the exact nibble-XOR popcount distance.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Band document-frequency cap: a band value shared by more than this
+    * many docs generates ≥ df²/2 candidate pairs (common-word bit bias
+    * makes some 16-bit bands genuinely hot); capped bands are dropped
+    * from candidate generation, like the shingle DF cap. No-op at test
+    * scale, engages at corpus scale.
+    */
+  val DefaultMaxBandDf = 10000L
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   maxBandDf: Long = DefaultMaxBandDf): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole is complete only for maxHamming <= 3; add bands for more")
-    val sig = simhash(docs).cache()
+    // integer signature halves: the Hamming refine is then 2 XOR
+    // popcounts per pair instead of 16 hex-char extractions (round-2
+    // plan fix — band collisions make the candidate set large, so the
+    // per-pair refine cost is what matters)
+    val sig = simhash(docs)
+      .select(col("doc_id"), col("simhash64"),
+        conv(substring(col("simhash64"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("simhash64"), 9, 8), 16, 10).cast("long").as("lo"))
+      .cache()
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("b"), substring(col("simhash64"), b * 4 + 1, 4).as("key")))
     val bands = sig
-      .select(col("doc_id"), col("simhash64"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash64"),
+      .select(col("doc_id"), col("hi"), col("lo"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("hi"), col("lo"),
         col("bk.b").as("b"), col("bk.key").as("key"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
+    val keep = bands.groupBy("b", "key").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxBandDf).select("b", "key")
+    val capped = bands.join(keep, Seq("b", "key"))
+    val cand = capped.as("x")
+      .join(capped.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.simhash64").as("h_a"),
-        col("y.doc_id").as("doc_b"), col("y.simhash64").as("h_b"))
+      .select(col("x.doc_id").as("doc_a"), col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
+        col("y.doc_id").as("doc_b"), col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
       .distinct()
-    // exact Hamming: per hex position, popcount of the nibble XOR
-    def nib(c: Column, p: Int): Column =
-      conv(c.substr(p, 1), 16, 10).cast("int")
-    val hamming = (1 to 16).map { p =>
-      val x = nib(col("h_a"), p).bitwiseXOR(nib(col("h_b"), p))
-      shiftright(x, 3).bitwiseAND(lit(1)) + shiftright(x, 2).bitwiseAND(lit(1)) +
-        shiftright(x, 1).bitwiseAND(lit(1)) + x.bitwiseAND(lit(1))
-    }.reduce(_ + _)
+    val hamming = bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+      bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
     cand.withColumn("hamming", hamming.cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
