@@ -160,6 +160,14 @@ object SparkEntry {
       GridOps.binPointVals(geo, "lon", "lat", "v", 4)
         .select(col("name"), col("value_mean"), col("value_count"))
     }),
+    "dggs_bin_values_all" -> ((s, dir) => {
+      // OUTPUT_ALL: every extent cell appears, unoccupied with count 0
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+        .withColumn("v", (col("lon_mdeg") % 1000).cast("double"))
+      GridOps.binPointValsAll(geo, "lon", "lat", "v", 4,
+          Some((20.2, 57.0, 28.4, 60.0)))
+        .select(col("name"), col("value_mean"), col("value_count"))
+    }),
     "dggs_presence" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
         .withColumn("cls", (col("offset") % 3).cast("string"))
@@ -441,6 +449,15 @@ object SparkEntry {
          |SELECT substr(c5, 1, 4) AS name2, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
     "dggs_extent_ids" -> OracleFixtures.extentIdsSql,
+    "dggs_bin_values_all" ->
+      s"""WITH $geoCellsCte,
+         |agg AS (SELECT c4, avg(CAST(lon_mdeg % 1000 AS DOUBLE)) AS value_mean,
+         |               count(*) AS cnt
+         |        FROM gc GROUP BY 1),
+         |ext AS (${OracleFixtures.extentIdsSql})
+         |SELECT ext.name AS name, agg.value_mean,
+         |       COALESCE(agg.cnt, 0) AS value_count
+         |FROM ext LEFT JOIN agg ON ext.name = agg.c4""".stripMargin,
     "dggs_wkt_extent_ids" -> OracleFixtures.wktExtentSql,
     "dggs_dateline_split" -> OracleFixtures.datelineSql,
     "dggs_coarse_children" ->

@@ -88,11 +88,17 @@ object CorpusOps {
   def geoSpans(corpus: DataFrame): DataFrame = {
     val lonS = regexp_extract(col("text"), "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 1)
     val latS = regexp_extract(col("text"), "POINT\\(([-0-9.]+) ([-0-9.]+)\\)", 2)
+    // ANSI-safe: the '' → DOUBLE cast must not blow up if Catalyst ever
+    // evaluates the projection speculatively on non-geo rows (observed
+    // once the extent join of binPointValsAll entered the plan); non-geo
+    // rows are filtered out regardless
+    def mdeg(s: Column): Column =
+      round(when(s === "", lit(null)).otherwise(s).cast("double") * 1000.0).cast("long")
     explodedSpans(corpus)
       .where(col("kind") === "geo")
       .select(col("doc_id"), col("offset"),
-        round(lonS.cast("double") * 1000.0).cast("long").as("lon_mdeg"),
-        round(latS.cast("double") * 1000.0).cast("long").as("lat_mdeg"))
+        mdeg(lonS).as("lon_mdeg"),
+        mdeg(latS).as("lat_mdeg"))
       // lon/lat rebuilt from the exact integer milli-degrees with a single
       // division — bit-identical on any IEEE engine (a parse of the
       // printed "%.3f" can differ from `-180.0 + k/1000.0` by 1 ulp)

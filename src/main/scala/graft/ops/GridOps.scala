@@ -184,6 +184,47 @@ object GridOps {
       .groupBy("cell_id", "name")
       .agg(avg(col(valCol)).as("value_mean"), count(lit(1)).as("value_count"))
 
+  /** O3 with OUTPUT_ALL (reference `cell_output_control OUTPUT_ALL` —
+    * dggrid_runner.py:1167-1168): every cell of the extent appears,
+    * unoccupied cells with count 0 and null mean (a right-join of the
+    * occupied aggregate against generated cells).
+    */
+  def binPointValsAll(points: DataFrame, lonCol: String, latCol: String,
+                      valCol: String, res: Int,
+                      clip: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val occupied = binPointVals(points, lonCol, latCol, valCol, res)
+      .select("cell_id", "value_mean", "value_count")
+    gridCellIdsForExtent(points.sparkSession, res, clip)
+      .join(occupied, Seq("cell_id"), "left")
+      .select(col("cell_id"), F.z7String(col("cell_id")).as("name"),
+        col("value_mean"),
+        coalesce(col("value_count"), lit(0L)).as("value_count"))
+  }
+
+  /** H6 with cell_ids_only=False (reference dggrid_runner.py:1936-1954):
+    * the covering cells materialized as polygons, id column renamed
+    * `zone`, input columns carried through — keyed by the input row
+    * (doc columns), not positionally (positional order does not survive
+    * a shuffle; the reference's own tests compare as sorted sets).
+    */
+  def cellsForGeoPointsPolygons(points: DataFrame, lonCol: String, latCol: String,
+                                res: Int,
+                                lat0: Double = Grids.DefaultLat,
+                                lon0: Double = Grids.DefaultLon,
+                                az: Double = Grids.DefaultAz): DataFrame =
+    cellsForGeoPoints(points, lonCol, latCol, res, lat0, lon0, az)
+      .withColumnRenamed("name", "zone")
+      .withColumn("boundary", F.cellBoundary(col("cell_id"), lat0, lon0, az))
+      .withColumn("wkt", F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az))
+
+  /** H4: centroids for an explicit cell-id list (z7 strings). */
+  def gridCellCentroidsFromCellIds(cells: DataFrame, idCol: String,
+                                   lat0: Double = Grids.DefaultLat,
+                                   lon0: Double = Grids.DefaultLon,
+                                   az: Double = Grids.DefaultAz): DataFrame =
+    cells.withColumn("cell_id", F.z7FromString(col(idCol)))
+      .withColumn("center", F.cellCenter(col("cell_id"), lat0, lon0, az))
+
   /** O4 BIN_POINT_PRESENCE: per-cell presence bit-vector over classes
     * + number of classes present (dggrid_runner.py:1121-1202).
     */

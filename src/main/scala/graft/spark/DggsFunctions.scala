@@ -282,6 +282,16 @@ object T4Functions {
     }
     f(cell).cast("array<struct<lon:double,lat:double>>")
   }
+
+  def cellBoundaryWkt(cell: Column, lat0: Double = Grids.DefaultLat,
+                      lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val ring = Isea4TGrids.get(lat0, lon0, az).cellBoundary(id)
+      (ring :+ ring.head).map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f")
+        .mkString("POLYGON ((", ", ", "))")
+    }
+    f(cell)
+  }
 }
 
 /** Column functions for the ISEA4D aperture-4 diamond kernel (D4 ids;
@@ -326,6 +336,16 @@ object D4Functions {
       Isea4DGrids.get(lat0, lon0, az).cellBoundary(id).map(g => (g.lonDeg, g.latDeg))
     }
     f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+
+  def cellBoundaryWkt(cell: Column, lat0: Double = Grids.DefaultLat,
+                      lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val ring = Isea4DGrids.get(lat0, lon0, az).cellBoundary(id)
+      (ring :+ ring.head).map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f")
+        .mkString("POLYGON ((", ", ", "))")
+    }
+    f(cell)
   }
 }
 

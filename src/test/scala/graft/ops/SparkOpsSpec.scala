@@ -81,6 +81,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == total)
   }
 
+  test("cells_for_geo_points polygon variant: zone column + rings; OUTPUT_ALL binning") {
+    import spark.implicits._
+    val pts = Seq((24.7, 59.4, 1.0), (-122.7, 45.4, 2.0)).toDF("lon", "lat", "v")
+    val poly = GridOps.cellsForGeoPointsPolygons(pts, "lon", "lat", 5)
+    assert(poly.columns.contains("zone") && !poly.columns.contains("name"))
+    val rings = poly.select(size(col("boundary"))).as[Int].collect()
+    assert(rings.forall(n => n == 6 || n == 5))
+    // zone equals the assign path's name
+    val names = GridOps.cellsForGeoPoints(pts, "lon", "lat", 5)
+      .select("name").as[String].collect().toSet
+    assert(poly.select("zone").as[String].collect().toSet == names)
+    // OUTPUT_ALL: every extent cell appears exactly once; occupied rows
+    // match the occupied-only aggregate
+    val clip = Some((20.2, 57.0, 28.4, 60.0))
+    val all = GridOps.binPointValsAll(pts, "lon", "lat", "v", 4, clip)
+    val nCells = GridOps.gridCellIdsForExtent(spark, 4, clip).count()
+    assert(all.count() == nCells)
+    assert(all.where(col("value_count") === 0 && col("value_mean").isNotNull).count() == 0)
+    val occ = GridOps.binPointVals(pts, "lon", "lat", "v", 4)
+      .select("name", "value_mean", "value_count")
+    assert(all.where(col("value_count") > 0).select("name", "value_mean", "value_count")
+      .except(occ).count() == 0)
+  }
+
   test("distributed polygon covers equal the driver-side covers (WKT clip)") {
     import spark.implicits._
     // non-rectangular polygon (Estonia-ish pentagon crossing 60°N, where
