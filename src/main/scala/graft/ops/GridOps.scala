@@ -66,6 +66,16 @@ object GridOps {
         "antimeridian-crossing clip boxes are not supported: split the box " +
           "at ±180° and union the two queries (cf. DatelineOps for outputs)")
     }
+    if (clip.isEmpty) {
+      // whole-earth fast path: enumerate via the dense SEQNUM bijection —
+      // spark.range gives even partitioning with no explode chain and no
+      // driver-side level iteration (the right shape for N(9) = 4×10⁸
+      // cells on a cluster; the levelwise path below exists for clips,
+      // where per-level pruning is the point)
+      val n = 10L * math.pow(7.0, res).toLong + 2L
+      return spark.range(1L, n + 1L)
+        .select(F.seqnumToZ7(col("id"), lit(res)).as("cell_id"))
+    }
     var df = (0 to 11).map(b => Z7.pack(b, Seq.empty)).toDF("cell_id")
     for (k <- 1 to res) {
       df = df.select(explode(F.z7Children(col("cell_id"))).as("cell_id"))
