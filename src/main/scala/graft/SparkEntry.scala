@@ -669,7 +669,9 @@ object SparkEntry {
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
         |  CAST(len(text) AS BIGINT) AS len_chars,
         |  CAST(list_aggregate(list_transform(string_split(text, ' '), t -> len(t)), 'sum')
-        |       AS BIGINT) AS sum_token_len
+        |       AS BIGINT) AS sum_token_len,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |       AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "text_lang_id" ->
       """WITH wrds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -252,7 +252,16 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Token statistics per document. */
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenization split most BPE
+    * vocabularies apply before merges (kept ASCII-simple so the Spark
+    * (Java) and DuckDB (RE2) engines agree exactly).
+    */
+  val BpeTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token statistics per document: whitespace tokens + BPE-ish regex
+    * token count.
+    */
   def tokenStats(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     docs.select(
@@ -261,7 +270,8 @@ object TextOps {
       size(array_distinct(w)).cast("long").as("n_uniq_tokens"),
       length(col("text")).cast("long").as("len_chars"),
       aggregate(transform(w, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .as("sum_token_len"))
+        .as("sum_token_len"),
+      regexp_count(col("text"), lit(BpeTokenRegex)).cast("long").as("n_bpe_tokens"))
   }
 
   /** Language-ID by marker-token counts (n-gram/stopword heuristic).
