@@ -122,6 +122,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
+    import spark.implicits._
+    // deterministic world-wide target set dense enough that most queries
+    // resolve in-ring, sparse enough that some escalate — both paths hit
+    val targets = (0 until 8000).map { i =>
+      (s"t$i", -180.0 + (i * 9973 % 360000) / 1000.0, -90.0 + (i * 6271 % 180000) / 1000.0)
+    }.toDF("t_id", "lon", "lat")
+    val queries = (0 until 2000).map { i =>
+      (s"q$i", -180.0 + (i * 7919 % 360000) / 1000.0, -90.0 + (i * 4409 % 180000) / 1000.0)
+    }.toDF("q_id", "lon", "lat")
+    val k = 4
+    val got = SpatialOps.knnJoin(queries, targets, "lon", "lat", k, 2)
+      .select("q_id", "rnk", "t_id").as[(String, Long, String)].collect().toSet
+    // brute force reference (driver-side)
+    val ts = targets.as[(String, Double, Double)].collect()
+    def hav(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val dlat = math.toRadians(lat2 - lat1); val dlon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dlat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dlon / 2), 2)
+      2.0 * graft.dggs.Sphere.EarthRadiusKm * math.asin(math.sqrt(a))
+    }
+    val want = queries.as[(String, Double, Double)].collect().flatMap {
+      case (q, qlon, qlat) =>
+        ts.map { case (t, tlon, tlat) => (t, tlon, tlat, hav(qlon, qlat, tlon, tlat)) }
+          .sortBy { case (t, tlon, tlat, d) => (d, t, tlat, tlon) }
+          .take(k).zipWithIndex
+          .map { case ((t, _, _, _), i) => (q, (i + 1).toLong, t) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("ring1: reciprocity and size over all res-2 cells") {
     val g = Grids.default
     var all: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
