@@ -53,6 +53,38 @@ final case class DggsConf(
 
 object DggsConf {
 
+  /** resolution selection by target cell area / intercell distance
+    * (reference `dggs_res_specify_type ∈ {CELL_AREA,
+    * INTERCELL_DISTANCE}`, dggrid_runner.py:2186-2228 — whose
+    * closest-res helpers raise `not yet implemented`,
+    * dggrid_runner.py:613-620; the closed-form stats make them exact
+    * here). `roundDown=true` (the reference's dggs_res_specify_rnd_down
+    * default) picks the smallest resolution whose cells are ≤ the
+    * target; otherwise the closest by ratio.
+    */
+  def resolutionForCellArea(targetKm2: Double, aperture: Int = 7,
+                            roundDown: Boolean = true, maxRes: Int = 20): Int = {
+    require(targetKm2 > 0, s"target area $targetKm2")
+    val R = Sphere.EarthRadiusKm
+    val earth = 4.0 * math.Pi * R * R
+    def area(r: Int): Double = earth / (10.0 * math.pow(aperture, r))
+    if (roundDown) (0 to maxRes).find(area(_) <= targetKm2).getOrElse(maxRes)
+    else (0 to maxRes).minBy(r => math.abs(math.log(area(r) / targetKm2)))
+  }
+
+  def resolutionForIntercellDistance(targetKm: Double, aperture: Int = 7,
+                                     roundDown: Boolean = true, maxRes: Int = 20): Int = {
+    require(targetKm > 0, s"target distance $targetKm")
+    val R = Sphere.EarthRadiusKm
+    val earth = 4.0 * math.Pi * R * R
+    def cls(r: Int): Double = {
+      val a = earth / (10.0 * math.pow(aperture, r))
+      2.0 * R * math.acos(1.0 - a / (2.0 * math.Pi * R * R))
+    }
+    if (roundDown) (0 to maxRes).find(cls(_) <= targetKm).getOrElse(maxRes)
+    else (0 to maxRes).minBy(r => math.abs(math.log(cls(r) / targetKm)))
+  }
+
   /** the 15 reference presets (dggrid_runner.py:66-85); CUSTOM raises
     * like the reference's `not yet implemented` (dggrid_runner.py:489).
     */

@@ -145,6 +145,22 @@ object DggsFunctions {
     f(cell)
   }
 
+  /** cell as a GeoJSON Feature string (sink parity: the reference's
+    * GDAL formats — GeoJSON/GPKG/FlatGeobuf, dggrid_runner.py:44-62 —
+    * are interchange artifacts; GeoJSON is the portable one).
+    */
+  def cellGeoJson(cell: Column, lat0: Double = Grids.DefaultLat,
+                  lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      val ring = Grids.get(lat0, lon0, az).cellBoundary(z)
+      val coords = (ring :+ ring.head)
+        .map(g => f"[${g.lonDeg}%.12f,${g.latDeg}%.12f]").mkString(",")
+      s"""{"type":"Feature","properties":{"name":"${Z7.toZ7String(z)}"},""" +
+        s""""geometry":{"type":"Polygon","coordinates":[[$coords]]}}"""
+    }
+    f(cell)
+  }
+
   /** boundary with n extra vertices per edge (reference `densification`
     * param — projection-plane interpolation; pentagons geodesic).
     */

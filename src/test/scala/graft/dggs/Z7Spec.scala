@@ -133,6 +133,15 @@ class DggsConfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DggsConf("IGEO7", 5).kernelSupported)
     assert(DggsConf("ISEA4T", 5).kernelSupported) // T4 kernel (round 2)
     assert(!DggsConf("ISEA3H", 5).kernelSupported)
+    // resolution selection by area / intercell distance (round 2; the
+    // reference's own helpers raise `not yet implemented`): res-5 ISEA7H
+    // cell area ≈ 3034 km², CLS ≈ 75.9 km
+    assert(DggsConf.resolutionForCellArea(3500.0) == 5)
+    assert(DggsConf.resolutionForCellArea(3034.0) == 6) // roundDown: ≤ target
+    assert(DggsConf.resolutionForCellArea(3034.1, roundDown = false) == 5)
+    // CLS(5) ≈ 62.2 km, CLS(6) ≈ 23.5 km
+    assert(DggsConf.resolutionForIntercellDistance(63.0) == 5)
+    assert(DggsConf.resolutionForIntercellDistance(62.0) == 6)
     assert(DggsConf("IGEO7", 5).grid.isInstanceOf[IGeo7])
   }
 }

@@ -154,6 +154,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("cellGeoJson emits a closed-ring GeoJSON feature with the Z7 name") {
+    import spark.implicits._
+    val z = graft.dggs.Z7.fromZ7String("00123")
+    val s = Seq(z).toDF("cell_id")
+      .select(graft.spark.DggsFunctions.cellGeoJson(col("cell_id")))
+      .as[String].head()
+    assert(s.startsWith("""{"type":"Feature""""))
+    assert(s.contains(""""name":"00123""""))
+    val coords = """\[(-?[0-9.]+),(-?[0-9.]+)\]""".r.findAllIn(s).toSeq
+    assert(coords.size == 7 && coords.head == coords.last) // closed hexagon
+  }
+
   test("ring1: reciprocity and size over all res-2 cells") {
     val g = Grids.default
     var all: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
