@@ -93,7 +93,7 @@ object Bench {
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r]", " ").take(200)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
       }
       results(name) = (System.nanoTime() - t0) / 1e9
       // caches a query built are its own: drop them so later queries are

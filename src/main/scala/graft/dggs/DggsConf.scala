@@ -62,23 +62,37 @@ object DggsConf {
     * default) picks the smallest resolution whose cells are ≤ the
     * target; otherwise the closest by ratio.
     */
-  def resolutionForCellArea(targetKm2: Double, aperture: Int = 7,
-                            roundDown: Boolean = true, maxRes: Int = 20): Int = {
-    require(targetKm2 > 0, s"target area $targetKm2")
+  /** mean cell area at res r for the given aperture/topology (the same
+    * count rules as GridOps.gridStatsTable: hex 10·a^r, triangle 20·4^r,
+    * diamond 10·4^r)
+    */
+  private def meanAreaKm2(r: Int, aperture: Int, topology: String): Double = {
     val R = Sphere.EarthRadiusKm
     val earth = 4.0 * math.Pi * R * R
-    def area(r: Int): Double = earth / (10.0 * math.pow(aperture, r))
+    (aperture, topology) match {
+      case (a, "HEXAGON") => earth / (10.0 * math.pow(a, r))
+      case (4, "TRIANGLE") => earth / (20.0 * math.pow(4, r))
+      case (4, "DIAMOND") => earth / (10.0 * math.pow(4, r))
+      case _ => throw new IllegalArgumentException(s"unsupported $aperture/$topology")
+    }
+  }
+
+  def resolutionForCellArea(targetKm2: Double, aperture: Int = 7,
+                            topology: String = "HEXAGON",
+                            roundDown: Boolean = true, maxRes: Int = 20): Int = {
+    require(targetKm2 > 0, s"target area $targetKm2")
+    def area(r: Int): Double = meanAreaKm2(r, aperture, topology)
     if (roundDown) (0 to maxRes).find(area(_) <= targetKm2).getOrElse(maxRes)
     else (0 to maxRes).minBy(r => math.abs(math.log(area(r) / targetKm2)))
   }
 
   def resolutionForIntercellDistance(targetKm: Double, aperture: Int = 7,
+                                     topology: String = "HEXAGON",
                                      roundDown: Boolean = true, maxRes: Int = 20): Int = {
     require(targetKm > 0, s"target distance $targetKm")
     val R = Sphere.EarthRadiusKm
-    val earth = 4.0 * math.Pi * R * R
     def cls(r: Int): Double = {
-      val a = earth / (10.0 * math.pow(aperture, r))
+      val a = meanAreaKm2(r, aperture, topology)
       2.0 * R * math.acos(1.0 - a / (2.0 * math.Pi * R * R))
     }
     if (roundDown) (0 to maxRes).find(cls(_) <= targetKm).getOrElse(maxRes)

@@ -14,56 +14,14 @@ import Sphere._
   * (digits left-aligned, 2 bits each) — sibling subtrees are contiguous
   * ranges at any fixed resolution.
   */
-object D4 {
-  val MaxRes = 24
+object D4 extends Quat2Codec(1, 10, "quad") {
+  def quad(id: Long): Int = baseOf(id)
+  def toD4String(id: Long): String = toStr(id)
+  def fromD4String(s: String): Long = fromStr(s)
 
-  def pack(quad: Int, digits: Seq[Int]): Long = {
-    require(quad >= 1 && quad <= 10, s"quad $quad")
-    require(digits.size <= MaxRes, s"res ${digits.size} > $MaxRes")
-    var d = 0L
-    var i = 0
-    while (i < digits.size) {
-      val dig = digits(i)
-      require(dig >= 0 && dig <= 3, s"digit $dig")
-      d |= dig.toLong << (48 - 2 * (i + 1))
-      i += 1
-    }
-    ((quad.toLong * 32 + digits.size) << 48) | d
-  }
-
-  def quad(id: Long): Int = ((id >>> 48) / 32).toInt
-  def resolution(id: Long): Int = ((id >>> 48) % 32).toInt
-  def digit(id: Long, i: Int): Int = ((id >>> (48 - 2 * i)) & 3L).toInt
-  def digits(id: Long): Seq[Int] = (1 to resolution(id)).map(digit(id, _))
-
-  def parent(id: Long): Long = {
-    val r = resolution(id)
-    require(r > 0, "res-0 cell has no parent")
-    ancestorAt(id, r - 1)
-  }
-
-  def ancestorAt(id: Long, r: Int): Long = {
-    val res = resolution(id)
-    require(r >= 0 && r <= res, s"ancestor res $r of res-$res cell")
-    val mask = if (r == 0) 0L else ~((1L << (48 - 2 * r)) - 1) & ((1L << 48) - 1)
-    ((quad(id).toLong * 32 + r) << 48) | (id & mask)
-  }
-
-  def children(id: Long): Seq[Long] = {
-    val r = resolution(id)
-    require(r < MaxRes, s"res $r at max")
-    val base = id & ((1L << 48) - 1)
-    (0 to 3).map(d =>
-      ((quad(id).toLong * 32 + (r + 1)) << 48) | base | (d.toLong << (48 - 2 * (r + 1))))
-  }
-
-  def descendants(id: Long, atRes: Int): Seq[Long] = {
-    var cur = Seq(id)
-    for (_ <- resolution(id) until atRes) cur = cur.flatMap(children)
-    cur
-  }
-
-  /** (i, j) grid coords within the quad at the cell's resolution */
+  /** (i, j) grid coords within the quad at the cell's resolution:
+    * digit k (MSB-first) = 2·bit_k(i) + bit_k(j)
+    */
   def toIj(id: Long): (Long, Long) = {
     var i = 0L; var j = 0L
     val r = resolution(id)
@@ -84,34 +42,6 @@ object D4 {
       (((i >> sh) & 1L) << 1 | ((j >> sh) & 1L)).toInt
     }
     pack(quad, ds)
-  }
-
-  /** contiguous id range [min,max] of this cell's descendants at
-    * `atRes` (ids carry the res in high bits — range is per-target-res)
-    */
-  def rangeAt(id: Long, atRes: Int): (Long, Long) = {
-    val r = resolution(id)
-    require(atRes >= r)
-    val base = ((quad(id).toLong * 32 + atRes) << 48) | (id & ((1L << 48) - 1))
-    val spare = 48 - 2 * atRes
-    val lowMask = (1L << (48 - 2 * r)) - 1 & ~((1L << spare) - 1)
-    (base, base | lowMask)
-  }
-
-  def toD4String(id: Long): String = {
-    val sb = new StringBuilder
-    val q = quad(id)
-    if (q < 10) sb.append('0')
-    sb.append(q)
-    var i = 1
-    val r = resolution(id)
-    while (i <= r) { sb.append(('0' + digit(id, i)).toChar); i += 1 }
-    sb.toString
-  }
-
-  def fromD4String(s: String): Long = {
-    require(s.length >= 2, s"bad D4 string '$s'")
-    pack(s.substring(0, 2).toInt, s.drop(2).map(c => c - '0'))
   }
 }
 

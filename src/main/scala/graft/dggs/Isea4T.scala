@@ -22,85 +22,10 @@ import Sphere._
   *
   * String form: 2-digit face + digit chars ("05", "05231", …).
   */
-object T4 {
-  val MaxRes = 24
-
-  def pack(face: Int, digits: Seq[Int]): Long = {
-    require(face >= 0 && face < 20, s"face $face")
-    require(digits.size <= MaxRes, s"res ${digits.size} > $MaxRes")
-    var d = 0L
-    var i = 0
-    while (i < digits.size) {
-      val dig = digits(i)
-      require(dig >= 0 && dig <= 3, s"digit $dig")
-      d |= dig.toLong << (48 - 2 * (i + 1))
-      i += 1
-    }
-    ((face.toLong * 32 + digits.size) << 48) | d
-  }
-
-  def face(id: Long): Int = ((id >>> 48) / 32).toInt
-  def resolution(id: Long): Int = ((id >>> 48) % 32).toInt
-  def digit(id: Long, i: Int): Int = ((id >>> (48 - 2 * i)) & 3L).toInt
-  def digits(id: Long): Seq[Int] = (1 to resolution(id)).map(digit(id, _))
-
-  def parent(id: Long): Long = {
-    val r = resolution(id)
-    require(r > 0, "res-0 cell has no parent")
-    ancestorAt(id, r - 1)
-  }
-
-  def ancestorAt(id: Long, r: Int): Long = {
-    val res = resolution(id)
-    require(r >= 0 && r <= res, s"ancestor res $r of res-$res cell")
-    val mask = if (r == 0) 0L else ~((1L << (48 - 2 * r)) - 1) & ((1L << 48) - 1)
-    ((face(id).toLong * 32 + r) << 48) | (id & mask)
-  }
-
-  def children(id: Long): Seq[Long] = {
-    val r = resolution(id)
-    require(r < MaxRes, s"res $r at max")
-    val base = (id & ((1L << 48) - 1))
-    (0 to 3).map(d =>
-      ((face(id).toLong * 32 + (r + 1)) << 48) | base | (d.toLong << (48 - 2 * (r + 1))))
-  }
-
-  def descendants(id: Long, atRes: Int): Seq[Long] = {
-    val r = resolution(id)
-    require(atRes >= r, s"descendants at $atRes of res-$r cell")
-    var cur = Seq(id)
-    for (_ <- r until atRes) cur = cur.flatMap(children)
-    cur
-  }
-
-  def toT4String(id: Long): String = {
-    val sb = new StringBuilder
-    val f = face(id)
-    if (f < 10) sb.append('0')
-    sb.append(f)
-    var i = 1
-    val r = resolution(id)
-    while (i <= r) { sb.append(('0' + digit(id, i)).toChar); i += 1 }
-    sb.toString
-  }
-
-  def fromT4String(s: String): Long = {
-    require(s.length >= 2, s"bad T4 string '$s'")
-    pack(s.substring(0, 2).toInt, s.drop(2).map(c => c - '0'))
-  }
-
-  /** contiguous id range [min,max] covering all descendants of `id` at
-    * any deeper single resolution — NOTE: unlike Z7, ids carry the res in
-    * high bits, so the range is per-target-res.
-    */
-  def rangeAt(id: Long, atRes: Int): (Long, Long) = {
-    val r = resolution(id)
-    require(atRes >= r)
-    val base = ((face(id).toLong * 32 + atRes) << 48) | (id & ((1L << 48) - 1))
-    val spare = 48 - 2 * atRes
-    val lowMask = (1L << (48 - 2 * r)) - 1 & ~((1L << spare) - 1)
-    (base, base | lowMask)
-  }
+object T4 extends Quat2Codec(0, 19, "face") {
+  def face(id: Long): Int = baseOf(id)
+  def toT4String(id: Long): String = toStr(id)
+  def fromT4String(s: String): Long = fromStr(s)
 }
 
 /** ISEA4T geometry kernel: Snyder ISEA projection (shared with IGeo7) +

@@ -124,13 +124,18 @@ object CheckpointedRun {
     * FileNotFoundException WARN stack (benign but alarming in bench logs).
     */
   def readOutput(spark: SparkSession, outDir: String): DataFrame = {
-    val parts = java.nio.file.Files.list(Paths.get(outDir)).iterator()
-    val paths = scala.collection.mutable.ArrayBuffer[String]()
-    while (parts.hasNext) {
-      val p = parts.next()
-      if (p.getFileName.toString.startsWith("part=")) paths += p.toString
-    }
+    val stream = java.nio.file.Files.list(Paths.get(outDir))
+    val paths =
+      try {
+        val parts = stream.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (parts.hasNext) {
+          val p = parts.next()
+          if (p.getFileName.toString.startsWith("part=")) buf += p.toString
+        }
+        buf.toSeq
+      } finally stream.close()
     require(paths.nonEmpty, s"no committed parts under $outDir")
-    spark.read.parquet(paths.toSeq: _*)
+    spark.read.parquet(paths: _*)
   }
 }

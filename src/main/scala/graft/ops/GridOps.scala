@@ -33,13 +33,17 @@ object GridOps {
       // HEXAGON area — hexes have exactly earthArea/(10·a^r) each and
       // pentagons 5/6 of that (DGGRID's published stats follow this:
       // ISEA3H res 1 = earthArea/30, not /32)
+      // exact Long powers (math.pow loses integers past 2^53)
+      def powL(a: Long, k: Int): Long = {
+        var v = 1L; var i = 0; while (i < k) { v *= a; i += 1 }; v
+      }
       val (cells: Long, area: Double) = (aperture, topology) match {
         case (a, "HEXAGON") =>
-          (10L * math.pow(a, r).toLong + 2, earthArea / (10.0 * math.pow(a, r)))
+          (10L * powL(a, r) + 2, earthArea / (10.0 * math.pow(a, r)))
         case (4, "TRIANGLE") =>
-          (20L * math.pow(4, r).toLong, earthArea / (20.0 * math.pow(4, r)))
+          (20L * powL(4, r), earthArea / (20.0 * math.pow(4, r)))
         case (4, "DIAMOND") =>
-          (10L * math.pow(4, r).toLong, earthArea / (10.0 * math.pow(4, r)))
+          (10L * powL(4, r), earthArea / (10.0 * math.pow(4, r)))
         case _ => throw new IllegalArgumentException(s"unsupported $aperture/$topology")
       }
       // CLS: diameter of the spherical cap with the cell's area
@@ -71,8 +75,9 @@ object GridOps {
       // spark.range gives even partitioning with no explode chain and no
       // driver-side level iteration (the right shape for N(9) = 4×10⁸
       // cells on a cluster; the levelwise path below exists for clips,
-      // where per-level pruning is the point)
-      val n = 10L * math.pow(7.0, res).toLong + 2L
+      // where per-level pruning is the point). N computed in exact Long
+      // math: math.pow loses integers past 2^53 (res ≥ 19).
+      val n = 10L * graft.spark.Seqnum.pow7(res) + 2L
       return spark.range(1L, n + 1L)
         .select(F.seqnumToZ7(col("id"), lit(res)).as("cell_id"))
     }
@@ -137,10 +142,13 @@ object GridOps {
     val boundary =
       if (densify <= 0) F.cellBoundary(col("cell_id"), lat0, lon0, az)
       else F.cellBoundaryDensified(col("cell_id"), lit(densify), lat0, lon0, az)
+    val wkt =
+      if (densify <= 0) F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az)
+      else F.cellBoundaryWktDensified(col("cell_id"), lit(densify), lat0, lon0, az)
     gridCellIdsForExtent(spark, res, clip, lat0, lon0, az)
       .withColumn("name", F.z7String(col("cell_id")))
       .withColumn("boundary", boundary)
-      .withColumn("wkt", F.cellBoundaryWkt(col("cell_id"), lat0, lon0, az))
+      .withColumn("wkt", wkt)
   }
 
   /** H2: centroids for extent. */

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *  - Pairwise ops (jaccard, minhash candidates) shuffle on content keys
   *    (shingle / band signature), never materialize N² — the only N² op
   *    is the brute-force ANN *baseline* in VectorOps.
+  *  - Cache lifecycle: the pair operators cache intermediates consumed by
+  *    multiple plan branches (measured 2-4× recompute without). The
+  *    returned DataFrame is lazy, so the operator cannot unpersist them
+  *    itself — long-lived sessions issuing many ad-hoc pair queries
+  *    should `spark.catalog.clearCache()` between logical jobs (as
+  *    graft.Bench does) or unpersist via the catalog.
   */
 object TextOps {
 
@@ -147,10 +153,13 @@ object TextOps {
     val sigCols = (0 until numHashes).map(h =>
       min(md5(concat(lit(s"$h|"), col("s")).cast("binary"))).as(s"m$h"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+    // ceil-divide so a trailing partial band still participates when
+    // numHashes % rowsPerBand != 0 (parity with the floor(h/rows) banding)
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val hs = (b * rowsPerBand) until math.min(numHashes, (b + 1) * rowsPerBand)
       struct(lit(b).as("b"),
-        concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-          .as("sig"))
+        concat_ws(",", hs.map(h => col(s"m$h")): _*).as("sig"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))

@@ -97,9 +97,12 @@ object VectorOps {
   def ivfTopK(embs: DataFrame, k: Int = 3, nCentroids: Int = 16,
               nProbe: Int = 2): DataFrame = {
     val e = withNorm(embs).cache()
-    val cents = e.where(col("vec_id") < nCentroids).orderBy("vec_id")
+    // the nCentroids lowest-id vectors (NOT `vec_id < n`, which silently
+    // returns an empty centroid set when ids aren't dense 0-based)
+    val cents = e.orderBy("vec_id").limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2)))
+    require(cents.nonEmpty, "ivfTopK: empty embedding input")
     val sims = array(cents.map { case (c, cv, cn) =>
       struct((dot(col("e"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cs"),
         lit(c).as("c"))

@@ -174,6 +174,21 @@ object DggsFunctions {
     f(cell, densify).cast("array<struct<lon:double,lat:double>>")
   }
 
+  /** densified WKT (keeps the `wkt` column consistent with a densified
+    * `boundary` column)
+    */
+  def cellBoundaryWktDensified(cell: Column, densify: Column,
+                               lat0: Double = Grids.DefaultLat,
+                               lon0: Double = Grids.DefaultLon,
+                               az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long, n: Int) =>
+      val ring = Grids.get(lat0, lon0, az).cellBoundaryDensified(z, n)
+      (ring :+ ring.head).map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f")
+        .mkString("POLYGON ((", ", ", "))")
+    }
+    f(cell, densify)
+  }
+
   /** k=1 ring: the 6 (5 for pentagons) adjacent cells (igeo7_ext.py
     * z7_k1_ring semantics, computed exactly in lattice space).
     */
