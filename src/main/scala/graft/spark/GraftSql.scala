@@ -1,0 +1,52 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import graft.dggs.{Addr, Authalic, D4, Sphere, T4, Z7}
+import Sphere.GeoRad
+
+/** SQL-name registration: makes the DGGS surface usable from
+  * `spark.sql(...)` (and thence JDBC/thrift clients) without touching the
+  * Scala API — `SELECT z7_cell(lon, lat, 9) FROM pts`. One call per
+  * session; names are stable and lower_snake.
+  */
+object GraftSql {
+
+  def register(spark: SparkSession): Unit = {
+    val r = spark.udf
+    // Z7 / ISEA7H
+    r.register("z7_cell", (lon: Double, lat: Double, res: Int) =>
+      Grids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
+    r.register("z7_string", (z: Long) => Z7.toZ7String(z))
+    r.register("z7_from_string", (s: String) => Z7.fromZ7String(s))
+    r.register("z7_parent", (z: Long) => Z7.parent(z))
+    r.register("z7_ancestor", (z: Long, res: Int) => Z7.ancestorAt(z, res))
+    r.register("z7_resolution", (z: Long) => Z7.resolution(z))
+    r.register("z7_is_pentagon", (z: Long) => Z7.isPentagon(z))
+    r.register("z7_children", (z: Long) => Z7.children(z))
+    r.register("z7_ring1", (z: Long) => Grids.default.ring1(z).toSeq)
+    r.register("z7_range_min", (z: Long) => Z7.rangeMin(z))
+    r.register("z7_range_max", (z: Long) => Z7.rangeMax(z))
+    r.register("z7_seqnum", (z: Long) => Seqnum.toSeqnum(z))
+    r.register("z7_from_seqnum", (n: Long, res: Int) => Seqnum.toZ7(n, res))
+    r.register("z7_center_lon", (z: Long) => Grids.default.cellCenter(z).lonDeg)
+    r.register("z7_center_lat", (z: Long) => Grids.default.cellCenter(z).latDeg)
+    r.register("z7_boundary_wkt", (z: Long) => {
+      val ring = Grids.default.cellBoundary(z)
+      (ring :+ ring.head).map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f")
+        .mkString("POLYGON ((", ", ", "))")
+    })
+    // T4 / ISEA4T and D4 / ISEA4D
+    r.register("t4_cell", (lon: Double, lat: Double, res: Int) =>
+      graft.dggs.Isea4TGrids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
+    r.register("t4_string", (id: Long) => T4.toT4String(id))
+    r.register("t4_ancestor", (id: Long, res: Int) => T4.ancestorAt(id, res))
+    r.register("d4_cell", (lon: Double, lat: Double, res: Int) =>
+      graft.dggs.Isea4DGrids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
+    r.register("d4_string", (id: Long) => D4.toD4String(id))
+    r.register("d4_ancestor", (id: Long, res: Int) => D4.ancestorAt(id, res))
+    // coordinate conversions
+    r.register("to_authalic_lat", (lat: Double) => Authalic.toAuthalicDeg(lat))
+    r.register("to_geodetic_lat", (lat: Double) => Authalic.toGeodeticDeg(lat))
+    ()
+  }
+}

@@ -154,6 +154,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("SQL surface: registered functions run a full pipeline in spark.sql") {
+    graft.spark.GraftSql.register(spark)
+    import spark.implicits._
+    Seq((24.7, 59.4), (24.8, 59.5), (-122.7, 45.4)).toDF("lon", "lat")
+      .createOrReplaceTempView("pts")
+    val rows = spark.sql(
+      """SELECT z7_string(z7_ancestor(c, 2)) AS name2, count(*) AS n,
+        |       min(z7_seqnum(z7_ancestor(c, 2))) AS seq
+        |FROM (SELECT z7_cell(lon, lat, 6) AS c FROM pts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+    assert(rows.forall(_.getAs[String]("name2").length == 4)) // res-2 string
+    // round-trip + kernel agreement through SQL names
+    val rt = spark.sql(
+      """SELECT z7_from_string(z7_string(z7_cell(24.7, 59.4, 5))) =
+        |       z7_cell(24.7, 59.4, 5) AS ok,
+        |       t4_string(t4_cell(24.7, 59.4, 3)) AS t4,
+        |       d4_string(d4_cell(24.7, 59.4, 3)) AS d4,
+        |       round(to_geodetic_lat(to_authalic_lat(59.4)), 9) AS lat9""".stripMargin)
+      .head()
+    assert(rt.getAs[Boolean]("ok"))
+    assert(rt.getAs[String]("t4").length == 5 && rt.getAs[String]("d4").length == 5)
+    assert(rt.getAs[Double]("lat9") == 59.4)
+  }
+
   test("cellGeoJson emits a closed-ring GeoJSON feature with the Z7 name") {
     import spark.implicits._
     val z = graft.dggs.Z7.fromZ7String("00123")
