@@ -83,6 +83,8 @@ object SparkEntry {
         .select(col("vec_id"), col("rnk"), col("neighbor"), col("cos"))),
     "emb_ivf_topk" -> ((s, dir) =>
       VectorOps.ivfTopK(Tables.tbl(s, dir, "embeddings"), 3, 16, 2)),
+    "emb_near_dup" -> ((s, dir) =>
+      VectorOps.cosineNearDupPairs(Tables.tbl(s, dir, "embeddings"), 0.35)),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
@@ -495,6 +497,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT '172031' AS parent, '172031' || d1.x || d2.x || d3.x || d4.x AS name
         |FROM d d1, d d2, d d3, d d4""".stripMargin,
+    "emb_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, $lshBucketSqlExpr AS bucket FROM e),
+         |n AS (SELECT e.vec_id AS vec_id, v,
+         |        sqrt(list_aggregate(list_transform(generate_series(1, 64),
+         |          i -> v[i]*v[i]), 'sum')) AS nrm, bucket
+         |      FROM e JOIN b ON e.vec_id = b.vec_id)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |       list_aggregate(list_transform(generate_series(1, 64),
+         |         i -> a.v[i]*c.v[i]), 'sum') / (a.nrm*c.nrm) AS cos
+         |FROM n a JOIN n c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE list_aggregate(list_transform(generate_series(1, 64),
+         |        i -> a.v[i]*c.v[i]), 'sum') / (a.nrm*c.nrm) >= 0.35""".stripMargin,
     "emb_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v,

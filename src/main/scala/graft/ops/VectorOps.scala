@@ -131,6 +131,22 @@ object VectorOps {
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (dedup semantics, vs the
+    * top-k search ops): unordered pairs with cosine ≥ minCos, candidates
+    * from the LSH bucket equi-join (two near-identical vectors agree on
+    * every hyperplane sign with overwhelming probability, so bucket
+    * equality is the right candidate generator at dedup thresholds).
+    */
+  def cosineNearDupPairs(embs: DataFrame, minCos: Double = 0.95,
+                         nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val e = withNorm(embs).join(lshBuckets(embs, nBits, dim), "vec_id").cache()
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket, refined
     * by exact cosine. Equi-join on bucket → broadcast/AQE friendly.
     */

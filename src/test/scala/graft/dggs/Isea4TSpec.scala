@@ -88,6 +88,25 @@ class Isea4TSpec extends AnyFunSuite {
     }
   }
 
+  test("T4 extent generation covers every cell of in-box points") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val box = (20.2, 57.0, 28.4, 60.0)
+    val ext = graft.ops.GridOps.gridCellIdsForExtent4T(spark, 5, Some(box))
+      .as[Long].collect().toSet
+    // margin pruning keeps a superset of cells intersecting the box —
+    // in particular every cell that CONTAINS an in-box point
+    val pts = for (i <- 0 until 200) yield GeoRad.fromDeg(
+      57.0 + (i % 20) * 3.0 / 19.0, 20.2 + (i / 20) * 8.2 / 9.0)
+    pts.foreach { p =>
+      val c = g.cellForPoint(p, 5)
+      assert(ext.contains(c), T4.toT4String(c))
+    }
+    assert(ext.size < 20 * 1024) // and it IS a pruned subset of the globe
+  }
+
   test("densified boundaries: vertex count, corner preservation, on-edge points") {
     // T4: plane interpolation
     val t4id = T4.pack(7, Seq(2, 0, 1))
