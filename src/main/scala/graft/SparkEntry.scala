@@ -515,7 +515,8 @@ object SparkEntry {
         |n AS (SELECT vec_id, v,
         |        sqrt(list_aggregate(list_transform(generate_series(1, 64),
         |          i -> v[i]*v[i]), 'sum')) AS nrm FROM e),
-        |cents AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |cents AS (SELECT vec_id AS c, v AS cv, nrm AS cnrm FROM n
+        |          ORDER BY vec_id LIMIT 16),
         |sim AS (SELECT n.vec_id AS vec_id, c,
         |          list_aggregate(list_transform(generate_series(1, 64),
         |            i -> v[i]*cv[i]), 'sum') / (nrm*cnrm) AS cs

@@ -51,7 +51,8 @@ private[dggs] abstract class Quat2Codec(baseLo: Int, baseHi: Int, baseLabel: Str
   }
 
   def descendants(id: Long, atRes: Int): Seq[Long] = {
-    require(atRes >= resolution(id), s"descendants at $atRes of res-${resolution(id)} cell")
+    require(atRes >= resolution(id) && atRes <= MaxRes,
+      s"descendants at $atRes of res-${resolution(id)} cell (max $MaxRes)")
     var cur = Seq(id)
     for (_ <- resolution(id) until atRes) cur = cur.flatMap(children)
     cur
@@ -62,7 +63,9 @@ private[dggs] abstract class Quat2Codec(baseLo: Int, baseHi: Int, baseLabel: Str
     */
   def rangeAt(id: Long, atRes: Int): (Long, Long) = {
     val r = resolution(id)
-    require(atRes >= r)
+    // atRes > MaxRes would make `spare` negative and (since JVM shifts
+    // are mod 64) silently produce a garbage BETWEEN range downstream
+    require(atRes >= r && atRes <= MaxRes, s"rangeAt res $atRes (cell res $r, max $MaxRes)")
     val base = ((baseOf(id).toLong * 32 + atRes) << 48) | (id & ((1L << 48) - 1))
     val spare = 48 - 2 * atRes
     val lowMask = (1L << (48 - 2 * r)) - 1 & ~((1L << spare) - 1)

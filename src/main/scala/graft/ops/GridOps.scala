@@ -94,8 +94,7 @@ object GridOps {
         val lonMargin = lit(marginDeg) /
           cos(radians(least(lit(85.0), abs(c.getField("lat")))))
         df = df.where(
-          c.getField("lon") >= lit(lonMin) - lonMargin &&
-            c.getField("lon") <= lit(lonMax) + lonMargin &&
+          lonDistToRange(c.getField("lon"), lit(lonMin), lit(lonMax)) <= lonMargin &&
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }
@@ -114,6 +113,18 @@ object GridOps {
       df = df.where(inBox)
     }
     df
+  }
+
+  /** wrapped angular distance (deg) from longitude `lon` to the lon
+    * interval [a,b]: 0 inside, else the min wraparound delta to either
+    * edge. Raw `lon >= a-margin && lon <= b+margin` pruning silently
+    * drops cells straddling ±180° whose center normalizes to the other
+    * sign (e.g. center -179.95 for a clip [179,180]) — round-2 ADVICE.
+    */
+  private[ops] def lonDistToRange(lon: Column, a: Column, b: Column): Column = {
+    def wd(y: Column): Column =
+      abs(pmod(lon - y + lit(540.0), lit(360.0)) - lit(180.0))
+    when(lon >= a && lon <= b, lit(0.0)).otherwise(least(wd(a), wd(b)))
   }
 
   private def clipMarginDeg(res: Int): Double = {
@@ -293,8 +304,7 @@ object GridOps {
         val lonMargin = lit(marginDeg) /
           cos(radians(least(lit(85.0), abs(c.getField("lat")))))
         df = df.where(
-          c.getField("lon") >= lit(lonMin) - lonMargin &&
-            c.getField("lon") <= lit(lonMax) + lonMargin &&
+          lonDistToRange(c.getField("lon"), lit(lonMin), lit(lonMax)) <= lonMargin &&
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }

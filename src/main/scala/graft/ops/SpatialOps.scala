@@ -40,19 +40,29 @@ object SpatialOps {
         val c = grid.cellCenter(z)
         // a degree of longitude shrinks by cos(lat): scale the lon margin
         // by 1/cos(lat) (clamped at 85°) so high-latitude cells whose
-        // centers are displaced in lon aren't silently pruned
+        // centers are displaced in lon aren't silently pruned; the lon
+        // test is WRAPPED so a cell straddling ±180° whose center
+        // normalizes to the other sign survives (round-2 ADVICE)
         val lonMargin = margin /
           math.cos(math.toRadians(math.min(85.0, math.abs(c.latDeg))))
-        c.lonDeg >= env.getMinX - lonMargin && c.lonDeg <= env.getMaxX + lonMargin &&
+        lonDistToRangeD(c.lonDeg, env.getMinX, env.getMaxX) <= lonMargin &&
           c.latDeg >= env.getMinY - margin && c.latDeg <= env.getMaxY + margin
       }
     }
     cells.filter { z =>
-      val ring = grid.cellBoundary(z)
-      val coords = (ring :+ ring.head).map(g => new Coordinate(g.lonDeg, g.latDeg))
-      prep.intersects(gf.createPolygon(coords.toArray))
+      val ring = grid.cellBoundary(z).map(g => (g.lonDeg, g.latDeg))
+      JtsCache.ringIntersects(prep, gf, ring)
     }
   }
+
+  /** wrapped angular distance (deg) from lon `p` to interval [a,b] */
+  private def lonDistToRangeD(p: Double, a: Double, b: Double): Double =
+    if (p >= a && p <= b) 0.0
+    else {
+      def wd(y: Double): Double =
+        math.abs((((p - y + 540.0) % 360.0) + 360.0) % 360.0 - 180.0)
+      math.min(wd(a), wd(b))
+    }
 
   /** Distributed covering cells: polygons(poly_id, wkt) → (poly_id, wkt,
     * cell_id) at `res`. The same levelwise expansion as `coverCells` but
@@ -82,8 +92,8 @@ object SpatialOps {
       df = df.select(col("poly_id"), col("wkt"), col("__env"),
           explode(F.z7Children(col("cell_id"))).as("cell_id"))
         .where(
-          c.getField("lon") >= col("__env.minx") - lonMargin &&
-            c.getField("lon") <= col("__env.maxx") + lonMargin &&
+          GridOps.lonDistToRange(c.getField("lon"),
+            col("__env.minx"), col("__env.maxx")) <= lonMargin &&
             c.getField("lat") >= col("__env.miny") - lit(margin) &&
             c.getField("lat") <= col("__env.maxy") + lit(margin))
     }
@@ -255,24 +265,57 @@ object SpatialOps {
   }
 }
 
-/** executor-side cache of prepared polygons for the refine UDF */
+/** executor-side cache of prepared polygons for the refine UDF.
+  * Size-bounded LRU (access order): coverCellsDf is pitched at thousands
+  * of distinct polygons per job, and an unbounded WKT-keyed map would
+  * keep every polygon ever seen resident for the executor JVM lifetime.
+  */
 object JtsCache {
+  private val MaxEntries = 4096
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.locationtech.jts.geom.prep.PreparedGeometry]()
   @transient private lazy val gf = new GeometryFactory()
 
-  private def prepared(wkt: String) =
+  private def prepared(wkt: String) = {
+    // bound the cache: reads must stay lock-free (this is called per ROW
+    // in the refine UDFs), so the eviction policy is the cheapest safe
+    // one — drop everything when full and let the working set rebuild.
+    // A job touching >4096 distinct polygons in one task thrashes, but
+    // that is strictly better than the previous unbounded growth.
+    if (cache.size() > MaxEntries) cache.clear()
     cache.computeIfAbsent(wkt, w =>
       org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
         new WKTReader(gf).read(w)))
+  }
 
   def contains(wkt: String, lon: Double, lat: Double): Boolean =
     prepared(wkt).contains(gf.createPoint(new Coordinate(lon, lat)))
 
   /** prepared-intersects of the polygon against a (lon,lat) ring */
-  def intersectsRing(wkt: String, ring: Seq[(Double, Double)]): Boolean = {
-    val coords = (ring :+ ring.head).map { case (lo, la) => new Coordinate(lo, la) }
-    prepared(wkt).intersects(gf.createPolygon(coords.toArray))
+  def intersectsRing(wkt: String, ring: Seq[(Double, Double)]): Boolean =
+    ringIntersects(prepared(wkt), gf, ring)
+
+  /** Antimeridian-aware ring-vs-prepared-polygon intersects: a cell ring
+    * straddling ±180° has normalized vertex lons on both signs, so the
+    * naive planar polygon spans nearly all longitudes (its interior is
+    * the COMPLEMENT band) and spuriously intersects everything. Detect
+    * the straddle (lon span > 180°) and test the two unwrapped copies —
+    * negative lons +360 (east copy) and positive lons −360 (west copy) —
+    * either of which can touch a clip polygon near ±180.
+    */
+  private[ops] def ringIntersects(
+      prep: org.locationtech.jts.geom.prep.PreparedGeometry,
+      gf: GeometryFactory, ring: Seq[(Double, Double)]): Boolean = {
+    def poly(r: Seq[(Double, Double)]) = {
+      val coords = (r :+ r.head).map { case (lo, la) => new Coordinate(lo, la) }
+      gf.createPolygon(coords.toArray)
+    }
+    val lons = ring.map(_._1)
+    if (lons.max - lons.min > 180.0) {
+      val east = ring.map { case (lo, la) => (if (lo < 0) lo + 360.0 else lo, la) }
+      val west = ring.map { case (lo, la) => (if (lo > 0) lo - 360.0 else lo, la) }
+      prep.intersects(poly(east)) || prep.intersects(poly(west))
+    } else prep.intersects(poly(ring))
   }
 }

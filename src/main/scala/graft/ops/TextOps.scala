@@ -64,9 +64,14 @@ object TextOps {
     */
   def cappedShingles(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
     val sh = shingles(docs, k)
-    val keep = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("s")
-    sh.join(keep, "s")
+    // anti-join against the HOT set (df > maxDf), which is tiny by
+    // construction — broadcast means the full shingle relation is never
+    // shuffled for the cap. (Round-2 regression: joining against the
+    // `df <= maxDf` KEEP set — nearly all shingles — was a full
+    // sort-merge join keyed on long strings: 46 s of an 88.7 s bench.)
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
   }
 
   /** Exact shingle-Jaccard for an explicit pair list: computes n_a, n_b
@@ -97,12 +102,29 @@ object TextOps {
   }
 
   /** N-gram (word 3-shingle) Jaccard near-duplicate pairs with
-    * similarity >= minJaccard. Shuffles on shingle (content key), so two
+    * similarity >= minJaccard — the EXACT VERIFIER, not the production
+    * near-dup path. Shuffles on shingle (content key), so two
     * near-identical docs meet without an N² join; hot shingles are capped
     * by `maxDf` (so a stop-phrase shingle cannot explode the pair join).
+    *
+    * Scale contract: even capped, the co-shingle self-join costs Σ(df²)
+    * over all shingles — fine for calibration corpora, wrong as the
+    * default at corpus scale. The production operator is
+    * [[minhashLshPairs]] (candidate-only refine). `maxDocs` enforces
+    * this: the call fails fast (one cheap count, before the expensive
+    * join is launched) when the input exceeds the calibration bound.
+    * Pass `maxDocs = None` to explicitly opt in to a large exact run.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.8,
-                        maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+                        maxDf: Long = DefaultMaxShingleDf,
+                        maxDocs: Option[Long] = Some(1000000L)): DataFrame = {
+    maxDocs.foreach { cap =>
+      val n = docs.count()
+      require(n <= cap,
+        s"ngramJaccardPairs is the exact all-pairs VERIFIER (cost Σdf²); " +
+          s"input has $n docs > maxDocs=$cap. Use minhashLshPairs as the " +
+          "production near-dup operator, or pass maxDocs = None to opt in.")
+    }
     val sh = cappedShingles(docs, k, maxDf).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -244,9 +266,11 @@ object TextOps {
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("hi"), col("lo"),
         col("bk.b").as("b"), col("bk.key").as("key"))
-    val keep = bands.groupBy("b", "key").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxBandDf).select("b", "key")
-    val capped = bands.join(keep, Seq("b", "key"))
+    // hot-band anti-join (not a keep-join): same inversion as
+    // cappedShingles — the hot set is tiny, broadcast it
+    val hot = bands.groupBy("b", "key").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBandDf).select("b", "key")
+    val capped = bands.join(broadcast(hot), Seq("b", "key"), "left_anti")
     val cand = capped.as("x")
       .join(capped.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
