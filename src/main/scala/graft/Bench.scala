@@ -102,6 +102,23 @@ object Bench {
       // checkpointed rollup without this)
       spark.catalog.clearCache()
     }
+    // full-size raster binning (the correctness query raster_to_cells is
+    // the oracle-checkable 32×32 subset; the 256×256 run is benched here)
+    {
+      import graft.ops.RasterOps
+      val tAff = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
+      val t0r = System.nanoTime()
+      try RasterOps.rasterToCells(RasterOps.syntheticRaster(spark, 256, 256, 64),
+        tAff, RasterOps.proposeDggsRes(RasterOps.pixelEdgeLenM(tAff, 53.7))).count()
+      catch {
+        case e: Throwable =>
+          errors("raster_to_cells_full") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      }
+      results("raster_to_cells_full") = (System.nanoTime() - t0r) / 1e9
+      spark.catalog.clearCache()
+    }
     // flagship throughput on the synthetic corpus (input + warmup untimed;
     // the warmup JITs the kernel on all threads so Bench.main's headline
     // matches BenchScaling's — round-1 verdict #7)

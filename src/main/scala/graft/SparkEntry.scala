@@ -130,8 +130,13 @@ object SparkEntry {
           col("value"), col("lon"), col("lat"))
     }),
     "raster_to_cells" -> ((s, _) => {
+      // correctness subset: the 32×32 pixel corner, binned against the
+      // FROZEN pixel→cell map (OracleFixtures.rasterCellCte). The
+      // full-size 256×256 run stays in Bench as raster_to_cells_full.
       val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
-      RasterOps.rasterToCells(RasterOps.syntheticRaster(s, 256, 256, 64), t,
+      val px = RasterOps.syntheticRaster(s, 256, 256, 64)
+        .where(col("row") < 32 && col("col") < 32)
+      RasterOps.rasterToCells(px, t,
         RasterOps.proposeDggsRes(RasterOps.pixelEdgeLenM(t, 53.7)))
         .select(col("name"), col("value_mean"), col("value_count"))
     }),
@@ -811,6 +816,17 @@ object SparkEntry {
         |SELECT CAST(tile_id AS BIGINT) AS tile_id, CAST(px_row AS BIGINT) AS px_row,
         |       CAST(px_col AS BIGINT) AS px_col, value, lon, lat
         |FROM px WHERE value IS NOT NULL""".stripMargin,
+    "raster_to_cells" ->
+      s"""WITH ${OracleFixtures.rasterCellCte},
+         |px AS (
+         |  SELECT r, c, CAST((r*31 + c*17) % 1000 AS DOUBLE) AS value
+         |  FROM (SELECT unnest(generate_series(0, 31)) AS r),
+         |       (SELECT unnest(generate_series(0, 31)) AS c)
+         |  WHERE (r*7 + c*13) % 17 <> 0)
+         |SELECT cell AS name, avg(value) AS value_mean,
+         |       CAST(count(*) AS BIGINT) AS value_count
+         |FROM px JOIN rcells USING (r, c)
+         |GROUP BY cell""".stripMargin,
     "dggs_stats" ->
       """SELECT r AS resolution,
         |       CAST(10 * power(7, r) + 2 AS BIGINT) AS cells,
