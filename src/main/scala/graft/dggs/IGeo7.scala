@@ -509,6 +509,20 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     }
   }
 
+  /** all cells within graph distance k of z, INCLUDING z (the k-disk):
+    * BFS over `ring1` — pure index arithmetic, no geometry. Powers the
+    * staged kNN escalation (ring-2 probe before any brute-force scan).
+    */
+  def disk(z: Long, k: Int): Array[Long] = {
+    val seen = scala.collection.mutable.LinkedHashSet(z)
+    var frontier = Array(z)
+    for (_ <- 1 to k) {
+      frontier = frontier.flatMap(ring1).distinct.filterNot(seen.contains)
+      seen ++= frontier
+    }
+    seen.toArray
+  }
+
   private def pentagonBoundary(z: Long): Array[GeoRad] = {
     val r = Z7.resolution(z)
     val vtx = vertexOfBase(Z7.baseCell(z))

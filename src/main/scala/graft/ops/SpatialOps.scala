@@ -140,14 +140,19 @@ object SpatialOps {
   }
 
   /** Exact kNN: for each query row, the k nearest target points by
-    * great-circle distance. Candidates come from the query's Z7 cell +
-    * k=1 ring at `res` (cell-id equi-join — the scale path). A query's
-    * ring result is PROVEN complete when it has ≥ k candidates all within
-    * `ringSafeKm(res)` — any point that close is necessarily inside
-    * cell ∪ ring1 — and only the remaining queries escalate to a
-    * broadcast scan of the full target set (at production density
-    * escalations vanish; at any density the result equals brute force
-    * exactly, which is what the DuckDB oracle checks).
+    * great-circle distance. Staged escalation, equi-joins first:
+    * stage 1 probes the query's Z7 1-disk (cell + ring) at `res`;
+    * a query is PROVEN complete when it has ≥ k candidates all within
+    * `diskSafeKm(res, 1)` — any point that close is necessarily inside
+    * the disk. Stage 2 (round-2 verdict #3) re-probes only the unproven
+    * queries with the 2-disk (19 cells, still a cell-id equi-join, cheap
+    * Z7 index arithmetic) against `diskSafeKm(res, 2)` — this absorbs
+    * sparse-region workloads (~1 target per cell) that previously went
+    * straight to brute force. Only the post-ring-2 residue pays the
+    * broadcast scan of the target set (at production density escalations
+    * vanish; at any density the result equals brute force exactly, which
+    * is what the DuckDB oracle checks; KnnSafeRadiusSpec validates the
+    * radii and the ≤1% sparse residue).
     *
     * The top-k window partitions by a per-row query id (round-1 fix:
     * partitioning by coordinates merged distinct queries that share a
@@ -161,7 +166,16 @@ object SpatialOps {
     */
   def knnJoin(queries: DataFrame, targets: DataFrame,
               lonCol: String, latCol: String, k: Int, res: Int,
-              excludeSelf: Seq[(String, String)] = Nil): DataFrame = {
+              excludeSelf: Seq[(String, String)] = Nil): DataFrame =
+    knnJoinStaged(queries, targets, lonCol, latCol, k, res, excludeSelf)._1
+
+  /** knnJoin plus the residual (post-ring-2) escalation query-id set —
+    * exposed so tests can assert the brute-force residue is rare.
+    */
+  private[graft] def knnJoinStaged(queries: DataFrame, targets: DataFrame,
+                                   lonCol: String, latCol: String, k: Int, res: Int,
+                                   excludeSelf: Seq[(String, String)] = Nil)
+      : (DataFrame, DataFrame) = {
     val qc = GridOps.cellsForGeoPoints(
         queries.withColumn("__qid", monotonically_increasing_id()),
         lonCol, latCol, res)
@@ -186,37 +200,63 @@ object SpatialOps {
       cand.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= k)
     }
-    val ringTopK = topK(
-      qc.withColumn("probe_cell",
-          explode(concat(array(col("cell_id")), F.z7Ring1(col("cell_id")))))
+    // probe the diskK-neighbourhood of each query's cell: still a plain
+    // cell-id equi-join (the disk is cheap Z7 index arithmetic)
+    def probeTopK(q: DataFrame, diskK: Int): DataFrame = topK(
+      q.withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), diskK)))
         .drop("cell_id")
         .join(tCell, "probe_cell").drop("probe_cell")
         .where(keep)
-        .withColumn("dist_km", dist)).cache()
-    val safe = ringTopK.groupBy("__qid")
-      .agg(count(lit(1)).as("n_cand"), max("dist_km").as("d_k"))
-      .where(col("n_cand") >= k && col("d_k") <= lit(ringSafeKm(res)))
-      .select("__qid")
-    val safeRows = ringTopK.join(safe, "__qid")
-    // queries with too few / too far ring candidates (includes queries
-    // with NO candidates, which never reach ringTopK): exact fallback
-    val unsafeQ = qc.drop("cell_id").join(safe, Seq("__qid"), "left_anti")
+        .withColumn("dist_km", dist))
+    // a query's disk result is PROVEN complete when it has >= k
+    // candidates all within diskSafeKm — any target that close is
+    // necessarily inside the disk
+    def provenSafe(topk: DataFrame, safeKm: Double): DataFrame =
+      topk.groupBy("__qid")
+        .agg(count(lit(1)).as("n_cand"), max("dist_km").as("d_k"))
+        .where(col("n_cand") >= k && col("d_k") <= lit(safeKm))
+        .select("__qid")
+    // stage 1: cell + ring-1 (covers everything at production density)
+    val disk1TopK = probeTopK(qc, 1).cache()
+    val safe1 = provenSafe(disk1TopK, diskSafeKm(res, 1))
+    val safe1Rows = disk1TopK.join(safe1, "__qid")
+    // stage 2 (round-2 verdict #3): ring-2 disk for the queries ring-1
+    // could not certify (sparse regions) — still an equi-join, 19 probe
+    // cells per query, BEFORE any brute force. Includes queries with NO
+    // ring-1 candidates, which never reach disk1TopK.
+    val unsafe1 = qc.join(safe1, Seq("__qid"), "left_anti")
+    val disk2TopK = probeTopK(unsafe1, 2).cache()
+    val safe2 = provenSafe(disk2TopK, diskSafeKm(res, 2))
+    val safe2Rows = disk2TopK.join(safe2, "__qid")
+    // stage 3: exact brute-force fallback for the residue only (at any
+    // density the final result equals brute force exactly — the oracle
+    // checks that)
+    val unsafe2 = unsafe1.drop("cell_id").join(safe2, Seq("__qid"), "left_anti")
     val bruteTopK = topK(
-      broadcast(unsafeQ).crossJoin(t).where(keep).withColumn("dist_km", dist))
-    safeRows.unionByName(bruteTopK).drop("__qid")
+      broadcast(unsafe2).crossJoin(t).where(keep).withColumn("dist_km", dist))
+    (safe1Rows.unionByName(safe2Rows).unionByName(bruteTopK).drop("__qid"),
+      unsafe2.select("__qid"))
   }
 
-  /** guaranteed ring-coverage radius at `res` in km: 0.6 × the nominal
-    * hex inradius. Any target within this distance of a query point is
-    * necessarily inside the query's cell ∪ k=1 ring (from any point of a
-    * hex, the exterior of the ring is ≥ one hex inradius away; the 0.6
-    * factor absorbs ISEA area/shape distortion).
+  /** guaranteed k-disk coverage radius at `res` in km: any target within
+    * this distance of a query point is necessarily inside the query
+    * cell's k-disk (cell ∪ ring1 ∪ … ∪ ringK). Geometry: from any point
+    * of a hex, the exterior of its 1-disk is ≥ one hex inradius away,
+    * and each further ring adds ≥ one hex width (2 inradii); the 0.6
+    * factor absorbs ISEA shape distortion (empirically validated against
+    * a center-to-ring-exterior lower bound over sampled cells incl.
+    * pentagons in KnnSafeRadiusSpec — measured minima quoted there).
     */
-  def ringSafeKm(res: Int): Double = {
+  def diskSafeKm(res: Int, k: Int): Double = {
+    require(k >= 1, s"disk k $k")
     val areaKm2 = 4.0 * math.Pi * Sphere.EarthRadiusKm * Sphere.EarthRadiusKm /
       (10.0 * math.pow(7.0, res))
-    0.6 * math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
+    val rIn = math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
+    0.6 * (2.0 * k - 1.0) * rIn
   }
+
+  /** k=1 disk coverage radius (kept as the published name). */
+  def ringSafeKm(res: Int): Double = diskSafeKm(res, 1)
 
   /** great-circle distance in km (haversine; matches the reference's
     * raster helper semantics, igeo7_ext.py:243-260).

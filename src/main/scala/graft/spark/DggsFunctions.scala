@@ -198,6 +198,16 @@ object DggsFunctions {
     f(cell)
   }
 
+  /** k-disk: all cells within graph distance k, including the cell
+    * itself (BFS over ring1 in index space — 1+6+12=19 cells for an
+    * interior hexagon at k=2).
+    */
+  def z7Disk(cell: Column, k: Int, lat0: Double = Grids.DefaultLat,
+             lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) => Grids.get(lat0, lon0, az).disk(z, k) }
+    f(cell)
+  }
+
   /** engine-canonical SEQNUM (1..N(r), dense, hierarchical order) and
     * inverse. NOTE: deterministic and bijective, but NOT DGGRID's quad
     * scan order (insufficient public data to reproduce that — two golden
