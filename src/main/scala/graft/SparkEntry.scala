@@ -299,7 +299,12 @@ object SparkEntry {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
         .select(col("doc_id"), col("offset"), col("name"))
-      GridOps.addressTransform(cells, "name", "Z7_STRING", "SEQNUM", 4)
+      // hop chain Z7_STRING → VERTEX2DD → SEQNUM: the middle hop
+      // exercises the VERTEX2DD output AND input frames end-to-end (the
+      // round-trip identity keeps the frozen seqnum oracle valid)
+      val v2 = GridOps.addressTransform(cells, "name", "Z7_STRING", "VERTEX2DD", 4)
+        .withColumnRenamed("out_addr", "v2dd")
+      GridOps.addressTransform(v2, "v2dd", "VERTEX2DD", "SEQNUM", 4)
         .select(col("doc_id"), col("offset"), col("name"), col("out_addr").as("seqnum"))
     })
   )

@@ -45,6 +45,22 @@ object Addr {
   def projtriToZ7(g: IGeo7, t: Int, x: Double, y: Double, res: Int): Long =
     g.cellForPoint(g.snyder.inverse(g.snyder.FacePoint(t, x, y)), res)
 
+  /** VERTEX2DD (dggrid_runner.py:129: "vertex number, triangle number,
+    * and (x, y) coordinates on ISEA plane"): the icosahedron vertex
+    * owning the cell's Z7 base cell (0..11) + the PROJTRI triangle and
+    * face-local coords. DGGRID's exact vertex-frame convention is
+    * unpublished, so the coords are engine-canonical (= the PROJTRI
+    * frame) and the vertex number is derivable metadata — the inverse
+    * therefore ignores it (AddrSpec pins the round-trip).
+    */
+  def z7ToVertex2dd(g: IGeo7, z: Long): (Int, Int, Double, Double) = {
+    val (t, x, y) = z7ToProjtri(g, z)
+    (g.vertexOfBase(Z7.baseCell(z)), t, x, y)
+  }
+
+  def vertex2ddToZ7(g: IGeo7, t: Int, x: Double, y: Double, res: Int): Long =
+    projtriToZ7(g, t, x, y, res)
+
   /** face-frame pitch of the exploded PLANE layout (3× the plane
     * circumradius keeps frames disjoint: |x|,|y| ≤ rc within a face)
     */

@@ -340,6 +340,8 @@ object GridOps {
       case "PROJTRI" =>
         A.projtriToZ7(c.getField("t"), c.getField("x"), c.getField("y"), lit(res))
       case "PLANE" => A.planeToZ7(c.getField("x"), c.getField("y"), lit(res))
+      case "VERTEX2DD" =>
+        A.vertex2ddToZ7(c.getField("t"), c.getField("x"), c.getField("y"), lit(res))
       case "GEO" => F.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
       case other => throw new IllegalArgumentException(s"unsupported input $other")
     }
@@ -352,6 +354,7 @@ object GridOps {
       case "Q2DD" => A.z7ToQ2dd(asZ7)
       case "PROJTRI" => A.z7ToProjtri(asZ7)
       case "PLANE" => A.z7ToPlane(asZ7)
+      case "VERTEX2DD" => A.z7ToVertex2dd(asZ7)
       case "INTERLEAVE" | "Z3" | "Z3_STRING" | "ZORDER" | "ZORDER_STRING" =>
         // parity with the reference's own constraint: these exist only
         // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236),

@@ -184,8 +184,11 @@ object SpatialOps {
       .cache()
     val t = targets
       .withColumnRenamed(lonCol, "t_lon").withColumnRenamed(latCol, "t_lat")
+    // cached: consumed by BOTH probe stages (disk-1 and disk-2 joins) —
+    // without it the target scan + kernel assignment run twice
     val tCell = GridOps.cellsForGeoPoints(t, "t_lon", "t_lat", res)
       .drop("name").withColumnRenamed("cell_id", "probe_cell")
+      .cache()
     val dist = haversineKm(col("q_lon"), col("q_lat"), col("t_lon"), col("t_lat"))
     val keep: Column =
       if (excludeSelf.isEmpty) lit(true)

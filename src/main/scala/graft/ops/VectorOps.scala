@@ -85,23 +85,90 @@ object VectorOps {
     embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
   }
 
+  /** Deterministic k-means centroid training for IVF (Lloyd's with a
+    * fixed iteration count, farthest-first init, cosine assignment with
+    * ties to the lowest centroid index — zero RNG, so the same input
+    * always yields the same centroids). Trains on the `sampleSize`
+    * lowest-id vectors collected to the driver: centroid training is
+    * calibration-scale work by design — at corpus scale you train on a
+    * bounded sample and broadcast the result, which is exactly this
+    * shape (the scan side never materializes).
+    * Returns (centroidId, vector, norm) triples ready for [[ivfTopK]].
+    */
+  def trainCentroids(embs: DataFrame, nCentroids: Int = 16, iters: Int = 10,
+                     sampleSize: Int = 4096): Array[(Int, Seq[Double], Double)] = {
+    val sample = withNorm(embs).orderBy("vec_id").limit(sampleSize)
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    require(sample.length >= nCentroids,
+      s"trainCentroids: ${sample.length} sample vectors < $nCentroids centroids")
+    val dim = sample.head.length
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { d += a(i) * b(i); i += 1 }
+      val na = nrm(a); val nb = nrm(b)
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+    }
+    // farthest-first init (deterministic k-means++ analogue): start at
+    // the lowest-id vector, then greedily add the sample vector least
+    // similar to everything already chosen — unlike lowest-id init this
+    // cannot start degenerate when the low ids share one cluster
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.length < nCentroids) {
+      var bestIdx = -1; var bestScore = Double.MaxValue
+      for (i <- sample.indices) {
+        val maxCos = init.map(c => cosOf(sample(i), c)).max
+        if (maxCos < bestScore) { bestScore = maxCos; bestIdx = i }
+      }
+      init += sample(bestIdx)
+    }
+    var cents = init.toArray.map(_.clone)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCentroids)(new Array[Double](dim))
+      val counts = new Array[Int](nCentroids)
+      val cn = cents.map(nrm)
+      for (v <- sample) {
+        val vn = nrm(v)
+        var best = 0; var bestCos = Double.MinValue
+        for (c <- 0 until nCentroids) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * cents(c)(i); i += 1 }
+          val cos = if (cn(c) == 0.0 || vn == 0.0) 0.0 else d / (vn * cn(c))
+          if (cos > bestCos) { bestCos = cos; best = c } // tie → lowest c
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nCentroids) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster: keep the old centroid
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, nrm(v)) }
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path next
-    * to LSH. Centroids are the `nCentroids` lowest-id vectors
+    * to LSH. Default centroids are the `nCentroids` lowest-id vectors
     * (deterministic "training" so the DuckDB oracle reproduces the
-    * algorithm bit-for-bit; swap in k-means offline for quality).
+    * algorithm bit-for-bit); pass `centroids` from [[trainCentroids]]
+    * for k-means quality (recall improvement pinned in VectorOpsSpec).
     * Every vector is assigned to its argmax-cosine centroid (bucket);
     * a query probes its `nProbe` nearest centroids and pays exact
     * cosine only against those buckets' members — candidate generation
     * is a bucket equi-join, cost N·nCentroids + candidates, never N².
     */
   def ivfTopK(embs: DataFrame, k: Int = 3, nCentroids: Int = 16,
-              nProbe: Int = 2): DataFrame = {
+              nProbe: Int = 2,
+              centroids: Option[Array[(Int, Seq[Double], Double)]] = None): DataFrame = {
     val e = withNorm(embs).cache()
-    // the nCentroids lowest-id vectors (NOT `vec_id < n`, which silently
-    // returns an empty centroid set when ids aren't dense 0-based)
-    val cents = e.orderBy("vec_id").limit(nCentroids)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2)))
+    // default: the nCentroids lowest-id vectors (NOT `vec_id < n`, which
+    // silently returns an empty centroid set when ids aren't dense
+    // 0-based)
+    val cents = centroids.getOrElse(
+      e.orderBy("vec_id").limit(nCentroids)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2))))
     require(cents.nonEmpty, "ivfTopK: empty embedding input")
     val sims = array(cents.map { case (c, cv, cn) =>
       struct((dot(col("e"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cs"),

@@ -454,6 +454,14 @@ object AddrFunctions {
   def projtriToZ7(t: Column, x: Column, y: Column, res: Column): Column =
     projtriInvUdf(t, x, y, res)
 
+  private lazy val vertex2ddUdf = udf((z: Long) => Addr.z7ToVertex2dd(Grids.default, z))
+  def z7ToVertex2dd(cell: Column): Column =
+    vertex2ddUdf(cell).cast("struct<v:int,t:int,x:double,y:double>")
+  private lazy val vertex2ddInvUdf =
+    udf((t: Int, x: Double, y: Double, r: Int) => Addr.vertex2ddToZ7(Grids.default, t, x, y, r))
+  def vertex2ddToZ7(t: Column, x: Column, y: Column, res: Column): Column =
+    vertex2ddInvUdf(t, x, y, res)
+
   private lazy val planeUdf = udf((z: Long) => Addr.z7ToPlane(Grids.default, z))
   def z7ToPlane(cell: Column): Column =
     planeUdf(cell).cast("struct<x:double,y:double>")

@@ -40,6 +40,16 @@ class AddrSpec extends AnyFunSuite {
     }
   }
 
+  test("VERTEX2DD round-trips every res-3 cell; vertex matches the base cell") {
+    cellsAt(3).foreach { z =>
+      val (v, t, x, y) = Addr.z7ToVertex2dd(g, z)
+      assert(v >= 0 && v <= 11)
+      assert(v == g.vertexOfBase(Z7.baseCell(z)), Z7.toZ7String(z))
+      assert(t >= 0 && t < 20)
+      assert(Addr.vertex2ddToZ7(g, t, x, y, 3) == z, Z7.toZ7String(z))
+    }
+  }
+
   test("error contract: INTERLEAVE/Z3/ZORDER raise the aperture-3/4 constraint") {
     // mirrors the reference's own type constraint (dggrid_runner.py:125)
     // and its ValueError error-contract style (dggrid_runner.py:2077-2086)

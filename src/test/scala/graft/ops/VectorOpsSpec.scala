@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** IVF centroid-quality property (round-2 verdict #6): trained k-means
+  * centroids must beat the lowest-id default on recall@k when the low
+  * ids are a degenerate sample (all in one cluster) — the realistic
+  * failure mode of "first N vectors as centroids" at corpus scale.
+  */
+class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .appName("graft-vector-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("k-means IVF centroids beat lowest-id centroids on recall@k") {
+    import spark.implicits._
+    val dim = 64; val nClusters = 8; val n = 400; val k = 5
+    // 8 orthogonal cluster directions (block-one-hot) + deterministic
+    // per-point perturbation. Ids 0..15 all sit in cluster 0, so the
+    // lowest-id centroid default degenerates to 16 near-identical
+    // centroids; ids 16+ cycle through all clusters.
+    def vec(i: Int): Seq[Float] = {
+      val cluster = if (i < 16) 0 else i % nClusters
+      (0 until dim).map { d =>
+        val base = if (d / (dim / nClusters) == cluster) 1.0f else 0.0f
+        base + 0.06f * (((i * 7 + d * 13) % 11) - 5)
+      }
+    }
+    val embs = (0 until n).map(i => (i.toLong, vec(i), i % nClusters))
+      .toDF("vec_id", "embedding", "label")
+    // ground truth: exact brute-force cosine top-k (test-scale N²)
+    val truth = VectorOps.cosineTopK(embs, k)
+      .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+    def recall(centroids: Option[Array[(Int, Seq[Double], Double)]]): Double = {
+      val got = VectorOps.ivfTopK(embs, k, 16, 2, centroids)
+        .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val rDefault = recall(None)
+    val trained = VectorOps.trainCentroids(embs, nCentroids = 16, iters = 10)
+    val rTrained = recall(Some(trained))
+    info(f"recall@$k: lowest-id centroids $rDefault%.3f, k-means $rTrained%.3f")
+    assert(rTrained > rDefault,
+      f"k-means recall $rTrained%.3f did not beat lowest-id $rDefault%.3f")
+    assert(rTrained >= 0.95, f"k-means recall $rTrained%.3f < 0.95")
+    // determinism: training twice yields identical centroids
+    val again = VectorOps.trainCentroids(embs, nCentroids = 16, iters = 10)
+    assert(trained.map(_._2) sameElements again.map(_._2))
+  }
+}
