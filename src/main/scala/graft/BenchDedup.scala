@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import graft.ops.{TextOps, VectorOps}
+
+/** Dedup/ANN scale soak (round-2 verdict #2): the flagship got a 40M-point
+  * soak + N-vs-4N scaling evidence in round 2; this applies the same
+  * protocol to the LLM-pipeline operators whose 100 TB claims were argued
+  * from plan shape only. Same deterministic input, two+ parallelism
+  * levels, rows/sec + shuffle bytes per operator.
+  *
+  *   sbt "runMain graft.BenchDedupScaling <cpus> [nDocs] [nVecs]"
+  *
+  * Results land in BENCH/BASELINE.md ("dedup/ANN scaling").
+  */
+object BenchDedupScaling {
+
+  /** Deterministic near-duplicate corpus, generated distributed (no
+    * driver data): families of 4 docs × 30 words; each family member
+    * mutates one family-specific word position, giving intra-family
+    * 3-shingle Jaccard ≈ 0.8 (above the 0.5 LSH threshold). Positions
+    * 5-7 draw from a 3-value shared vocab, so their shingle is hot
+    * (df = n/3) and exercises the DF-cap anti-join at scale; all other
+    * words are family-unique.
+    */
+  def nearDupCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val fam = (col("id") / 4).cast("long") // integral family index
+    val variant = pmod(col("id"), lit(4))
+    val words = (1 to 30).map { i =>
+      val base =
+        if (i >= 5 && i <= 7) concat(lit(s"s${i}_"), pmod(fam, lit(3)))
+        else concat(lit("w"), fam * 30 + lit(i))
+      when(pmod(variant * 7, lit(30)) + 1 === i,
+        concat(lit("v"), variant)).otherwise(base)
+    }
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** Deterministic synthetic embeddings (uniform in [-1,1)^dim).
+    * Dims are xxhash64-mixed per (id, dim) — a linear congruential
+    * pattern makes consecutive ids near-identical vectors, which
+    * collapses LSH buckets into skewed contiguous runs and measures
+    * nothing but a straggler.
+    */
+  def syntheticEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000)
+          .cast("double") / 1000.0).cast("float")).as("embedding"))
+
+  /** shuffle-byte tally across the timed window (the "per-stage shuffle
+    * bytes" evidence BASELINE.md's protocol asks for, summed per op)
+    */
+  private class ShuffleTally extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "8"
+    val nDocs = if (args.length > 1) args(1).toLong else 40000L
+    val nVecs = if (args.length > 2) args(2).toLong else 50000L
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Long, Long)]()
+    def run(name: String, warm: => Long)(op: => Long): Unit = {
+      warm // JIT/codegen warmup on a small slice, untimed
+      spark.catalog.clearCache()
+      // wait for stragglers so the tally window is clean
+      Thread.sleep(200)
+      val r0 = tally.read.get(); val w0 = tally.write.get()
+      val t0 = System.nanoTime()
+      val n = op
+      val wall = (System.nanoTime() - t0) / 1e9
+      results(name) = (wall, n, tally.read.get() - r0, tally.write.get() - w0)
+      spark.catalog.clearCache()
+    }
+
+    val docs = nearDupCorpus(spark, nDocs)
+    val docsWarm = nearDupCorpus(spark, 2000)
+    val embs = syntheticEmbeddings(spark, nVecs)
+    val embsWarm = syntheticEmbeddings(spark, 2000)
+
+    run("dedup_minhash_lsh",
+      TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5).count()) {
+      TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5).count()
+    }
+    run("dedup_simhash_pairs",
+      TextOps.simhashPairs(docsWarm).count()) {
+      TextOps.simhashPairs(docs).count()
+    }
+    // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF,
+    // 2^10 LSH buckets — the sf0.1 driver queries keep the small
+    // oracle-checkable defaults; this is the corpus-scale shape
+    run("emb_ivf_topk",
+      VectorOps.ivfTopK(embsWarm, 3, 64, 2).count()) {
+      VectorOps.ivfTopK(embs, 3, 256, 2).count()
+    }
+    run("emb_lsh_topk",
+      VectorOps.lshTopK(embsWarm, 3, 11).count()) {
+      VectorOps.lshTopK(embs, 3, 11).count()
+    }
+
+    val json = results.map { case (name, (wall, rows, sr, sw)) =>
+      val inRows = if (name.startsWith("emb")) nVecs else nDocs
+      f""""$name":{"wall_sec":$wall%.2f,"out_rows":$rows,"rows_per_sec":${(inRows / wall).toLong},""" +
+        s""""shuffle_read_mb":${sr / 1048576},"shuffle_write_mb":${sw / 1048576}}"""
+    }.mkString(
+      s"""{"bench":"dedup_ann_scaling","cpus":$cpus,"docs":$nDocs,"vecs":$nVecs,""",
+      ",", "}")
+    spark.stop()
+    println(json)
+  }
+}

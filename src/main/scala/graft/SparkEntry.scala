@@ -60,6 +60,9 @@ object SparkEntry {
       TextOps.ngramJaccardPairs(Tables.tbl(s, dir, "documents"), 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5)),
+    "dedup_clusters" -> ((s, dir) =>
+      TextOps.nearDupClusters(
+        TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5))),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
@@ -326,6 +329,33 @@ object SparkEntry {
       |shkeep AS (SELECT s FROM shingles0 GROUP BY s HAVING count(*) <= 1000),
       |shingles AS (SELECT doc_id, shingles0.s AS s
       |             FROM shingles0 JOIN shkeep ON shingles0.s = shkeep.s)""".stripMargin
+
+  /** MinHash-LSH near-dup pair pipeline as a reusable CTE chain ending
+    * in `mhpairs(doc_a, doc_b, jaccard >= 0.5)` — consumed by the
+    * dedup_minhash_lsh oracle and the dedup_clusters transitive closure.
+    */
+  private lazy val minhashPairsCte =
+    s"""$shinglesCte,
+       |hs AS (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM shingles),
+       |sigs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS m
+       |         FROM hs GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, h // 2 AS b, string_agg(m, ',' ORDER BY h) AS sig
+       |          FROM sigs GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |           FROM shingles a JOIN shingles b
+       |             ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |               CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE)
+       |                 AS jaccard
+       |        FROM common JOIN cnt ca ON ca.doc_id = doc_a
+       |                    JOIN cnt cb ON cb.doc_id = doc_b),
+       |mhpairs AS (SELECT c.doc_a, c.doc_b, j.jaccard
+       |            FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       |            WHERE j.jaccard >= 0.5)""".stripMargin
 
   private val jaccardSql =
     s"""WITH $shinglesCte,
@@ -647,27 +677,19 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> (jaccardSql + "0.8"),
     "dedup_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |hs AS (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM shingles),
-         |sigs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS m
-         |         FROM hs GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, h // 2 AS b, string_agg(m, ',' ORDER BY h) AS sig
-         |          FROM sigs GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.b = y.b AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |           FROM shingles a JOIN shingles b
-         |             ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |jac AS (SELECT doc_a, doc_b,
-         |               CAST(n_common AS DOUBLE)/CAST(ca.n + cb.n - n_common AS DOUBLE)
-         |                 AS jaccard
-         |        FROM common JOIN cnt ca ON ca.doc_id = doc_a
-         |                    JOIN cnt cb ON cb.doc_id = doc_b)
-         |SELECT c.doc_a, c.doc_b, j.jaccard
-         |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-         |WHERE j.jaccard >= 0.5""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
+    "dedup_clusters" ->
+      // transitive closure of the minhash near-dup pairs: every doc gets
+      // the minimum doc_id reachable in its component as keep_id
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+         |reach AS (SELECT src AS node, dst AS r FROM edges
+         |          UNION
+         |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+         |SELECT node AS doc_id, least(node, min(r)) AS keep_id
+         |FROM reach GROUP BY node""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,

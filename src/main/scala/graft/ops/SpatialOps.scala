@@ -17,6 +17,13 @@ import graft.spark.{DggsFunctions => F, Grids}
   * map), equi-join on the cell, exact JTS predicate refine. The shuffle
   * key is the cell id; hot cells are handled by AQE skew-join plus the
   * explicit salting helper below.
+  *
+  * Cache lifecycle (same contract as TextOps): knnJoin caches its query
+  * and probe intermediates because multiple plan branches consume them
+  * (measured recompute without). The returned DataFrame is lazy, so
+  * long-lived sessions issuing many ad-hoc calls should
+  * `spark.catalog.clearCache()` between logical jobs (as graft.Bench
+  * does) or unpersist via the catalog.
   */
 object SpatialOps {
 

@@ -201,6 +201,59 @@ object TextOps {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected-component clustering of near-duplicate PAIRS into keep
+    * groups: every doc transitively connected through `pairs` gets the
+    * component-minimum doc_id as `keep_id` — the "keep one canonical doc
+    * per duplicate cluster" step a dedup pipeline runs after pair
+    * generation. Iterative min-label propagation: each round every node
+    * takes the min label over itself and its neighbours (one shuffle on
+    * doc_id per round) with a cheap limit(1) convergence probe. Plain
+    * propagation needs component-diameter rounds — near-dup components
+    * are small cliques by construction (1-2 rounds); a pipeline facing
+    * adversarial long chains should swap in large-star/small-star, which
+    * keeps this exact join shape but converges in O(log n). Docs in no
+    * pair are absent (they trivially keep themselves).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    // both edge directions in ONE pass over `pairs` (a union of two
+    // projections references — and recomputes — the whole upstream pair
+    // pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
+    // round 0 folded into the init: lbl = min(self, direct neighbours)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(col("doc_id"), min(col("dst"))).as("lbl"))
+      .cache()
+    // labels only ever DECREASE under min-propagation, so the label sum
+    // is strictly monotone while anything changes — convergence is one
+    // cheap agg over the cached labels instead of a per-round shuffle
+    // join (decimal sum: a long sum overflows at corpus-scale id ranges)
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("doc_id").agg(min("lbl").as("lbl"))
+        .cache()
+      val nextSum = lblSum(next)
+      labels.unpersist(false)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      it += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("keep_id"))
+  }
+
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex
     * digits of md5(word) (4 bits each); each word votes ±1 per bit,
     * majority (sum > 0) sets the bit. Pure conditional aggregation —

@@ -15,8 +15,14 @@ import org.apache.spark.sql.expressions.Window
   * correct for small Q or as a verifier); the LSH-bucketed variant is the
   * 100 TB path: each vector hashes to a small bucket key, candidates are
   * an equi-join on the bucket, and only candidates pay the exact-cosine
-  * refine. An IVF variant would replace the hash with nearest-centroid
-  * assignment (same join shape).
+  * refine. ivfTopK replaces the hash with nearest-centroid assignment
+  * (same join shape).
+  *
+  * Cache lifecycle (same contract as TextOps): the pair/top-k operators
+  * cache the normalized/bucketed scan consumed by both self-join sides
+  * (measured 2× recompute without). Long-lived sessions issuing many
+  * ad-hoc calls should `spark.catalog.clearCache()` between logical
+  * jobs (as graft.Bench does) or unpersist via the catalog.
   */
 object VectorOps {
 
@@ -27,6 +33,81 @@ object VectorOps {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Bit-exact cosine as a primitive-loop UDF: the SAME sequential
+    * left-fold as the Catalyst `aggregate(zip_with(...))` form and
+    * DuckDB's `list_aggregate(..., 'sum')` (IEEE ops in identical
+    * order ⇒ identical doubles), but ~20× faster per pair — the
+    * interpreted higher-order lambdas allocate and box per element,
+    * and the pair-refine stages evaluate this millions of times.
+    * (Same measured UDF-over-expression decision as the cell-math
+    * kernel; see BENCH/BASELINE.md plan-shape notes.)
+    */
+  private val cosUdf = udf { (a: Seq[Double], na: Double, b: Seq[Double], nb: Double) =>
+    var d = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { d += a(i) * b(i); i += 1 }
+    d / (na * nb)
+  }
+
+  private def cosPair(ae: Column, an: Column, be: Column, bn: Column): Column =
+    cosUdf(ae, an, be, bn)
+
+  /** Grouped bucket refine: queries (key, vec_id, e, nrm) × targets
+    * (key, vec_id, e, nrm) cogrouped on the bucket key; per group the
+    * targets are converted to primitive arrays ONCE and every query
+    * runs a tight top-k loop ((cos desc, id asc) order, self skipped).
+    * This replaces the row-per-pair equi-join refine: with B-sized
+    * buckets that join materializes Q·B rows each carrying two
+    * dim-double arrays (~1 KB/row — tens of GB at 100k vectors), while
+    * the cogroup shuffles only N + Q rows and the pairs exist only as
+    * loop iterations. Emits group-local top-k (a superset of the global
+    * top-k per query); callers merge across probed buckets with a final
+    * window over ≤ nProbe·k rows per query.
+    */
+  private def groupedBucketTopK(queries: DataFrame, targets: DataFrame,
+                                k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("key"), col("vec_id"), col("e"), col("nrm"))
+      .as[(String, Long, Seq[Double], Double)].groupByKey(_._1)
+    val t = targets.select(col("key"), col("vec_id"), col("e"), col("nrm"))
+      .as[(String, Long, Seq[Double], Double)].groupByKey(_._1)
+    q.cogroup(t) { (_, qs, ts) =>
+      val tArr = ts.map { case (_, id, e, n) => (id, e.toArray, n) }.toArray
+      if (tArr.isEmpty) Iterator.empty
+      else qs.flatMap { case (_, qid, qe, qn) =>
+        val qv = qe.toArray
+        // insertion top-k by (cos desc, id asc) — k is small
+        val topId = new Array[Long](k)
+        val topCos = new Array[Double](k)
+        var size = 0
+        var ti = 0
+        while (ti < tArr.length) {
+          val (tid, tv, tn) = tArr(ti)
+          if (tid != qid) {
+            var d = 0.0
+            var i = 0
+            while (i < qv.length) { d += qv(i) * tv(i); i += 1 }
+            val cos = d / (qn * tn)
+            var pos = size
+            while (pos > 0 && (cos > topCos(pos - 1) ||
+              (cos == topCos(pos - 1) && tid < topId(pos - 1)))) pos -= 1
+            if (pos < k) {
+              val last = math.min(size, k - 1)
+              var j = last
+              while (j > pos) { topId(j) = topId(j - 1); topCos(j) = topCos(j - 1); j -= 1 }
+              topId(pos) = tid; topCos(pos) = cos
+              if (size < k) size += 1
+            }
+          }
+          ti += 1
+        }
+        (0 until size).iterator.map(i => (qid, topId(i), topCos(i)))
+      }
+    }.toDF("vec_id", "neighbor", "cos")
+  }
 
   /** Per-vector L2 norm materialized once (computed on the scan side so
     * the join doesn't recompute it per pair).
@@ -50,7 +131,7 @@ object VectorOps {
     val q = queryFilter.map(f => broadcast(e.where(f))).getOrElse(e)
     val pairs = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+        cosPair(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
     pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
@@ -78,11 +159,24 @@ object VectorOps {
         if (((h(0) >> 4) & 0xF) >= 8) 1.0 else -1.0
       }
     }
-    def signed(j: Int): Column =
-      aggregate(zip_with(e, typedLit(signs(j)), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-    val bits = (0 until nBits).map(j => when(signed(j) > 0, lit("1")).otherwise(lit("0")))
-    embs.select(col("vec_id"), concat(bits: _*).as("bucket"))
+    // one primitive-loop UDF pass per row (same left-fold order as the
+    // aggregate(zip_with) form ⇒ identical signs; ~nBits×dim interpreted
+    // lambda evals per row avoided — see the cosUdf rationale)
+    val signArr = signs.map(_.toArray)
+    val bucketUdf = udf { (ev: Seq[Double]) =>
+      val sb = new java.lang.StringBuilder(nBits)
+      var j = 0
+      while (j < nBits) {
+        val w = signArr(j)
+        var d = 0.0
+        var i = 0
+        while (i < w.length) { d += ev(i) * w(i); i += 1 }
+        sb.append(if (d > 0) '1' else '0')
+        j += 1
+      }
+      sb.toString
+    }
+    embs.select(col("vec_id"), bucketUdf(e).as("bucket"))
   }
 
   /** Deterministic k-means centroid training for IVF (Lloyd's with a
@@ -170,62 +264,95 @@ object VectorOps {
         .collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2))))
     require(cents.nonEmpty, "ivfTopK: empty embedding input")
-    val sims = array(cents.map { case (c, cv, cn) =>
-      struct((dot(col("e"), typedLit(cv)) / (col("nrm") * lit(cn))).as("cs"),
-        lit(c).as("c"))
-    }.toSeq: _*)
-    val cmp = (l: Column, r: Column) =>
-      when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        .otherwise(when(l.getField("c") < r.getField("c"), -1)
-          .when(l.getField("c") > r.getField("c"), 1).otherwise(0))
-    // centroid scoring happens ONCE per row (cached): both the target
-    // (bucket = best centroid) and query (nProbe best) branches reuse it
+    // centroid scoring as ONE primitive-loop UDF pass per row, cached —
+    // both the target (bucket = best centroid) and query (nProbe best)
+    // branches reuse it. The Catalyst form (nCentroids struct dots +
+    // array_sort of interpreted lambdas) dominated the whole op at
+    // √N centroids (BenchDedupScaling, 100k×256). Same left-fold order
+    // and (cos desc, id asc) sort ⇒ identical buckets bit-for-bit.
+    val centArr = cents.map { case (c, cv, cn) => (c, cv.toArray, cn) }
+    val probesUdf = udf { (ev: Seq[Double], nrm: Double) =>
+      val scored = centArr.map { case (c, cv, cn) =>
+        var d = 0.0
+        var i = 0
+        while (i < cv.length) { d += ev(i) * cv(i); i += 1 }
+        (d / (nrm * cn), c)
+      }
+      scored.sortBy { case (cs, c) => (-cs, c) }.map(_._2)
+    }
     val assigned = e
-      .withColumn("probes", transform(array_sort(sims, cmp), x => x.getField("c")))
+      .withColumn("probes", probesUdf(col("e"), col("nrm")))
       .cache()
     val targets = assigned
-      .withColumn("bucket", element_at(col("probes"), 1)).drop("probes")
+      .withColumn("key", element_at(col("probes"), 1).cast("string"))
+      .drop("probes")
     val queries = assigned
       .withColumn("probe", explode(slice(col("probes"), 1, nProbe)))
-      .drop("probes")
-    val pairs = queries.as("a").join(targets.as("b"),
-        col("a.probe") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .withColumn("key", col("probe").cast("string"))
+      .drop("probes", "probe")
+    // grouped per-bucket refine (each target lives in exactly ONE
+    // bucket, so no duplicate neighbours across a query's probes); the
+    // final window merges a query's nProbe group-local top-ks
+    val local = groupedBucketTopK(queries, targets, k)
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    local.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
   }
 
   /** Embedding-cosine near-duplicate PAIRS (dedup semantics, vs the
     * top-k search ops): unordered pairs with cosine ≥ minCos, candidates
-    * from the LSH bucket equi-join (two near-identical vectors agree on
+    * from LSH bucket equality (two near-identical vectors agree on
     * every hyperplane sign with overwhelming probability, so bucket
     * equality is the right candidate generator at dedup thresholds).
+    * Grouped per-bucket refine like [[groupedBucketTopK]] — the pairs
+    * exist only as loop iterations, never as joined rows. A pathological
+    * hot bucket makes one task B²/2 iterations; with sign-hash buckets
+    * that means near-identical mass (genuine dup storm) — cap upstream
+    * like the simhash band cap if the corpus has one.
     */
   def cosineNearDupPairs(embs: DataFrame, minCos: Double = 0.95,
                          nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val e = withNorm(embs).join(lshBuckets(embs, nBits, dim), "vec_id").cache()
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
-      .where(col("cos") >= minCos)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val e = withNorm(embs).join(lshBuckets(embs, nBits, dim), "vec_id")
+      .select(col("bucket").as("key"), col("vec_id"), col("e"), col("nrm"))
+      .as[(String, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+    e.flatMapGroups { (_, it) =>
+      val arr = it.map { case (_, id, ev, n) => (id, ev.toArray, n) }.toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      var i = 0
+      while (i < arr.length) {
+        val (ia, va, na) = arr(i)
+        var j = i + 1
+        while (j < arr.length) {
+          val (ib, vb, nb) = arr(j)
+          var d = 0.0
+          var x = 0
+          while (x < va.length) { d += va(x) * vb(x); x += 1 }
+          val cos = d / (na * nb)
+          if (cos >= minCos) {
+            out += (if (ia < ib) (ia, ib, cos) else (ib, ia, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("vec_a", "vec_b", "cos")
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket, refined
     * by exact cosine. Equi-join on bucket → broadcast/AQE friendly.
     */
   def lshTopK(embs: DataFrame, k: Int = 3, nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val b = lshBuckets(embs, nBits, dim)
-    val e = withNorm(embs).join(b, "vec_id").cache()
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
-        (dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+    val e = withNorm(embs).join(lshBuckets(embs, nBits, dim), "vec_id")
+      .withColumnRenamed("bucket", "key").cache()
+    // grouped self-refine per bucket (one bucket per vector, so the
+    // group-local top-k IS the global top-k; the window just assigns rnk)
+    val local = groupedBucketTopK(e, e, k)
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    local.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
   }
 }

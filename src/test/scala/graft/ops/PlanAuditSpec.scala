@@ -54,6 +54,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("shingle DF cap plans as a broadcast anti-join, not a keep-set join") {
+    // round-2 regression guard: joining the nearly-complete keep set was
+    // a full sort-merge join on long string keys (46 s of an 88.7 s
+    // bench); the cap must stay a broadcast LEFT ANTI against the tiny
+    // hot set
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    val plan = TextOps.cappedShingles(docs, 3, 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("parquet scan prunes columns: cell assign reads only what it needs") {
     val plan = graft.SparkEntry.queries("dggs_cell_assign")(spark, sfDir)
       .queryExecution.executedPlan.toString
