@@ -90,6 +90,10 @@ object BenchDedupScaling {
       val t0 = System.nanoTime()
       val n = op
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered async: drain before sampling so
+      // the just-finished op's task-end bytes are not pushed into the
+      // next op's baseline
+      Thread.sleep(500)
       results(name) = (wall, n, tally.read.get() - r0, tally.write.get() - w0)
       spark.catalog.clearCache()
     }

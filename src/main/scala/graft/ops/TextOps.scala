@@ -64,11 +64,15 @@ object TextOps {
     */
   def cappedShingles(docs: DataFrame, k: Int, maxDf: Long): DataFrame = {
     val sh = shingles(docs, k)
-    // anti-join against the HOT set (df > maxDf), which is tiny by
-    // construction — broadcast means the full shingle relation is never
-    // shuffled for the cap. (Round-2 regression: joining against the
-    // `df <= maxDf` KEEP set — nearly all shingles — was a full
+    // anti-join against the HOT set (df > maxDf): |hot| ≤ shingleRows /
+    // maxDf by pigeonhole, and real df distributions are heavy-tailed so
+    // it is far smaller — broadcast means the full shingle relation is
+    // never shuffled for the cap. (Round-2 regression: joining against
+    // the `df <= maxDf` KEEP set — nearly all shingles — was a full
     // sort-merge join keyed on long strings: 46 s of an 88.7 s bench.)
+    // If a pathological corpus makes hot exceed broadcast limits, raise
+    // maxDf (the cap is a skew guard, not a similarity parameter) or
+    // drop the broadcast hint and let AQE pick the join.
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("s")
     sh.join(broadcast(hot), Seq("s"), "left_anti")
@@ -119,10 +123,14 @@ object TextOps {
                         maxDf: Long = DefaultMaxShingleDf,
                         maxDocs: Option[Long] = Some(1000000L)): DataFrame = {
     maxDocs.foreach { cap =>
-      val n = docs.count()
-      require(n <= cap,
+      // limit-probe, not a full count: scans only until cap+1 rows are
+      // found, so the guard costs O(cap) rows even on a huge input (and
+      // plan construction never pays a whole-pipeline materialization)
+      val over = docs.select(lit(1).as("one")).limit(
+        math.min(cap, Int.MaxValue - 1L).toInt + 1).count() > cap
+      require(!over,
         s"ngramJaccardPairs is the exact all-pairs VERIFIER (cost Σdf²); " +
-          s"input has $n docs > maxDocs=$cap. Use minhashLshPairs as the " +
+          s"input exceeds maxDocs=$cap. Use minhashLshPairs as the " +
           "production near-dup operator, or pass maxDocs = None to opt in.")
     }
     val sh = cappedShingles(docs, k, maxDf).cache()
@@ -207,12 +215,15 @@ object TextOps {
     * per duplicate cluster" step a dedup pipeline runs after pair
     * generation. Iterative min-label propagation: each round every node
     * takes the min label over itself and its neighbours (one shuffle on
-    * doc_id per round) with a cheap limit(1) convergence probe. Plain
-    * propagation needs component-diameter rounds — near-dup components
-    * are small cliques by construction (1-2 rounds); a pipeline facing
-    * adversarial long chains should swap in large-star/small-star, which
-    * keeps this exact join shape but converges in O(log n). Docs in no
-    * pair are absent (they trivially keep themselves).
+    * doc_id per round), convergence detected by the monotone label sum
+    * (one agg over the cached labels). Plain propagation needs
+    * component-diameter rounds — near-dup components are small cliques
+    * by construction (1-2 rounds); a pipeline facing adversarial long
+    * chains should swap in large-star/small-star, which keeps this
+    * exact join shape but converges in O(log n). Throws if `maxIters`
+    * is exhausted before convergence (a silently partial keep_id is
+    * worse than a loud failure). Docs in no pair are absent (they
+    * trivially keep themselves).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // both edge directions in ONE pass over `pairs` (a union of two
@@ -232,10 +243,14 @@ object TextOps {
     // is strictly monotone while anything changes — convergence is one
     // cheap agg over the cached labels instead of a per-round shuffle
     // join (decimal sum: a long sum overflows at corpus-scale id ranges)
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is SQL NULL — normalize so the empty pair
+      // set converges immediately instead of NPEing on compareTo
+      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = lblSum(labels)
-    var converged = false
+    var converged = prevSum.signum() == 0 && labels.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
       val viaNbr = edges
@@ -251,6 +266,12 @@ object TextOps {
       prevSum = nextSum
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge in $maxIters rounds: a component " +
+          "has graph diameter > maxIters (labels would be silently " +
+          "non-minimal). Raise maxIters, or use a large-star/small-star " +
+          "contraction for adversarial chain-shaped duplicate graphs.")
     labels.select(col("doc_id"), col("lbl").as("keep_id"))
   }
 

@@ -65,6 +65,14 @@ object VectorOps {
     * loop iterations. Emits group-local top-k (a superset of the global
     * top-k per query); callers merge across probed buckets with a final
     * window over ≤ nProbe·k rows per query.
+    *
+    * Heap contract: ONE bucket's targets are materialized per task
+    * (~(8 + dim·8) B per vector). That is the index-sizing knob, not a
+    * hidden limit — pick nBits/nCentroids so N/buckets fits an executor
+    * (the same parameter that bounds refine cost at all; e.g. 2¹⁶
+    * buckets hold 100M 64-dim vectors at ~0.8 MB/bucket mean). Skewed
+    * hot buckets are the LSH/IVF analogue of hot shingles — cap or
+    * re-hash upstream, as the simhash band cap does.
     */
   private def groupedBucketTopK(queries: DataFrame, targets: DataFrame,
                                 k: Int): DataFrame = {
@@ -197,24 +205,34 @@ object VectorOps {
       s"trainCentroids: ${sample.length} sample vectors < $nCentroids centroids")
     val dim = sample.head.length
     def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
-    def cosOf(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < dim) { d += a(i) * b(i); i += 1 }
-      val na = nrm(a); val nb = nrm(b)
-      if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
-    }
     // farthest-first init (deterministic k-means++ analogue): start at
     // the lowest-id vector, then greedily add the sample vector least
     // similar to everything already chosen — unlike lowest-id init this
-    // cannot start degenerate when the low ids share one cluster
+    // cannot start degenerate when the low ids share one cluster.
+    // Incremental form: norms cached once, per-sample running max-sim
+    // updated only against the newly added centroid — O(k·n·dim), not
+    // O(k²·n·dim) with norm recomputation per pair.
+    val sampleNrm = sample.map(nrm)
+    def cosWith(i: Int, c: Array[Double], cn: Double): Double = {
+      val v = sample(i)
+      var d = 0.0; var x = 0
+      while (x < dim) { d += v(x) * c(x); x += 1 }
+      if (sampleNrm(i) == 0.0 || cn == 0.0) 0.0 else d / (sampleNrm(i) * cn)
+    }
     val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    val maxSim = Array.tabulate(sample.length)(i =>
+      cosWith(i, sample.head, sampleNrm(0)))
     while (init.length < nCentroids) {
       var bestIdx = -1; var bestScore = Double.MaxValue
+      for (i <- sample.indices)
+        if (maxSim(i) < bestScore) { bestScore = maxSim(i); bestIdx = i }
+      val chosen = sample(bestIdx)
+      val chosenN = nrm(chosen)
+      init += chosen
       for (i <- sample.indices) {
-        val maxCos = init.map(c => cosOf(sample(i), c)).max
-        if (maxCos < bestScore) { bestScore = maxCos; bestIdx = i }
+        val c = cosWith(i, chosen, chosenN)
+        if (c > maxSim(i)) maxSim(i) = c
       }
-      init += sample(bestIdx)
     }
     var cents = init.toArray.map(_.clone)
     for (_ <- 0 until iters) {

@@ -33,10 +33,12 @@ class KnnSafeRadiusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("diskSafeKm is a lower bound on disk-exterior distance (k=1,2; res 2-5)") {
+  test("diskSafeKm is a lower bound on disk-exterior distance (k=1,2; res 1-5)") {
+    // res 1 included because the driver's dggs_knn query runs at res 1,
+    // where ISEA distortion and pentagon fans are at their worst
     val g = Grids.default
     val R = Sphere.EarthRadiusKm
-    for (res <- 2 to 5) {
+    for (res <- 1 to 5) {
       // worst-distortion candidates: the 12 pentagons and their fans,
       // plus a seeded worldwide spread of ordinary cells
       val pentas = (0 to 11).map(b => Z7.pack(b, Seq.fill(res)(0)))

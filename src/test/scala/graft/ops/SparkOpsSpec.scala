@@ -122,6 +122,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearDupClusters: empty input, chain + clique minima, loud non-convergence") {
+    import spark.implicits._
+    // empty pair set: no rows, no NPE (sum over zero rows is SQL NULL)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TextOps.nearDupClusters(empty).count() == 0)
+    // a 6-chain and a separate triangle each resolve to component minima
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val got = TextOps.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L), got.toString)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L), got.toString)
+    // diameter > maxIters must fail loudly, not return partial labels
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      TextOps.nearDupClusters(chain, maxIters = 2).count()
+    }
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
