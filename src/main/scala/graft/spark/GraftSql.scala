@@ -24,6 +24,7 @@ object GraftSql {
     r.register("z7_is_pentagon", (z: Long) => Z7.isPentagon(z))
     r.register("z7_children", (z: Long) => Z7.children(z))
     r.register("z7_ring1", (z: Long) => Grids.default.ring1(z).toSeq)
+    r.register("z7_disk", (z: Long, k: Int) => Grids.default.disk(z, k).toSeq)
     r.register("z7_range_min", (z: Long) => Z7.rangeMin(z))
     r.register("z7_range_max", (z: Long) => Z7.rangeMax(z))
     r.register("z7_seqnum", (z: Long) => Seqnum.toSeqnum(z))
@@ -47,6 +48,11 @@ object GraftSql {
     // coordinate conversions
     r.register("to_authalic_lat", (lat: Double) => Authalic.toAuthalicDeg(lat))
     r.register("to_geodetic_lat", (lat: Double) => Authalic.toGeodeticDeg(lat))
+    // address frames (VERTEX2DD added round 3)
+    r.register("z7_vertex2dd", (z: Long) => Addr.z7ToVertex2dd(Grids.default, z))
+    r.register("z7_projtri", (z: Long) => Addr.z7ToProjtri(Grids.default, z))
+    r.register("z7_q2dd", (z: Long) => Addr.z7ToQ2dd(Grids.default, z))
+    r.register("z7_plane", (z: Long) => Addr.z7ToPlane(Grids.default, z))
     ()
   }
 }
