@@ -336,9 +336,13 @@ object SparkEntry {
     */
   private lazy val minhashPairsCte =
     s"""$shinglesCte,
-       |hs AS (SELECT doc_id, s, unnest(generate_series(0, 7)) AS h FROM shingles),
-       |sigs AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || '|' || s)) AS m
-       |         FROM hs GROUP BY 1, 2),
+       |hashed AS (SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1
+       |           FROM shingles),
+       |parts AS (SELECT doc_id, h,
+       |            substr(CASE WHEN h < 4 THEN h0 ELSE h1 END,
+       |                   (h % 4) * 8 + 1, 8) AS v
+       |          FROM hashed, (SELECT unnest(generate_series(0, 7)) AS h)),
+       |sigs AS (SELECT doc_id, h, min(v) AS m FROM parts GROUP BY 1, 2),
        |bands AS (SELECT doc_id, h // 2 AS b, string_agg(m, ',' ORDER BY h) AS sig
        |          FROM sigs GROUP BY 1, 2),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -150,20 +150,39 @@ object TextOps {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: `numHashes` independent min-hashes per doc,
-    * h_i(doc) = min over shingles of md5(i || '|' || shingle).
-    * Using the md5 hex string itself as the hash value keeps the oracle
-    * byte-identical. Partial-aggregated min → no skew concern.
+  /** `numHashes` independent min-hashes as ONE wide partial-aggregated
+    * pass: hash h is the 8-hex-char (32-bit) slice `(h%4)*8+1 .. +8` of
+    * md5((h/4) || '|' || shingle) — ceil(numHashes/4) digests per
+    * shingle row instead of numHashes (the md5 allocation rate was the
+    * measured single-JVM scaling bottleneck of the whole minhash
+    * pipeline, BENCH/BASELINE.md round-3), and the agg/shuffle carries
+    * 8-char strings instead of 32. 32-bit minwise hashes are standard
+    * for banding; candidate inflation from slice collisions is absorbed
+    * by the exact-Jaccard refine. Hex-string min = numeric min (fixed
+    * width). The DuckDB oracle mirrors the same substr(md5(...))
+    * formula byte-for-byte.
+    */
+  private def minhashWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val nDigests = (numHashes + 3) / 4
+    val digestCols = (0 until nDigests).map(p =>
+      md5(concat(lit(s"$p|"), col("s")).cast("binary")).as(s"h$p"))
+    val hashed = sh.select(col("doc_id") +: digestCols: _*)
+    val aggCols = (0 until numHashes).map(h =>
+      min(substring(col(s"h${h / 4}"), (h % 4) * 8 + 1, 8)).as(s"m$h"))
+    hashed.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** MinHash signatures in exploded (doc_id, h, m) form — see
+    * [[minhashWide]] for the hash-family definition.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
-                        maxDf: Long = DefaultMaxShingleDf): DataFrame =
-    minhashSignaturesOf(cappedShingles(docs, k, maxDf), numHashes)
-
-  private def minhashSignaturesOf(sh: DataFrame, numHashes: Int): DataFrame =
-    sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("h"), col("s"))
-      .groupBy("doc_id", "h")
-      .agg(min(md5(concat(col("h").cast("string"), lit("|"), col("s")).cast("binary"))).as("m"))
+                        maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val wide = minhashWide(cappedShingles(docs, k, maxDf), numHashes)
+    wide.select(col("doc_id"),
+        explode(array((0 until numHashes).map(h =>
+          struct(lit(h).as("h"), col(s"m$h").as("m"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.h").as("h"), col("x.m").as("m"))
+  }
 
   /** MinHash-LSH near-dup candidate pairs, verified with exact Jaccard.
     * Bands of `rowsPerBand` minhashes; docs sharing any full band
@@ -176,13 +195,10 @@ object TextOps {
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                       maxDf: Long = DefaultMaxShingleDf): DataFrame = {
     val sh = cappedShingles(docs, k, maxDf).cache()
-    // all `numHashes` min-hashes in ONE partial-aggregated pass: 8 agg
-    // columns instead of an 8× row explosion — the shuffle carries
-    // numHashes strings per doc per map partition, not per shingle
-    // (same m values as minhashSignatures: md5("h|shingle"))
-    val sigCols = (0 until numHashes).map(h =>
-      min(md5(concat(lit(s"$h|"), col("s")).cast("binary"))).as(s"m$h"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // all `numHashes` min-hashes in ONE partial-aggregated pass (same m
+    // values as minhashSignatures — see minhashWide for the 2-digest
+    // 32-bit-slice hash family and why)
+    val sigs = minhashWide(sh, numHashes)
     // ceil-divide so a trailing partial band still participates when
     // numHashes % rowsPerBand != 0 (parity with the floor(h/rows) banding)
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
