@@ -111,12 +111,15 @@ object BenchDedupScaling {
       TextOps.simhashPairs(docsWarm).count()) {
       TextOps.simhashPairs(docs).count()
     }
-    // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF,
-    // 2^10 LSH buckets — the sf0.1 driver queries keep the small
-    // oracle-checkable defaults; this is the corpus-scale shape
+    // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF with
+    // TRAINED k-means centroids (the production path — balanced buckets;
+    // training time on the bounded driver sample is measured inside the
+    // op wall), 2^11 LSH buckets — the sf0.1 driver queries keep the
+    // small oracle-checkable defaults; this is the corpus-scale shape
     run("emb_ivf_topk",
       VectorOps.ivfTopK(embsWarm, 3, 64, 2).count()) {
-      VectorOps.ivfTopK(embs, 3, 256, 2).count()
+      val trained = VectorOps.trainCentroids(embs, nCentroids = 256, iters = 5)
+      VectorOps.ivfTopK(embs, 3, 256, 2, Some(trained)).count()
     }
     run("emb_lsh_topk",
       VectorOps.lshTopK(embsWarm, 3, 11).count()) {
