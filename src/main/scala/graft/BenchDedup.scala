@@ -107,6 +107,13 @@ object BenchDedupScaling {
       TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5).count()) {
       TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5).count()
     }
+    // clusters = pairs pipeline + iterative CC rounds (wall includes both)
+    run("dedup_clusters",
+      TextOps.nearDupClusters(
+        TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
+      TextOps.nearDupClusters(
+        TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)).count()
+    }
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {
       TextOps.simhashPairs(docs).count()

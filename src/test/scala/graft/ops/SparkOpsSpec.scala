@@ -196,6 +196,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt.getAs[Boolean]("ok"))
     assert(rt.getAs[String]("t4").length == 5 && rt.getAs[String]("d4").length == 5)
     assert(rt.getAs[Double]("lat9") == 59.4)
+    // round-3 registrations: k-disk and address frames
+    val r3 = spark.sql(
+      """SELECT size(z7_disk(z7_cell(24.7, 59.4, 4), 2)) AS disk2,
+        |       z7_vertex2dd(z7_cell(24.7, 59.4, 4))._1 AS vtx,
+        |       z7_projtri(z7_cell(24.7, 59.4, 4))._1 AS tri,
+        |       z7_q2dd(z7_cell(24.7, 59.4, 4))._1 AS quad""".stripMargin).head()
+    assert(r3.getAs[Int]("disk2") == 19) // interior hex: 1 + 6 + 12
+    assert(r3.getAs[Int]("vtx") >= 0 && r3.getAs[Int]("vtx") <= 11)
+    assert(r3.getAs[Int]("tri") >= 0 && r3.getAs[Int]("tri") < 20)
+    assert(r3.getAs[Int]("quad") >= 1 && r3.getAs[Int]("quad") <= 10)
   }
 
   test("cellGeoJson emits a closed-ring GeoJSON feature with the Z7 name") {
