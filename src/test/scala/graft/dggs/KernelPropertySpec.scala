@@ -30,6 +30,29 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Z7 disk: sizes, ring containment, reciprocity (random cells + pentagons)") {
+    val pentaCells = (0 to 11).map(b => Z7.pack(b, Seq.fill(3)(0)))
+    val randCells = cases(7).map { case (lon, lat, r0) =>
+      hex.cellForPoint(GeoRad.fromDeg(lat, lon), math.min(r0, 5))
+    }.distinct.take(60)
+    (pentaCells ++ randCells).foreach { z =>
+      val d1 = hex.disk(z, 1)
+      val d2 = hex.disk(z, 2)
+      assert(d1.contains(z) && d2.contains(z))
+      // disk1 = cell + ring1; hexagons have 6 neighbours, pentagons 5
+      val expect1 = if (Z7.isPentagon(z)) 6 else 7
+      assert(d1.length == expect1, Z7.toZ7String(z))
+      assert(d1.toSet.subsetOf(d2.toSet))
+      // interior hexagons: 1 + 6 + 12 = 19; pentagon-adjacent regions
+      // shrink by the fan cells, never grow
+      assert(d2.length <= 19 && d2.length >= 16, s"${Z7.toZ7String(z)}: ${d2.length}")
+      // reciprocity of the k-disk relation (symmetric adjacency)
+      for (w <- d2)
+        assert(hex.disk(w, 2).contains(z),
+          s"${Z7.toZ7String(z)} in disk2(${Z7.toZ7String(w)})")
+    }
+  }
+
   test("Z7: cell center re-assigns to the same cell (random points/res)") {
     cases(2).foreach { case (lon, lat, r0) =>
       val r = math.min(r0, 6)
