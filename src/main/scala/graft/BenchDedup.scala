@@ -90,10 +90,19 @@ object BenchDedupScaling {
       val t0 = System.nanoTime()
       val n = op
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are delivered async: drain before sampling so
-      // the just-finished op's task-end bytes are not pushed into the
-      // next op's baseline
-      Thread.sleep(500)
+      // listener events are delivered async: wait until the tally
+      // STABILIZES (two unchanged 200 ms windows, 5 s ceiling) before
+      // sampling — a fixed sleep can still race a backlogged bus and
+      // misattribute the trailing bytes to the next op's baseline
+      var stable = 0
+      var last = (tally.read.get(), tally.write.get())
+      val deadline = System.nanoTime() + 5000000000L
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val cur = (tally.read.get(), tally.write.get())
+        stable = if (cur == last) stable + 1 else 0
+        last = cur
+      }
       results(name) = (wall, n, tally.read.get() - r0, tally.write.get() - w0)
       spark.catalog.clearCache()
     }

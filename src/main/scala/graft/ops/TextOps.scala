@@ -125,9 +125,13 @@ object TextOps {
     maxDocs.foreach { cap =>
       // limit-probe, not a full count: scans only until cap+1 rows are
       // found, so the guard costs O(cap) rows even on a huge input (and
-      // plan construction never pays a whole-pipeline materialization)
-      val over = docs.select(lit(1).as("one")).limit(
-        math.min(cap, Int.MaxValue - 1L).toInt + 1).count() > cap
+      // plan construction never pays a whole-pipeline materialization).
+      // limit() takes an Int, so caps that don't fit fall back to the
+      // exact count — a clamped probe could never exceed such a cap and
+      // would silently disable the guard.
+      val over =
+        if (cap >= Int.MaxValue) docs.count() > cap
+        else docs.select(lit(1).as("one")).limit(cap.toInt + 1).count() > cap
       require(!over,
         s"ngramJaccardPairs is the exact all-pairs VERIFIER (cost Σdf²); " +
           s"input exceeds maxDocs=$cap. Use minhashLshPairs as the " +
@@ -242,25 +246,31 @@ object TextOps {
     * trivially keep themselves).
     */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+    val spark = pairs.sparkSession
+    // LOGICAL-PLAN truncation: wrap the cached result as a LogicalRDD
+    // leaf. Without this each round's plan nests the previous round's
+    // twice (union + join) with the whole pair pipeline at the leaves —
+    // exponential driver-side analysis (measured: 114 s of plan work
+    // for ~12 s of compute at 200k docs). Unlike localCheckpoint, the
+    // RDD lineage stays intact, so blocks are recomputable on executor
+    // loss and caches remain unpersistable per round.
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     // both edge directions in ONE pass over `pairs` (a union of two
     // projections references — and recomputes — the whole upstream pair
-    // pipeline twice). localCheckpoint (not cache): it TRUNCATES the
-    // lineage, so the (possibly huge) pair-pipeline plan does not get
-    // re-analyzed inside every round — without truncation each round's
-    // plan nests the previous round's twice (union + join), growing the
-    // analyzed tree exponentially (measured: 114 s of driver-side plan
-    // work for ~12 s of actual compute at 200k docs). On a cluster with
-    // an unreliable-storage concern, swap for reliable checkpoint().
-    val edges = pairs
+    // pipeline twice)
+    val edgesCache = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(eager = true)
+      .cache()
+    val edges = truncate(edgesCache)
     // round 0 folded into the init: lbl = min(self, direct neighbours)
-    var labels = edges.groupBy(col("src").as("doc_id"))
+    var labelsCache = edges.groupBy(col("src").as("doc_id"))
       .agg(least(col("doc_id"), min(col("dst"))).as("lbl"))
-      .localCheckpoint(eager = true)
+      .cache()
+    var labels = truncate(labelsCache)
     // labels only ever DECREASE under min-propagation, so the label sum
     // is strictly monotone while anything changes — convergence is one
     // cheap agg over the cached labels instead of a per-round shuffle
@@ -278,22 +288,30 @@ object TextOps {
       val viaNbr = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("lbl"))
-      // lineage truncation per round — see the edges note above
-      val next = labels.unionByName(viaNbr)
+      // lineage truncation per round — see the edges note above; the
+      // PREVIOUS round's cache is released once the new round is
+      // materialized (its RDD lineage can still recompute through the
+      // unpersisted InMemoryRelation if an executor is lost)
+      val nextCache = labels.unionByName(viaNbr)
         .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = true)
+        .cache()
+      val next = truncate(nextCache)
       val nextSum = lblSum(next)
+      labelsCache.unpersist(false)
+      labelsCache = nextCache
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       it += 1
     }
+    edgesCache.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters did not converge in $maxIters rounds: a component " +
-          "has graph diameter > maxIters (labels would be silently " +
-          "non-minimal). Raise maxIters, or use a large-star/small-star " +
-          "contraction for adversarial chain-shaped duplicate graphs.")
+        s"nearDupClusters could not CONFIRM convergence within $maxIters " +
+          "rounds: a component has graph diameter >= maxIters (the labels " +
+          "may already be minimal but are unverified). Raise maxIters, or " +
+          "use a large-star/small-star contraction for adversarial " +
+          "chain-shaped duplicate graphs.")
     labels.select(col("doc_id"), col("lbl").as("keep_id"))
   }
 

@@ -222,6 +222,11 @@ object VectorOps {
     val init = scala.collection.mutable.ArrayBuffer(sample.head)
     val maxSim = Array.tabulate(sample.length)(i =>
       cosWith(i, sample.head, sampleNrm(0)))
+    // a chosen index is marked +∞ so it can never be re-picked: a
+    // zero-norm vector's cos is 0 against EVERYTHING including itself,
+    // which would otherwise make it the argmin forever and fill the
+    // codebook with duplicate zero centroids
+    maxSim(0) = Double.PositiveInfinity
     while (init.length < nCentroids) {
       var bestIdx = -1; var bestScore = Double.MaxValue
       for (i <- sample.indices)
@@ -233,6 +238,7 @@ object VectorOps {
         val c = cosWith(i, chosen, chosenN)
         if (c > maxSim(i)) maxSim(i) = c
       }
+      maxSim(bestIdx) = Double.PositiveInfinity
     }
     var cents = init.toArray.map(_.clone)
     for (_ <- 0 until iters) {
