@@ -122,6 +122,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GeoJSON source: FeatureCollection → (poly_id, wkt) feeds the cover pipeline") {
+    import spark.implicits._
+    val fc =
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"name": "est"},
+        |   "geometry": {"type": "Polygon", "coordinates":
+        |     [[[20.2, 57.0], [28.4, 57.0], [28.4, 60.0], [20.2, 60.0], [20.2, 57.0]]]}},
+        |  {"type": "Feature", "properties": {"name": "two"},
+        |   "geometry": {"type": "MultiPolygon", "coordinates":
+        |     [[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+        |      [[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 10.0]]]]}}
+        |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson")
+    val f = dir.resolve("polys.geojson")
+    java.nio.file.Files.write(f, fc.getBytes("UTF-8"))
+    val got = GeoSources.readGeoJsonPolygons(spark, f.toString, idProp = Some("name"))
+      .as[(String, String)].collect().toMap
+    val rdr = new org.locationtech.jts.io.WKTReader()
+    val estWkt = "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"
+    assert(rdr.read(got("est")).equalsExact(rdr.read(estWkt)), got("est"))
+    assert(rdr.read(got("two")).getGeometryType == "MultiPolygon" &&
+      rdr.read(got("two")).getNumGeometries == 2, got("two"))
+    // the read polygons drive the distributed cover exactly like WKT input
+    val viaGeoJson = SpatialOps.coverCellsDf(
+        GeoSources.readGeoJsonPolygons(spark, f.toString, Some("name"))
+          .where(col("poly_id") === "est"), 3)
+      .select("cell_id").as[Long].collect().toSet
+    assert(viaGeoJson == SpatialOps.coverCells(estWkt, 3).toSet)
+  }
+
   test("nearDupClusters: empty input, chain + clique minima, loud non-convergence") {
     import spark.implicits._
     // empty pair set: no rows, no NPE (sum over zero rows is SQL NULL)
