@@ -161,6 +161,24 @@ object DggsFunctions {
     f(cell)
   }
 
+  /** cell as an Arc/Info Generate (AIGEN) polygon record — the last
+    * GDAL-side output format in the reference's address-type zoo
+    * (dggrid_runner.py:130 'AIGEN'; output-only there too). Format:
+    * id line (SEQNUM-style numeric id = the Z7 int64), one `lon lat`
+    * vertex line per boundary vertex with the ring closed, then `END`.
+    * A file sink is these records concatenated + a final `END`.
+    */
+  def cellAigen(cell: Column, lat0: Double = Grids.DefaultLat,
+                lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      val ring = Grids.get(lat0, lon0, az).cellBoundary(z)
+      val verts = (ring :+ ring.head)
+        .map(g => f"${g.lonDeg}%.12f ${g.latDeg}%.12f").mkString("\n")
+      s"$z\n$verts\nEND"
+    }
+    f(cell)
+  }
+
   /** boundary with n extra vertices per edge (reference `densification`
     * param — projection-plane interpolation; pentagons geodesic).
     */

@@ -250,6 +250,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coords.size == 7 && coords.head == coords.last) // closed hexagon
   }
 
+  test("AIGEN output: closed-ring polygon record via addressTransform") {
+    import spark.implicits._
+    val cells = Seq("00123").toDF("name")
+    val s = GridOps.addressTransform(cells, "name", "Z7_STRING", "AIGEN", 3)
+      .select("out_addr").as[String].head()
+    val lines = s.split("\n")
+    val z = graft.dggs.Z7.fromZ7String("00123")
+    assert(lines.head == z.toString) // numeric id line
+    assert(lines.last == "END")
+    val verts = lines.drop(1).dropRight(1)
+    assert(verts.length == 7 && verts.head == verts.last) // closed hexagon
+    assert(verts.forall(_.matches("-?[0-9.]+ -?[0-9.]+")))
+  }
+
   test("ring1: reciprocity and size over all res-2 cells") {
     val g = Grids.default
     var all: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
