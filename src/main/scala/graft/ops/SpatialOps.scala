@@ -210,38 +210,49 @@ object SpatialOps {
       cand.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= k)
     }
-    // probe the diskK-neighbourhood of each query's cell: still a plain
-    // cell-id equi-join (the disk is cheap Z7 index arithmetic)
-    def probeTopK(q: DataFrame, diskK: Int): DataFrame = topK(
-      q.withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), diskK)))
+    // probe the diskK-neighbourhood of each query's cell (a plain
+    // cell-id equi-join — the disk is cheap Z7 index arithmetic) and
+    // fold the completeness PROOF into the same window pass: a query is
+    // proven when it has >= k candidates (pre-filter count over the
+    // partition) all within diskSafeKm (max over the kept top-k rows) —
+    // any target that close is necessarily inside the disk. Both extra
+    // window functions share the top-k window's exchange, so the proof
+    // costs no additional shuffle (the former groupBy + join-back per
+    // stage did).
+    def probeTopK(q: DataFrame, diskK: Int, safeKm: Double): DataFrame = {
+      val cand = q
+        .withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), diskK)))
         .drop("cell_id")
         .join(tCell, "probe_cell").drop("probe_cell")
         .where(keep)
-        .withColumn("dist_km", dist))
-    // a query's disk result is PROVEN complete when it has >= k
-    // candidates all within diskSafeKm — any target that close is
-    // necessarily inside the disk
-    def provenSafe(topk: DataFrame, safeKm: Double): DataFrame =
-      topk.groupBy("__qid")
-        .agg(count(lit(1)).as("n_cand"), max("dist_km").as("d_k"))
-        .where(col("n_cand") >= k && col("d_k") <= lit(safeKm))
-        .select("__qid")
+        .withColumn("dist_km", dist)
+      val w = Window.partitionBy("__qid")
+        .orderBy(col("dist_km").asc +: tieCols.toSeq: _*)
+      val wAll = Window.partitionBy("__qid")
+      cand
+        .withColumn("__n_cand", count(lit(1)).over(wAll))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= k)
+        .withColumn("__safe",
+          col("__n_cand") >= k && max(col("dist_km")).over(wAll) <= lit(safeKm))
+        .drop("__n_cand")
+    }
     // stage 1: cell + ring-1 (covers everything at production density)
-    val disk1TopK = probeTopK(qc, 1).cache()
-    val safe1 = provenSafe(disk1TopK, diskSafeKm(res, 1))
-    val safe1Rows = disk1TopK.join(safe1, "__qid")
+    val disk1TopK = probeTopK(qc, 1, diskSafeKm(res, 1)).cache()
+    val safe1Rows = disk1TopK.where(col("__safe")).drop("__safe")
     // stage 2 (round-2 verdict #3): ring-2 disk for the queries ring-1
     // could not certify (sparse regions) — still an equi-join, 19 probe
     // cells per query, BEFORE any brute force. Includes queries with NO
     // ring-1 candidates, which never reach disk1TopK.
+    val safe1 = safe1Rows.select("__qid").distinct()
     val unsafe1 = qc.join(safe1, Seq("__qid"), "left_anti")
-    val disk2TopK = probeTopK(unsafe1, 2).cache()
-    val safe2 = provenSafe(disk2TopK, diskSafeKm(res, 2))
-    val safe2Rows = disk2TopK.join(safe2, "__qid")
+    val disk2TopK = probeTopK(unsafe1, 2, diskSafeKm(res, 2)).cache()
+    val safe2Rows = disk2TopK.where(col("__safe")).drop("__safe")
     // stage 3: exact brute-force fallback for the residue only (at any
     // density the final result equals brute force exactly — the oracle
     // checks that)
-    val unsafe2 = unsafe1.drop("cell_id").join(safe2, Seq("__qid"), "left_anti")
+    val unsafe2 = unsafe1.drop("cell_id")
+      .join(safe2Rows.select("__qid").distinct(), Seq("__qid"), "left_anti")
     val bruteTopK = topK(
       broadcast(unsafe2).crossJoin(t).where(keep).withColumn("dist_km", dist))
     (safe1Rows.unionByName(safe2Rows).unionByName(bruteTopK).drop("__qid"),
