@@ -87,47 +87,58 @@ object Bench {
     // untimed JIT/codegen warmup so the first timed query isn't cold
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    for ((name, fn) <- SparkEntry.queries) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+    // best-of-2 per query (round-3 verdict #1): this shared VM has
+    // documented ±20-40% host-contention noise at 32 threads, and the
+    // driver's one-shot BENCH_r03 mis-recorded a round because of it —
+    // the min of two runs is robust to a contention spike landing on
+    // either one. Caches are cleared between reps so both runs are cold.
+    def timeBestOf2(name: String)(body: => Unit): Unit = {
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < 2 && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try body
+        catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // caches a query built are its own: drop them so later runs are
+        // measured cold and cached inputs aren't evicted mid-query by
+        // another query's leftovers (measured 5× variance on the
+        // checkpointed rollup without this)
+        spark.catalog.clearCache()
+        rep += 1
       }
-      results(name) = (System.nanoTime() - t0) / 1e9
-      // caches a query built are its own: drop them so later queries are
-      // measured cold and cached inputs aren't evicted mid-query by
-      // another query's leftovers (measured 5× variance on the
-      // checkpointed rollup without this)
-      spark.catalog.clearCache()
+      results(name) = best
     }
+    for ((name, fn) <- SparkEntry.queries)
+      timeBestOf2(name) { fn(spark, sfDir).count(): Unit }
     // full-size raster binning (the correctness query raster_to_cells is
     // the oracle-checkable 32×32 subset; the 256×256 run is benched here)
-    {
+    locally {
       import graft.ops.RasterOps
       val tAff = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
-      val t0r = System.nanoTime()
-      try RasterOps.rasterToCells(RasterOps.syntheticRaster(spark, 256, 256, 64),
-        tAff, RasterOps.proposeDggsRes(RasterOps.pixelEdgeLenM(tAff, 53.7))).count()
-      catch {
-        case e: Throwable =>
-          errors("raster_to_cells_full") = Option(e.getMessage)
-            .getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      timeBestOf2("raster_to_cells_full") {
+        RasterOps.rasterToCells(RasterOps.syntheticRaster(spark, 256, 256, 64),
+          tAff, RasterOps.proposeDggsRes(RasterOps.pixelEdgeLenM(tAff, 53.7)))
+          .count(): Unit
       }
-      results("raster_to_cells_full") = (System.nanoTime() - t0r) / 1e9
-      spark.catalog.clearCache()
     }
     // flagship throughput on the synthetic corpus (input + warmup untimed;
     // the warmup JITs the kernel on all threads so Bench.main's headline
-    // matches BenchScaling's — round-1 verdict #7)
+    // matches BenchScaling's — round-1 verdict #7). Best-of-2 like the
+    // queries; the cached `geo` input survives both reps (flagship itself
+    // caches nothing, so there is nothing to clear between them).
     flagship(spark, flagshipInput(spark, 50000), 9)
     val geo = flagshipInput(spark, benchDocs)
     val nGeo = geo.count()
-    val t0 = System.nanoTime()
-    flagship(spark, geo, 9)
-    val wall = (System.nanoTime() - t0) / 1e9
+    val wall = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      flagship(spark, geo, 9)
+      (System.nanoTime() - t0) / 1e9
+    }.min
     results("flagship_assign_join_rollup") = wall
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -123,6 +123,23 @@ object BenchDedupScaling {
       TextOps.nearDupClusters(
         TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)).count()
     }
+    // CC-only leg (round-3 verdict #5): dedup_clusters' wall is ~90% its
+    // pair pipeline, leaving the connected-components iteration's own
+    // scaling inferred. Persist the pairs ONCE (untimed) and time
+    // nearDupClusters alone over the parquet edges — the shape a real
+    // pipeline uses when pairs are already on the lake.
+    locally {
+      val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs").toString
+      TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
+        .write.mode("overwrite").parquet(pairsDir)
+      spark.catalog.clearCache()
+      val pairsPq = spark.read.parquet(pairsDir)
+      run("dedup_cc_only",
+        TextOps.nearDupClusters(
+          TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
+        TextOps.nearDupClusters(pairsPq).count()
+      }
+    }
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {
       TextOps.simhashPairs(docs).count()

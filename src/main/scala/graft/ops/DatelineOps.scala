@@ -16,6 +16,11 @@ object DatelineOps {
 
   private val Eps = 0.005
 
+  // hoisted out of splitRing: GeometryFactory is immutable-config and
+  // thread-safe; a per-split-ring `new` is the allocation-rate pattern
+  // measured as this box's 32-thread ceiling (round-3 verdict #3)
+  @transient private lazy val gf = new GeometryFactory()
+
   /** split one ring: returns 1 or 2 rings of (lon, lat). */
   def splitRing(ring: Seq[(Double, Double)]): Seq[Seq[(Double, Double)]] = {
     val crosses = ring.indices.exists { i =>
@@ -24,7 +29,6 @@ object DatelineOps {
     }
     if (!crosses) Seq(ring)
     else {
-      val gf = new GeometryFactory()
       val shifted = ring.map { case (lo, la) => (if (lo < 0) lo + 360.0 else lo, la) }
       val closed = if (shifted.head == shifted.last) shifted else shifted :+ shifted.head
       val poly = gf.createPolygon(closed.map { case (lo, la) => new Coordinate(lo, la) }.toArray)

@@ -308,6 +308,13 @@ object GridOps {
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }
+      if (k % 4 == 0 && res - k > 1) {
+        // same lineage truncation as the Z7 path above (GridOps ~:103):
+        // without it a deep-res clipped expansion pays exponential
+        // driver-side plan analysis on the nested explode/UDF chain
+        // (round-3 verdict #4; the wall was measured twice elsewhere)
+        df = df.localCheckpoint(eager = true)
+      }
     }
     df
   }
@@ -343,6 +350,13 @@ object GridOps {
       case "VERTEX2DD" =>
         A.vertex2ddToZ7(c.getField("t"), c.getField("x"), c.getField("y"), lit(res))
       case "GEO" => F.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
+      case "AIGEN" =>
+        // the reference admits AIGEN on the INPUT side too
+        // (dggrid_runner.py:199, 218 — round-3 ADVICE; an earlier comment
+        // here wrongly claimed output-only). Input semantics: the record's
+        // id line is the cell id — the exact round-trip of cellAigen's
+        // output (id line, vertex lines, END).
+        substring_index(c, "\n", 1).cast("long")
       case other => throw new IllegalArgumentException(s"unsupported input $other")
     }
     val out: Column = to match {
@@ -355,7 +369,7 @@ object GridOps {
       case "PROJTRI" => A.z7ToProjtri(asZ7)
       case "PLANE" => A.z7ToPlane(asZ7)
       case "VERTEX2DD" => A.z7ToVertex2dd(asZ7)
-      case "AIGEN" => F.cellAigen(asZ7) // output-only in the reference too
+      case "AIGEN" => F.cellAigen(asZ7)
       case "INTERLEAVE" | "Z3" | "Z3_STRING" | "ZORDER" | "ZORDER_STRING" =>
         // parity with the reference's own constraint: these exist only
         // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236),

@@ -126,23 +126,75 @@ object VectorOps {
 
   /** Brute-force cosine top-k neighbours (the exact baseline).
     *
-    * With `queryFilter` set, the (small) filtered query side is broadcast
-    * and every target partition is scanned once — cost Q·N with constant
-    * Q, the legitimate brute-force shape at scale. Without it this is the
-    * full N² verifier: use ONLY at calibration scale / in tests (round-1
-    * verdict #6: the unbounded N² cartesian product must not be a driver
-    * query).
+    * With `queryFilter` set, the (small, constant-Q by contract) filtered
+    * query side is collected and BROADCAST as primitive arrays, and every
+    * target partition is scanned ONCE in a `mapPartitions` tight loop
+    * that keeps a per-query insertion top-k — cost Q·N with constant Q,
+    * zero joined rows materialized (the former BNLJ pair join built and
+    * window-sorted Q·N 1 KB rows; round-3 verdict #6). Partition-local
+    * top-ks are exact supersets of each partition's contribution to the
+    * global top-k, so the final window merge over ≤ parts·k rows per
+    * query is exact. The same (cos desc, id asc) order and left-fold dot
+    * product keep it bit-identical to the DuckDB oracle.
+    *
+    * Without `queryFilter` this is the full N² verifier: use ONLY at
+    * calibration scale / in tests (round-1 verdict #6: the unbounded N²
+    * join must not be a driver query).
     */
   def cosineTopK(embs: DataFrame, k: Int = 3,
-                 queryFilter: Option[Column] = None): DataFrame = {
-    val e = withNorm(embs).cache()
-    val q = queryFilter.map(f => broadcast(e.where(f))).getOrElse(e)
-    val pairs = q.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
-        cosPair(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")).as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+                 queryFilter: Option[Column] = None): DataFrame = queryFilter match {
+    case Some(f) =>
+      val spark = embs.sparkSession
+      import spark.implicits._
+      val e = withNorm(embs)
+      val qArr = e.where(f).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val bc = spark.sparkContext.broadcast(qArr)
+      val local = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
+        val qs = bc.value
+        val nQ = qs.length
+        val topId = Array.fill(nQ)(new Array[Long](k))
+        val topCos = Array.fill(nQ)(new Array[Double](k))
+        val sizes = new Array[Int](nQ)
+        it.foreach { case (tid, te, tn) =>
+          val tv = te.toArray
+          var qi = 0
+          while (qi < nQ) {
+            val (qid, qv, qn) = qs(qi)
+            if (tid != qid) {
+              var d = 0.0
+              var i = 0
+              while (i < qv.length) { d += qv(i) * tv(i); i += 1 }
+              val cos = d / (qn * tn)
+              val ids = topId(qi); val cs = topCos(qi); val size = sizes(qi)
+              var pos = size
+              while (pos > 0 && (cos > cs(pos - 1) ||
+                (cos == cs(pos - 1) && tid < ids(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var j = math.min(size, k - 1)
+                while (j > pos) { ids(j) = ids(j - 1); cs(j) = cs(j - 1); j -= 1 }
+                ids(pos) = tid; cs(pos) = cos
+                if (size < k) sizes(qi) = size + 1
+              }
+            }
+            qi += 1
+          }
+        }
+        qs.indices.iterator.flatMap(qi =>
+          (0 until sizes(qi)).iterator.map(p => (qs(qi)._1, topId(qi)(p), topCos(qi)(p))))
+      }.toDF("vec_id", "neighbor", "cos")
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+      local.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+    case None =>
+      val e = withNorm(embs).cache()
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
+          cosPair(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")).as("cos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+      pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
   }
 
   /** Random-hyperplane LSH bucket per vector: `nBits` sign bits of dot

@@ -8,10 +8,10 @@ import org.scalatest.BeforeAndAfterAll
   * shapes that would break at 100 TB are failures here, not review
   * notes. Rules:
   *  - no CartesianProduct anywhere;
-  *  - BroadcastNestedLoopJoin only in the two documented bounded
-  *    patterns: emb_cosine_topk (constant-Q broadcast query subset ×
-  *    target scan) and dggs_knn (escalation fallback — broadcast of the
-  *    provably-rare incomplete queries);
+  *  - BroadcastNestedLoopJoin only in the one documented bounded
+  *    pattern: dggs_knn (escalation fallback — broadcast of the
+  *    provably-rare incomplete queries); emb_cosine_topk left the list
+  *    in round 4 (now a broadcast-queries mapPartitions scan);
   *  - the flagship point-in-polygon join broadcasts its cover side.
   */
 class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -26,7 +26,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = spark.stop()
 
   private val sfDir = "/root/testdata/sf0.001"
-  private val bnljAllowed = Set("emb_cosine_topk", "dggs_knn")
+  private val bnljAllowed = Set("dggs_knn")
 
   test("no cartesian product in any driver query; BNLJ only where bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()

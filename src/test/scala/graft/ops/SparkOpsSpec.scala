@@ -264,6 +264,82 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(verts.forall(_.matches("-?[0-9.]+ -?[0-9.]+")))
   }
 
+  test("AIGEN input: round-trips the engine's own AIGEN records (round-3 ADVICE)") {
+    import spark.implicits._
+    val names = Seq("00123", "10045", "11012")
+    val cells = names.toDF("name")
+    val recs = GridOps.addressTransform(cells, "name", "Z7_STRING", "AIGEN", 3)
+      .select(col("out_addr").as("rec"))
+    val back = GridOps.addressTransform(recs, "rec", "AIGEN", "Z7_STRING", 3)
+      .select("out_addr").as[String].collect().toSet
+    assert(back == names.toSet, back)
+  }
+
+  test("polar clip: pole-enclosing cell rings survive the cover refine") {
+    import Sphere.GeoRad
+    val g = Grids.default
+    val res = 3
+    val northCell = g.cellForPoint(GeoRad.fromDeg(90.0, 0.0), res)
+    val southCell = g.cellForPoint(GeoRad.fromDeg(-90.0, 0.0), res)
+    // a clip box covering each pole: the pole cell's boundary winds all
+    // 360° of lon, so the old straddle-only unwrap produced degenerate
+    // east/west bands that could miss the box entirely (round-3 ADVICE)
+    val north = SpatialOps.coverCells(
+      "POLYGON ((-180 88, 180 88, 180 90, -180 90, -180 88))", res).toSet
+    assert(north.contains(northCell), s"north pole cell $northCell dropped")
+    val south = SpatialOps.coverCells(
+      "POLYGON ((-180 -90, 180 -90, 180 -88, -180 -88, -180 -90))", res).toSet
+    assert(south.contains(southCell), s"south pole cell $southCell dropped")
+    // no over-inclusion: a mid-latitude box keeps excluding the pole cells
+    val est = SpatialOps.coverCells(
+      "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))", res).toSet
+    assert(!est.contains(northCell) && !est.contains(southCell))
+  }
+
+  test("4T deep clipped generation: lineage-truncated, completes at res 12") {
+    // round-3 verdict #4: without the every-4-levels localCheckpoint the
+    // nested explode/UDF chain hits exponential plan-analysis time well
+    // before res 12 — completing (quickly) IS the regression signal
+    val t0 = System.nanoTime()
+    val n = GridOps.gridCellIdsForExtent4T(spark, 12,
+      Some((24.0, 58.0, 24.05, 58.05))).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(wall < 120.0, f"res-12 clipped 4T generation took $wall%.1f s")
+  }
+
+  test("GeoJSON: multi-file fallback ids collide no more; NDJSON reader") {
+    import spark.implicits._
+    def fc(lon: Double) =
+      s"""{"type": "FeatureCollection", "features": [
+         |  {"type": "Feature", "properties": {},
+         |   "geometry": {"type": "Polygon", "coordinates":
+         |     [[[$lon, 0.0], [${lon + 1}, 0.0], [${lon + 1}, 1.0], [$lon, 0.0]]]}}
+         |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson-multi")
+    java.nio.file.Files.write(dir.resolve("a.geojson"), fc(10.0).getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.geojson"), fc(20.0).getBytes("UTF-8"))
+    val got = GeoSources.readGeoJsonPolygons(spark, dir.toString)
+      .as[(String, String)].collect()
+    // positional fallback alone would give BOTH features poly_id "0"
+    assert(got.length == 2 && got.map(_._1).distinct.length == 2, got.toSeq)
+
+    // NDJSON (feature-per-line): splittable layout, same (poly_id, wkt)
+    val nd = Seq(
+      """{"type": "Feature", "properties": {"name": "x"}, "geometry": {"type": "Polygon", "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}}""",
+      """{"type": "Feature", "properties": {"name": "y"}, "geometry": {"type": "Point", "coordinates": [5.0, 6.0]}}""")
+    val ndFile = dir.resolve("feats.ndjson")
+    java.nio.file.Files.write(ndFile, nd.mkString("\n").getBytes("UTF-8"))
+    val gotNd = GeoSources.readGeoJsonFeaturesNdjson(spark, ndFile.toString, Some("name"))
+      .as[(String, String)].collect().toMap
+    assert(gotNd("x").startsWith("POLYGON"), gotNd)
+    assert(gotNd("y") == "POINT (5.0 6.0)", gotNd)
+    // content-keyed fallback id when no idProp is given
+    val gotNd2 = GeoSources.readGeoJsonFeaturesNdjson(spark, ndFile.toString)
+      .as[(String, String)].collect()
+    assert(gotNd2.length == 2 && gotNd2.map(_._1).distinct.length == 2)
+  }
+
   test("ring1: reciprocity and size over all res-2 cells") {
     val g = Grids.default
     var all: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))

@@ -56,4 +56,22 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = VectorOps.trainCentroids(embs, nCentroids = 16, iters = 10)
     assert(trained.map(_._2) sameElements again.map(_._2))
   }
+
+  test("cosineTopK broadcast-scan path equals the N² verifier bit-for-bit") {
+    import spark.implicits._
+    // the round-4 mapPartitions rewrite must stay exact AND tie-stable:
+    // many partitions (local[4], repartition(7)) so the partition-local
+    // top-k merge and (cos desc, id asc) tie order are both exercised
+    val embs = graft.BenchDedupScaling.syntheticEmbeddings(spark, 300, 16)
+      .repartition(7)
+    val f = col("vec_id") % 10 === 0
+    val got = VectorOps.cosineTopK(embs, 3, Some(f))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = VectorOps.cosineTopK(embs, 3, None).where(f)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want,
+      s"${(got -- want).size} extra, ${(want -- got).size} missing")
+    // an empty query subset yields an empty result, not a failure
+    assert(VectorOps.cosineTopK(embs, 3, Some(col("vec_id") < 0)).count() == 0)
+  }
 }
