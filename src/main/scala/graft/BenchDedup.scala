@@ -70,6 +70,10 @@ object BenchDedupScaling {
     val cpus = if (args.nonEmpty) args(0) else "8"
     val nDocs = if (args.length > 1) args(1).toLong else 40000L
     val nVecs = if (args.length > 2) args(2).toLong else 50000L
+    // optional comma-separated op filter (args 4): big-input soaks of ONE
+    // op (e.g. the 1M-doc CC-only leg) shouldn't pay for the whole suite
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,6 +86,7 @@ object BenchDedupScaling {
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Long, Long, Long)]()
     def run(name: String, warm: => Long)(op: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       warm // JIT/codegen warmup on a small slice, untimed
       spark.catalog.clearCache()
       // wait for stragglers so the tally window is clean
@@ -128,17 +133,23 @@ object BenchDedupScaling {
     // scaling inferred. Persist the pairs ONCE (untimed) and time
     // nearDupClusters alone over the parquet edges — the shape a real
     // pipeline uses when pairs are already on the lake.
-    locally {
+    if (only.isEmpty || only.contains("dedup_cc_only")) {
       val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs").toString
       TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
         .write.mode("overwrite").parquet(pairsDir)
       spark.catalog.clearCache()
       val pairsPq = spark.read.parquet(pairsDir)
+      val nEdges = pairsPq.count()
+      var rounds = -1
       run("dedup_cc_only",
         TextOps.nearDupClusters(
           TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
-        TextOps.nearDupClusters(pairsPq).count()
+        val (labels, r) = TextOps.nearDupClustersStaged(pairsPq)
+        rounds = r
+        labels.count()
       }
+      println(s"dedup_cc_only: $nEdges input pairs, " +
+        s"$rounds rounds to confirm convergence")
     }
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {

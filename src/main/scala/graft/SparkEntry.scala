@@ -63,6 +63,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(
         TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5))),
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      // the full cleaning pipeline a training-data run composes: quality
+      // filter → exact dedup → keep-one-per-near-dup-cluster
+      TextOps.cleanCorpus(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
@@ -194,6 +198,19 @@ object SparkEntry {
       SpatialOps.gridCellIdsForWkt(s, OracleFixtures.wktClip, 5)
         .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
     }),
+    "dggs_polar_cover" -> ((s, _) => {
+      // pole-enclosing clip boxes (round-4: the antimeridian unwrap used
+      // to silently drop cells whose ring winds all 360° of lon). Runs
+      // the DISTRIBUTED coverCellsDf; the oracle is frozen from the
+      // driver-side coverCells — the two cover paths check each other.
+      import s.implicits._
+      val polys = Seq(
+        ("north", OracleFixtures.polarNorthWkt),
+        ("south", OracleFixtures.polarSouthWkt)).toDF("poly_id", "wkt")
+      SpatialOps.coverCellsDf(polys, 3)
+        .select(col("poly_id"),
+          graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
+    }),
     "dggs_coarse_children" -> ((s, _) => {
       import s.implicits._
       import graft.spark.{DggsFunctions => F}
@@ -320,8 +337,12 @@ object SparkEntry {
     * TextOps.DefaultMaxShingleDf (a no-op below 1000 docs; defined here so
     * the two sides share one similarity measure)
     */
-  private val shinglesCte =
-    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** shingle CTE chain over any `(doc_id, text)` source relation —
+    * `src` is "documents" for the dedup queries, the quality-filtered
+    * survivor CTE for the clean-corpus pipeline.
+    */
+  private def shinglesCteOver(src: String) =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
       |        FROM words WHERE len(w) >= 3),
       |shingles0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -330,12 +351,14 @@ object SparkEntry {
       |shingles AS (SELECT doc_id, shingles0.s AS s
       |             FROM shingles0 JOIN shkeep ON shingles0.s = shkeep.s)""".stripMargin
 
+  private val shinglesCte = shinglesCteOver("documents")
+
   /** MinHash-LSH near-dup pair pipeline as a reusable CTE chain ending
     * in `mhpairs(doc_a, doc_b, jaccard >= 0.5)` — consumed by the
     * dedup_minhash_lsh oracle and the dedup_clusters transitive closure.
     */
-  private lazy val minhashPairsCte =
-    s"""$shinglesCte,
+  private def minhashPairsCteOver(src: String) =
+    s"""${shinglesCteOver(src)},
        |hashed AS (SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1
        |           FROM shingles),
        |parts AS (SELECT doc_id, h,
@@ -360,6 +383,8 @@ object SparkEntry {
        |mhpairs AS (SELECT c.doc_a, c.doc_b, j.jaccard
        |            FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
        |            WHERE j.jaccard >= 0.5)""".stripMargin
+
+  private lazy val minhashPairsCte = minhashPairsCteOver("documents")
 
   private val jaccardSql =
     s"""WITH $shinglesCte,
@@ -506,6 +531,7 @@ object SparkEntry {
          |FROM ext LEFT JOIN agg ON ext.name = agg.c4""".stripMargin,
     "dggs_wkt_extent_ids" -> OracleFixtures.wktExtentSql,
     "dggs_dateline_split" -> OracleFixtures.datelineSql,
+    "dggs_polar_cover" -> OracleFixtures.polarCoverSql,
     "dggs_coarse_children" ->
       // Z7 descendants of a non-pentagon parent = every digit string over
       // {0..6} appended to the parent — pure enumeration, genuine SQL
@@ -694,6 +720,25 @@ object SparkEntry {
          |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node)
          |SELECT node AS doc_id, least(node, min(r)) AS keep_id
          |FROM reach GROUP BY node""".stripMargin,
+    "pipeline_clean_corpus" ->
+      // quality filter → exact dedup (min doc_id per identical text) →
+      // minhash-LSH transitive closure, keep the component minimum
+      s"""WITH RECURSIVE
+         |qdocs AS (SELECT doc_id, text FROM documents
+         |          WHERE len(text) >= 50
+         |            AND len(list_distinct(string_split(text, ' '))) >= 10),
+         |exkeep AS (SELECT min(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
+         |exq AS (SELECT q.doc_id, q.text FROM qdocs q JOIN exkeep USING (doc_id)),
+         |${minhashPairsCteOver("exq")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+         |reach AS (SELECT src AS node, dst AS r FROM edges
+         |          UNION
+         |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+         |keep AS (SELECT node AS doc_id, least(node, min(r)) AS keep_id
+         |         FROM reach GROUP BY node)
+         |SELECT e.doc_id FROM exq e LEFT JOIN keep k ON e.doc_id = k.doc_id
+         |WHERE k.keep_id IS NULL OR k.keep_id = e.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,

@@ -245,7 +245,18 @@ object TextOps {
     * worse than a loud failure). Docs in no pair are absent (they
     * trivially keep themselves).
     */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame =
+    nearDupClustersStaged(pairs, maxIters)._1
+
+  /** [[nearDupClusters]] plus the number of propagation rounds it took
+    * to CONFIRM convergence — exposed so the scaling bench can record
+    * rounds-to-converge alongside rows/s (near-dup components are small
+    * cliques, so this should stay 1-2 regardless of corpus size; growth
+    * with input would signal chain-shaped duplicate graphs that want the
+    * large-star/small-star variant instead).
+    */
+  private[graft] def nearDupClustersStaged(
+      pairs: DataFrame, maxIters: Int = 12): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     // LOGICAL-PLAN truncation: wrap the cached result as a LogicalRDD
     // leaf. Without this each round's plan nests the previous round's
@@ -312,7 +323,7 @@ object TextOps {
           "may already be minimal but are unverified). Raise maxIters, or " +
           "use a large-star/small-star contraction for adversarial " +
           "chain-shaped duplicate graphs.")
-    labels.select(col("doc_id"), col("lbl").as("keep_id"))
+    (labels.select(col("doc_id"), col("lbl").as("keep_id")), it)
   }
 
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex
@@ -453,6 +464,37 @@ object TextOps {
     shingles(docs, k)
       .groupBy("doc_id")
       .agg(min(md5(col("s").cast("binary"))).as("fp"), count(lit(1)).as("n_shingles"))
+
+  /** End-to-end corpus cleaning — the composition a training-data
+    * pipeline actually runs, as one operator: quality filter (length +
+    * distinct-token floor) → exact dedup (keep the min doc_id per
+    * identical text) → near-dup dedup (keep the min doc_id per
+    * minhash-LSH connected component). Returns the surviving doc ids.
+    *
+    * Scale shape: a narrow filter pushed to the scan, one hash agg, the
+    * minhash pair pipeline (its own 100 TB shapes documented at
+    * [[minhashLshPairs]]), the CC iteration over pairs only, and a final
+    * equi-join against the (small — only docs that were IN a pair)
+    * cluster map. The filtered survivor set is consumed twice (pair
+    * pipeline + final join), so it is cached; callers release via
+    * `spark.catalog.clearCache()` per the class cache-lifecycle note.
+    */
+  def cleanCorpus(docs: DataFrame, minChars: Long = 50, minUniqTokens: Long = 10,
+                  k: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+                  threshold: Double = 0.5): DataFrame = {
+    val q = docs.where(length(col("text")) >= minChars &&
+      size(array_distinct(words(col("text")))) >= minUniqTokens)
+    val exKeep = q.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .drop("h")
+    val exq = q.join(exKeep, "doc_id").cache()
+    val clusters = nearDupClusters(
+      minhashLshPairs(exq, k, numHashes, bandSize, threshold))
+    exq.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .where(col("keep_id").isNull || col("keep_id") === col("doc_id"))
+      .select("doc_id")
+  }
 
   /** Text quality scoring: integer-valued features a filtering pipeline
     * thresholds on (all exact → oracle-checkable).

@@ -171,6 +171,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cleanCorpus: quality filter, exact dedup, near-dup keep-one compose") {
+    import spark.implicits._
+    // 14+ distinct words so the quality floor (len >= 50, uniq >= 10)
+    // passes; docs 3/4 differ by ONE word over disjoint vocab (3-shingle
+    // Jaccard 15/21 ≈ 0.71, above the 0.5 LSH threshold); doc 5 = doc 1
+    // verbatim (exact dup); doc 6 fails the quality floor
+    val base = (1 to 14).map(i => s"alpha$i").mkString(" ")
+    val famB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val famBNear = ((1 to 19).map(i => s"beta$i") :+ "CHANGED").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (3L, famB),
+      (4L, famBNear),
+      (5L, base),
+      (6L, "tiny text")).toDF("doc_id", "text")
+    val kept = TextOps.cleanCorpus(docs).as[Long].collect().toSet
+    // 5 drops as an exact dup of 1; 4 drops into 3's near-dup cluster;
+    // 6 drops on quality; 1 and 3 survive
+    assert(kept == Set(1L, 3L), kept)
+    spark.catalog.clearCache()
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
