@@ -134,22 +134,30 @@ object BenchDedupScaling {
     // nearDupClusters alone over the parquet edges — the shape a real
     // pipeline uses when pairs are already on the lake.
     if (only.isEmpty || only.contains("dedup_cc_only")) {
-      val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs").toString
-      TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
-        .write.mode("overwrite").parquet(pairsDir)
-      spark.catalog.clearCache()
-      val pairsPq = spark.read.parquet(pairsDir)
-      val nEdges = pairsPq.count()
-      var rounds = -1
-      run("dedup_cc_only",
-        TextOps.nearDupClusters(
-          TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
-        val (labels, r) = TextOps.nearDupClustersStaged(pairsPq)
-        rounds = r
-        labels.count()
+      val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs")
+      try {
+        TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
+          .write.mode("overwrite").parquet(pairsDir.toString)
+        spark.catalog.clearCache()
+        val pairsPq = spark.read.parquet(pairsDir.toString)
+        val nEdges = pairsPq.count()
+        var rounds = -1
+        run("dedup_cc_only",
+          TextOps.nearDupClusters(
+            TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
+          val (labels, r) = TextOps.nearDupClustersStaged(pairsPq)
+          rounds = r
+          labels.count()
+        }
+        println(s"dedup_cc_only: $nEdges input pairs, " +
+          s"$rounds rounds to confirm convergence")
+      } finally {
+        // GBs at soak scale on a shared VM — never leave them behind
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(pairsDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
       }
-      println(s"dedup_cc_only: $nEdges input pairs, " +
-        s"$rounds rounds to confirm convergence")
     }
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {
@@ -170,6 +178,9 @@ object BenchDedupScaling {
       VectorOps.lshTopK(embs, 3, 11).count()
     }
 
+    // a typo'd op filter must not record a vacuous empty run as a pass
+    require(only.isEmpty || results.nonEmpty,
+      s"op filter matched no benchmark: ${only.mkString(",")}")
     val json = results.map { case (name, (wall, rows, sr, sw)) =>
       val inRows = if (name.startsWith("emb")) nVecs else nDocs
       f""""$name":{"wall_sec":$wall%.2f,"out_rows":$rows,"rows_per_sec":${(inRows / wall).toLong},""" +

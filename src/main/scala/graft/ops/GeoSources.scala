@@ -85,8 +85,10 @@ object GeoSources {
     */
   def readGeoJsonPolygons(spark: SparkSession, path: String,
                           idProp: Option[String] = None): DataFrame = {
+    // FAILFAST: a malformed document must raise at the scan, not become
+    // a silent null feature row that NPEs rows later in a geometry UDF
     val raw = spark.read.schema(featureSchema)
-      .option("multiLine", true).json(path)
+      .option("multiLine", true).option("mode", "FAILFAST").json(path)
       .select(input_file_name().as("src"), posexplode(col("features")).as(Seq("pos", "f")))
     val id: Column = idProp
       .map(p => col("f.properties")(p))
@@ -104,7 +106,12 @@ object GeoSources {
     */
   def readGeoJsonFeaturesNdjson(spark: SparkSession, path: String,
                                 idProp: Option[String] = None): DataFrame = {
-    val raw = spark.read.schema(featureStruct).json(path)
+    // FAILFAST: one truncated line in a large GeoJSONL corpus (this
+    // reader's headline use case) must fail the scan loudly instead of
+    // parsing to an all-null row that either NPEs far from the cause
+    // (JtsCache on wkt=null) or silently drops the feature in a join
+    val raw = spark.read.schema(featureStruct)
+      .option("mode", "FAILFAST").json(path)
     val wkt = toWkt(col("geometry.type"), col("geometry.coordinates"))
     val withWkt = raw.select(col("properties"), wkt.as("wkt"))
     val id: Column = idProp

@@ -355,8 +355,15 @@ object GridOps {
         // (dggrid_runner.py:199, 218 — round-3 ADVICE; an earlier comment
         // here wrongly claimed output-only). Input semantics: the record's
         // id line is the cell id — the exact round-trip of cellAigen's
-        // output (id line, vertex lines, END).
-        substring_index(c, "\n", 1).cast("long")
+        // output (id line, vertex lines, END). The id line is VALIDATED:
+        // a bare cast would map CRLF files / 'id lon lat' headers /
+        // malformed records to silent null cell ids (the
+        // silent-wrong-results mode this codebase treats as worse than a
+        // loud failure); CR is tolerated, anything else non-numeric raises.
+        val idLine = rtrim(substring_index(c, "\n", 1), "\r")
+        when(idLine.rlike("^-?[0-9]+$"), idLine.cast("long"))
+          .otherwise(raise_error(
+            concat(lit("malformed AIGEN id line: '"), idLine, lit("'"))))
       case other => throw new IllegalArgumentException(s"unsupported input $other")
     }
     val out: Column = to match {

@@ -150,6 +150,15 @@ object VectorOps {
       val qArr = e.where(f).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
+      // the 'constant Q by contract' clause enforced, not assumed: the
+      // query side lands on the driver and in every task's heap, so a
+      // filter that scales with N (e.g. an unbounded modulus class) must
+      // fail fast with a pointer at the bucketed paths — the same guard
+      // pattern as ngramJaccardPairs.maxDocs
+      require(qArr.length <= MaxBroadcastQueries,
+        s"cosineTopK collected ${qArr.length} query vectors (limit " +
+          s"$MaxBroadcastQueries): the brute-force path is for small fixed " +
+          "query sets; use lshTopK/ivfTopK for query sides that scale with N")
       val bc = spark.sparkContext.broadcast(qArr)
       val local = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
         val qs = bc.value
@@ -168,9 +177,17 @@ object VectorOps {
               while (i < qv.length) { d += qv(i) * tv(i); i += 1 }
               val cos = d / (qn * tn)
               val ids = topId(qi); val cs = topCos(qi); val size = sizes(qi)
+              // Double.compare, not </==: a zero-norm row yields NaN
+              // cosines, and NaN compares FALSE under both > and == but
+              // sorts LARGEST under Spark's window ordering — the
+              // primitive operators would drop or misplace it and diverge
+              // from the N² verifier; Double.compare totally orders NaN
+              // exactly as the window does
               var pos = size
-              while (pos > 0 && (cos > cs(pos - 1) ||
-                (cos == cs(pos - 1) && tid < ids(pos - 1)))) pos -= 1
+              while (pos > 0 && {
+                val c = java.lang.Double.compare(cos, cs(pos - 1))
+                c > 0 || (c == 0 && tid < ids(pos - 1))
+              }) pos -= 1
               if (pos < k) {
                 var j = math.min(size, k - 1)
                 while (j > pos) { ids(j) = ids(j - 1); cs(j) = cs(j - 1); j -= 1 }
@@ -184,17 +201,27 @@ object VectorOps {
         qs.indices.iterator.flatMap(qi =>
           (0 until sizes(qi)).iterator.map(p => (qs(qi)._1, topId(qi)(p), topCos(qi)(p))))
       }.toDF("vec_id", "neighbor", "cos")
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
-      local.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-        .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+      rankTopK(local, k)
     case None =>
       val e = withNorm(embs).cache()
       val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor"),
           cosPair(col("a.e"), col("a.nrm"), col("b.e"), col("b.nrm")).as("cos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
-      pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-        .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
+      rankTopK(pairs, k)
+  }
+
+  /** query-vector cap for cosineTopK's broadcast brute-force path */
+  val MaxBroadcastQueries = 8192
+
+  /** the (cos desc, id asc) rank/select tail shared by BOTH cosineTopK
+    * paths — one definition so the tie order and output schema cannot
+    * drift between the broadcast path and the N² verifier (their
+    * bit-identity is the VectorOpsSpec contract).
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"), col("neighbor"), col("cos"))
   }
 
   /** Random-hyperplane LSH bucket per vector: `nBits` sign bits of dot

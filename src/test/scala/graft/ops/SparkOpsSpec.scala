@@ -295,6 +295,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = GridOps.addressTransform(recs, "rec", "AIGEN", "Z7_STRING", 3)
       .select("out_addr").as[String].collect().toSet
     assert(back == names.toSet, back)
+    // CRLF id lines are tolerated; anything non-numeric raises instead of
+    // casting to a silent null cell id (round-4 review finding)
+    val crlf = recs.select(regexp_replace(col("rec"), "\n", "\r\n").as("rec"))
+    val backCrlf = GridOps.addressTransform(crlf, "rec", "AIGEN", "Z7_STRING", 3)
+      .select("out_addr").as[String].collect().toSet
+    assert(backCrlf == names.toSet, backCrlf)
+    val bad = Seq("not a number\n1.0 2.0\nEND").toDF("rec")
+    intercept[Exception] {
+      GridOps.addressTransform(bad, "rec", "AIGEN", "Z7_STRING", 3).collect()
+    }
   }
 
   test("polar clip: pole-enclosing cell rings survive the cover refine") {
@@ -327,7 +337,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Some((24.0, 58.0, 24.05, 58.05))).count()
     val wall = (System.nanoTime() - t0) / 1e9
     assert(n > 0)
-    assert(wall < 120.0, f"res-12 clipped 4T generation took $wall%.1f s")
+    // generous bound: nominal is tens of seconds, the guarded regression
+    // (exponential plan analysis) is minutes-to-hours, and this shared VM
+    // has ±20-40% contention noise — don't let noise fail the suite
+    assert(wall < 300.0, f"res-12 clipped 4T generation took $wall%.1f s")
   }
 
   test("GeoJSON: multi-file fallback ids collide no more; NDJSON reader") {

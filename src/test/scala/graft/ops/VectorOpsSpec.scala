@@ -62,13 +62,23 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the round-4 mapPartitions rewrite must stay exact AND tie-stable:
     // many partitions (local[4], repartition(7)) so the partition-local
     // top-k merge and (cos desc, id asc) tie order are both exercised
+    // includes a ZERO-NORM row: its cosines are NaN, which sorts LARGEST
+    // under Spark's window ordering — the broadcast path's insertion loop
+    // must totally order it the same way (Double.compare, not >/==) or
+    // the two paths diverge (round-4 review finding)
     val embs = graft.BenchDedupScaling.syntheticEmbeddings(spark, 300, 16)
+      .unionByName(Seq((1000L, Seq.fill(16)(0.0f))).toDF("vec_id", "embedding"))
       .repartition(7)
-    val f = col("vec_id") % 10 === 0
-    val got = VectorOps.cosineTopK(embs, 3, Some(f))
-      .as[(Long, Long, Long, Double)].collect().toSet
-    val want = VectorOps.cosineTopK(embs, 3, None).where(f)
-      .as[(Long, Long, Long, Double)].collect().toSet
+    val f = col("vec_id") % 10 === 0 // 31 queries incl. the zero vector
+    // compare via doubleToLongBits: Scala tuple equality uses primitive
+    // == for Double, under which NaN != NaN — the bit pattern IS the
+    // bit-for-bit contract and canonicalizes NaN
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect()
+        .map(t => (t._1, t._2, t._3, java.lang.Double.doubleToLongBits(t._4)))
+        .toSet
+    val got = rows(VectorOps.cosineTopK(embs, 3, Some(f)))
+    val want = rows(VectorOps.cosineTopK(embs, 3, None).where(f))
     assert(got == want,
       s"${(got -- want).size} extra, ${(want -- got).size} missing")
     // an empty query subset yields an empty result, not a failure
