@@ -63,6 +63,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(
         TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5))),
+    "dedup_clusters_ls" -> ((s, dir) =>
+      // large-star/small-star CC — the O(log n)-round scale path for
+      // adversarial (chain-shaped) duplicate graphs; must produce the
+      // SAME clustering as min-label propagation (shared oracle)
+      TextOps.nearDupClustersLargeStar(
+        TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       // the full cleaning pipeline a training-data run composes: quality
       // filter → exact dedup → keep-one-per-near-dup-cluster
@@ -385,6 +391,21 @@ object SparkEntry {
        |            WHERE j.jaccard >= 0.5)""".stripMargin
 
   private lazy val minhashPairsCte = minhashPairsCteOver("documents")
+
+  /** transitive closure of the minhash near-dup pairs: every doc gets
+    * the minimum doc_id reachable in its component as keep_id — shared
+    * by BOTH connected-component implementations (min-label propagation
+    * and large-star/small-star), which must agree exactly.
+    */
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+       |reach AS (SELECT src AS node, dst AS r FROM edges
+       |          UNION
+       |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+       |SELECT node AS doc_id, least(node, min(r)) AS keep_id
+       |FROM reach GROUP BY node""".stripMargin
 
   private val jaccardSql =
     s"""WITH $shinglesCte,
@@ -709,17 +730,10 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
-    "dedup_clusters" ->
-      // transitive closure of the minhash near-dup pairs: every doc gets
-      // the minimum doc_id reachable in its component as keep_id
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
-         |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
-         |reach AS (SELECT src AS node, dst AS r FROM edges
-         |          UNION
-         |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node)
-         |SELECT node AS doc_id, least(node, min(r)) AS keep_id
-         |FROM reach GROUP BY node""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // SAME oracle on purpose: min-label propagation and large-star/
+    // small-star contraction must agree on the clustering exactly
+    "dedup_clusters_ls" -> dedupClustersSql,
     "pipeline_clean_corpus" ->
       // quality filter → exact dedup (min doc_id per identical text) →
       // minhash-LSH transitive closure, keep the component minimum

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Large-scale training-data text pipeline operators over the `documents`
   * table (`doc_id: long, text: string, lang: string, source: string,
@@ -324,6 +325,122 @@ object TextOps {
           "use a large-star/small-star contraction for adversarial " +
           "chain-shaped duplicate graphs.")
     (labels.select(col("doc_id"), col("lbl").as("keep_id")), it)
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contractions ("Connected Components in MapReduce and Beyond",
+    * Kiveris et al., SoCC '14) — the scale path for ADVERSARIAL
+    * duplicate graphs: min-label propagation ([[nearDupClusters]])
+    * needs component-diameter rounds, star contraction converges in
+    * O(log n) rounds on ANY component shape (a 1000-node chain: ~10
+    * rounds vs 1000). Same output contract, bit-identical result:
+    * `(doc_id, keep_id = component-minimum doc_id)` — the driver gate
+    * checks both against the same transitive-closure oracle.
+    *
+    * Round shape — every step is a window-min or distinct over ONE
+    * shuffle key; adjacency is never materialized as an array, so a
+    * high-degree hub costs a window aggregate, not a collect_list in
+    * one task's heap:
+    *  - large-star: over the undirected adjacency, each node's
+    *    strictly-larger neighbours re-attach to the minimum of its
+    *    closed neighbourhood;
+    *  - small-star: over the larger→smaller edges grouped by the larger
+    *    endpoint, the node and its smaller neighbours re-attach to
+    *    their minimum.
+    * Edges always point DOWNWARD (hi > lo) so each round can only
+    * shrink the (count, endpoint-sum) checksum; when the checksum goes
+    * stable the fixpoint is CONFIRMED with an exact `except` before
+    * returning (checksum collisions cannot fake convergence). Lineage
+    * is truncated per round like [[nearDupClusters]] (LogicalRDD wrap —
+    * recomputable on executor loss, caches releasable). Throws if
+    * `maxIters` rounds cannot confirm the fixpoint.
+    */
+  def nearDupClustersLargeStar(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    nearDupClustersLargeStarStaged(pairs, maxIters)._1
+
+  /** [[nearDupClustersLargeStar]] plus its rounds-to-converge count. */
+  private[graft] def nearDupClustersLargeStarStaged(
+      pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    // ONE pass over `pairs` (the upstream pair pipeline is expensive):
+    // canonical hi>lo edges + the node universe both derive from it
+    val canonicalCache = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .distinct().cache()
+    val canonical = truncate(canonicalCache)
+    // every doc in ANY pair (incl. degenerate self-pairs) gets an output
+    // row, matching nearDupClusters
+    val nodes = canonical
+      .select(explode(array(col("hi"), col("lo"))).as("doc_id")).distinct()
+    var edgesCache = canonicalCache
+    var edges = canonical.where(col("hi") =!= col("lo"))
+    // (count, sum of endpoints) fingerprint — decimal: long sums overflow
+    // at corpus-scale id ranges
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prev = fingerprint(edges)
+    var converged = prev._1 == 0L
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the undirected adjacency (both directions in one
+      // explode pass — a union of two projections would recompute the
+      // upstream twice)
+      val bi = edges.select(explode(array(
+          struct(col("hi").as("u"), col("lo").as("v")),
+          struct(col("lo").as("u"), col("hi").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val ls = bi
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star on the downward edges, grouped by the larger endpoint
+      val ssBase = ls.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+      val next = ssBase.select(col("lo").as("hi"), col("m").as("lo"))
+        .unionByName(ssBase.select(col("hi"), col("m").as("lo")))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      val nextCache = next.cache()
+      val nextT = truncate(nextCache)
+      val cur = fingerprint(nextT)
+      // BigDecimal.equals is scale-sensitive — compare numerically
+      if (cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0) {
+        // checksum stable — CONFIRM the fixpoint exactly (same count +
+        // empty difference over distinct sets ⇒ set equality)
+        converged = nextT.except(edges).isEmpty
+      }
+      prev = cur
+      edgesCache.unpersist(false)
+      edgesCache = nextCache
+      edges = nextT
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClustersLargeStar could not CONFIRM the fixpoint within " +
+          s"$maxIters rounds — raise maxIters (star contraction converges " +
+          "in O(log n) rounds, so this indicates a pathological input or " +
+          "too small a bound).")
+    // at the fixpoint the edges are stars centered at each component's
+    // minimum: label every hi with its (unique) center, centers and
+    // isolated self-pair docs keep themselves
+    val labels = nodes
+      .join(edges.groupBy("hi").agg(min("lo").as("__keep")),
+        nodes("doc_id") === col("hi"), "left")
+      .select(col("doc_id"), coalesce(col("__keep"), col("doc_id")).as("keep_id"))
+    // canonicalCache stays cached: `nodes` (and through it the returned
+    // labels) still reads it — unpersisting here would recompute the
+    // whole upstream pair pipeline at materialization. Callers release
+    // via spark.catalog.clearCache() per the class cache-lifecycle note.
+    (labels, it)
   }
 
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex

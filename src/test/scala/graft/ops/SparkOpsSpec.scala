@@ -171,6 +171,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nearDupClustersLargeStar: O(log n) chain convergence, equals min-label") {
+    import spark.implicits._
+    // a 1000-node chain: diameter 999. Min-label propagation would need
+    // ~1000 rounds (it throws at its default 12); star contraction must
+    // finish in O(log n) — well under 25
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextOps.nearDupClustersLargeStarStaged(chain)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 1000 && got.values.forall(_ == 1L), got.take(5))
+    assert(rounds <= 15, s"chain took $rounds rounds")
+    spark.catalog.clearCache()
+    // exact agreement with min-label propagation on a mixed graph
+    // (clique + chain + isolated self-pair)
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (12L, 13L), (20L, 20L)).toDF("doc_a", "doc_b")
+    val ls = TextOps.nearDupClustersLargeStar(mixed).as[(Long, Long)].collect().toSet
+    val ml = TextOps.nearDupClusters(mixed).as[(Long, Long)].collect().toSet
+    assert(ls == ml, s"ls=$ls ml=$ml")
+    assert(ls.contains((20L, 20L)), ls) // self-pair doc keeps itself
+    // empty input
+    assert(TextOps.nearDupClustersLargeStar(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("cleanCorpus: quality filter, exact dedup, near-dup keep-one compose") {
     import spark.implicits._
     // 14+ distinct words so the quality floor (len >= 50, uniq >= 10)
