@@ -133,7 +133,7 @@ object BenchDedupScaling {
     // scaling inferred. Persist the pairs ONCE (untimed) and time
     // nearDupClusters alone over the parquet edges — the shape a real
     // pipeline uses when pairs are already on the lake.
-    if (only.isEmpty || only.contains("dedup_cc_only")) {
+    if (only.isEmpty || only.exists(_.startsWith("dedup_cc"))) {
       val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs")
       try {
         TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
@@ -149,8 +149,24 @@ object BenchDedupScaling {
           rounds = r
           labels.count()
         }
-        println(s"dedup_cc_only: $nEdges input pairs, " +
-          s"$rounds rounds to confirm convergence")
+        if (rounds >= 0)
+          println(s"dedup_cc_only: $nEdges input pairs, " +
+            s"$rounds rounds to confirm convergence")
+        // the large-star/small-star alternative over the SAME pairs —
+        // its O(log n)-round guarantee is the adversarial-shape scale
+        // path; here (clique-shaped corpus) it measures the per-round
+        // overhead premium vs min-label
+        var lsRounds = -1
+        run("dedup_cc_ls_only",
+          TextOps.nearDupClustersLargeStar(
+            TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5)).count()) {
+          val (labels, r) = TextOps.nearDupClustersLargeStarStaged(pairsPq)
+          lsRounds = r
+          labels.count()
+        }
+        if (lsRounds >= 0)
+          println(s"dedup_cc_ls_only: $nEdges input pairs, " +
+            s"$lsRounds rounds to confirm fixpoint")
       } finally {
         // GBs at soak scale on a shared VM — never leave them behind
         import scala.jdk.CollectionConverters._

@@ -249,6 +249,19 @@ object TextOps {
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 12): DataFrame =
     nearDupClustersStaged(pairs, maxIters)._1
 
+  /** LOGICAL-PLAN truncation for the iterative CC algorithms: wrap the
+    * cached result as a LogicalRDD leaf. Without this each round's plan
+    * nests the previous round's (union + join) with the whole pair
+    * pipeline at the leaves — exponential driver-side analysis
+    * (measured: 114 s of plan work for ~12 s of compute at 200k docs).
+    * Unlike localCheckpoint, the RDD lineage stays intact, so blocks are
+    * recomputable on executor loss and caches remain unpersistable per
+    * round. Shared by BOTH implementations so their executor-loss
+    * behavior cannot diverge.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** [[nearDupClusters]] plus the number of propagation rounds it took
     * to CONFIRM convergence — exposed so the scaling bench can record
     * rounds-to-converge alongside rows/s (near-dup components are small
@@ -258,16 +271,6 @@ object TextOps {
     */
   private[graft] def nearDupClustersStaged(
       pairs: DataFrame, maxIters: Int = 12): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    // LOGICAL-PLAN truncation: wrap the cached result as a LogicalRDD
-    // leaf. Without this each round's plan nests the previous round's
-    // twice (union + join) with the whole pair pipeline at the leaves —
-    // exponential driver-side analysis (measured: 114 s of plan work
-    // for ~12 s of compute at 200k docs). Unlike localCheckpoint, the
-    // RDD lineage stays intact, so blocks are recomputable on executor
-    // loss and caches remain unpersistable per round.
-    def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     // both edge directions in ONE pass over `pairs` (a union of two
     // projections references — and recomputes — the whole upstream pair
     // pipeline twice)
@@ -361,9 +364,6 @@ object TextOps {
   /** [[nearDupClustersLargeStar]] plus its rounds-to-converge count. */
   private[graft] def nearDupClustersLargeStarStaged(
       pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    def truncate(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
     // ONE pass over `pairs` (the upstream pair pipeline is expensive):
     // canonical hi>lo edges + the node universe both derive from it
     val canonicalCache = pairs.select(
@@ -418,7 +418,11 @@ object TextOps {
         converged = nextT.except(edges).isEmpty
       }
       prev = cur
-      edgesCache.unpersist(false)
+      // round 1 starts with edgesCache == canonicalCache, which `nodes`
+      // (and through it the returned labels) still reads — unpersisting
+      // it would recompute the whole upstream pair pipeline when the
+      // caller materializes the result (round-4 review finding)
+      if (edgesCache ne canonicalCache) edgesCache.unpersist(false)
       edgesCache = nextCache
       edges = nextT
       it += 1
