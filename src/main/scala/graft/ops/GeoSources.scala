@@ -97,6 +97,31 @@ object GeoSources {
       toWkt(col("f.geometry.type"), col("f.geometry.coordinates")).as("wkt"))
   }
 
+  /** Read a CSV/TEXT table of point rows — the reference's
+    * `cells_for_geo_points` ingestion path (lon/lat columns of a
+    * delimited table read via geopandas; CSV/TEXT is in its
+    * get_geo_out/driver zoo, dggrid_runner.py:44-62). Spark's built-in
+    * csv scan: splittable, header-aware, FAILFAST on malformed lines;
+    * the lon/lat columns are cast to double with a LOUD error on
+    * non-numeric values (a bare cast would null them silently), other
+    * columns pass through untouched for downstream binning/joins.
+    */
+  def readPointsCsv(spark: SparkSession, path: String,
+                    lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val raw = spark.read
+      .option("header", true).option("mode", "FAILFAST").csv(path)
+    require(raw.columns.contains(lonCol) && raw.columns.contains(latCol),
+      s"CSV at $path lacks '$lonCol'/'$latCol' columns " +
+        s"(found: ${raw.columns.mkString(", ")})")
+    def num(c: String): Column = {
+      val v = col(c).cast("double")
+      when(col(c).isNotNull && v.isNull,
+        raise_error(concat(lit(s"non-numeric $c value: '"), col(c), lit("'"))))
+        .otherwise(v)
+    }
+    raw.withColumn(lonCol, num(lonCol)).withColumn(latCol, num(latCol))
+  }
+
   /** Read newline-delimited GeoJSON features (one Feature per line) into
     * `(poly_id, wkt)`. Splittable — a single large file fans out across
     * executors, unlike the FeatureCollection reader. `idProp`: id from

@@ -161,9 +161,32 @@ object DggsFunctions {
     f(cell)
   }
 
-  /** cell as an Arc/Info Generate (AIGEN) polygon record — the last
-    * GDAL-side output format in the reference's address-type zoo
-    * (dggrid_runner.py:130 'AIGEN'; output-only there too). Format:
+  /** cell as a KML Placemark (Polygon/outerBoundaryIs/LinearRing) — one
+    * of the reference's GDAL cell output drivers (get_geo_out
+    * dggrid_runner.py:44-62 lists KML among the fiona formats). KML
+    * coordinates are `lon,lat[,alt]` whitespace-separated tuples, ring
+    * closed; a file sink is these Placemarks inside the standard
+    * kml/Document envelope. Mirrors [[cellGeoJson]]'s shape: a pure
+    * per-row string column, so the writer stays an ordinary
+    * distributed text sink.
+    */
+  def cellKml(cell: Column, lat0: Double = Grids.DefaultLat,
+              lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (z: Long) =>
+      val ring = Grids.get(lat0, lon0, az).cellBoundary(z)
+      val coords = (ring :+ ring.head)
+        .map(g => f"${g.lonDeg}%.12f,${g.latDeg}%.12f,0").mkString(" ")
+      s"<Placemark><name>${Z7.toZ7String(z)}</name><Polygon>" +
+        "<outerBoundaryIs><LinearRing><coordinates>" + coords +
+        "</coordinates></LinearRing></outerBoundaryIs></Polygon></Placemark>"
+    }
+    f(cell)
+  }
+
+  /** cell as an Arc/Info Generate (AIGEN) polygon record — a GDAL-side
+    * format in the reference's address-type zoo (dggrid_runner.py:130
+    * 'AIGEN', admitted on BOTH sides: input literals :199, 218 — see
+    * GridOps.addressTransform for the input direction). Format:
     * id line (SEQNUM-style numeric id = the Z7 int64), one `lon lat`
     * vertex line per boundary vertex with the ring closed, then `END`.
     * A file sink is these records concatenated + a final `END`.

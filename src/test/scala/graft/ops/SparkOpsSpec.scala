@@ -171,6 +171,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("CSV points source + KML cell sink (reference I/O zoo parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv")
+    java.nio.file.Files.write(dir.resolve("pts.csv"),
+      "name,lon,lat\nhel,24.95,60.17\ntll,24.75,59.44\n".getBytes("UTF-8"))
+    val pts = GeoSources.readPointsCsv(spark, dir.resolve("pts.csv").toString)
+    val assigned = GridOps.cellsForGeoPoints(
+        pts.withColumnRenamed("name", "pt"), "lon", "lat", 3)
+      .select("pt", "cell_id").as[(String, Long)].collect().toMap
+    assert(assigned.size == 2 && assigned.values.forall(_ != 0L))
+    // non-numeric coordinate fails loudly, not as a silent null
+    java.nio.file.Files.write(dir.resolve("bad.csv"),
+      "name,lon,lat\nx,not-a-number,60.0\n".getBytes("UTF-8"))
+    intercept[Exception] {
+      GeoSources.readPointsCsv(spark, dir.resolve("bad.csv").toString).collect()
+    }
+    // KML Placemark: closed ring, lon,lat,alt triplets, named by Z7 string
+    val kml = Seq(assigned("hel")).toDF("cell_id")
+      .select(graft.spark.DggsFunctions.cellKml(col("cell_id")).as("k"))
+      .as[String].head()
+    assert(kml.startsWith("<Placemark><name>") && kml.endsWith("</Placemark>"))
+    val coords = kml.split("<coordinates>")(1).split("</coordinates>")(0)
+      .trim.split(" ")
+    assert(coords.length == 7 && coords.head == coords.last, coords.toSeq) // hexagon, closed
+    assert(coords.forall(_.matches("-?[0-9.]+,-?[0-9.]+,0")))
+  }
+
   test("nearDupClustersLargeStar: O(log n) chain convergence, equals min-label") {
     import spark.implicits._
     // a 1000-node chain: diameter 999. Min-label propagation would need
