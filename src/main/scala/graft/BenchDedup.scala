@@ -169,10 +169,14 @@ object BenchDedupScaling {
             s"$lsRounds rounds to confirm fixpoint")
       } finally {
         // GBs at soak scale on a shared VM — never leave them behind
+        // (and close the walk stream: its directory handles otherwise
+        // stay open until GC)
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(pairsDir).iterator().asScala.toSeq
+        val walk = java.nio.file.Files.walk(pairsDir)
+        try walk.iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
     }
     run("dedup_simhash_pairs",

@@ -115,8 +115,13 @@ object GeoSources {
         s"(found: ${raw.columns.mkString(", ")})")
     def num(c: String): Column = {
       val v = col(c).cast("double")
-      when(col(c).isNotNull && v.isNull,
-        raise_error(concat(lit(s"non-numeric $c value: '"), col(c), lit("'"))))
+      // missing fields (empty CSV cell → SQL null) raise too: a point
+      // row without a coordinate is as wrong as a non-numeric one, and
+      // letting it flow produces the silent null cell ids this reader
+      // exists to prevent
+      when(col(c).isNull || v.isNull,
+        raise_error(concat(lit(s"missing or non-numeric $c value: '"),
+          coalesce(col(c), lit("<null>")), lit("'"))))
         .otherwise(v)
     }
     raw.withColumn(lonCol, num(lonCol)).withColumn(latCol, num(latCol))

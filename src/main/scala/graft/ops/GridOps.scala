@@ -355,13 +355,17 @@ object GridOps {
         // (dggrid_runner.py:199, 218 — round-3 ADVICE; an earlier comment
         // here wrongly claimed output-only). Input semantics: the record's
         // id line is the cell id — the exact round-trip of cellAigen's
-        // output (id line, vertex lines, END). The id line is VALIDATED:
-        // a bare cast would map CRLF files / 'id lon lat' headers /
-        // malformed records to silent null cell ids (the
-        // silent-wrong-results mode this codebase treats as worse than a
-        // loud failure); CR is tolerated, anything else non-numeric raises.
-        val idLine = rtrim(substring_index(c, "\n", 1), "\r")
-        when(idLine.rlike("^-?[0-9]+$"), idLine.cast("long"))
+        // output (id line, vertex lines, END). The id line is VALIDATED
+        // via the cast's own null result: a bare cast would map CRLF
+        // files / 'id lon lat' headers / malformed records / >Long-range
+        // digit strings to silent null cell ids (the silent-wrong-results
+        // mode this codebase treats as worse than a loud failure).
+        // CR/whitespace padding and an explicit sign are tolerated (the
+        // string→long cast trims and accepts both); anything the cast
+        // cannot represent — non-numeric OR overflow — raises.
+        val idLine = trim(rtrim(substring_index(c, "\n", 1), "\r"))
+        val parsed = idLine.cast("long")
+        when(parsed.isNotNull, parsed)
           .otherwise(raise_error(
             concat(lit("malformed AIGEN id line: '"), idLine, lit("'"))))
       case other => throw new IllegalArgumentException(s"unsupported input $other")

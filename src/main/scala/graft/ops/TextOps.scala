@@ -403,9 +403,14 @@ object TextOps {
         .where(col("hi") =!= col("lo"))
         .distinct()
       // small-star on the downward edges, grouped by the larger endpoint
+      // — both outputs in ONE explode pass over ssBase (a union of two
+      // projections would plan and execute the large-star window subtree
+      // twice per round, the recompute pitfall the `bi` explode avoids)
       val ssBase = ls.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
-      val next = ssBase.select(col("lo").as("hi"), col("m").as("lo"))
-        .unionByName(ssBase.select(col("hi"), col("m").as("lo")))
+      val next = ssBase.select(explode(array(
+          struct(col("lo").as("hi"), col("m").as("lo")),
+          struct(col("hi").as("hi"), col("m").as("lo")))).as("e"))
+        .select(col("e.hi").as("hi"), col("e.lo").as("lo"))
         .where(col("hi") =!= col("lo"))
         .distinct()
       val nextCache = next.cache()

@@ -147,18 +147,20 @@ object VectorOps {
       val spark = embs.sparkSession
       import spark.implicits._
       val e = withNorm(embs)
-      val qArr = e.where(f).collect()
+      // the 'constant Q by contract' clause enforced, not assumed — and
+      // BEFORE the collect reaches the driver: limit(cap + 1) bounds what
+      // the driver receives, so an unbounded filter (e.g. a modulus class
+      // that scales with N) fails fast with a pointer at the bucketed
+      // paths instead of OOMing the driver first (same guard pattern as
+      // ngramJaccardPairs.maxDocs)
+      val qRows = e.where(f).limit(MaxBroadcastQueries + 1).collect()
+      require(qRows.length <= MaxBroadcastQueries,
+        s"cosineTopK query filter matched > $MaxBroadcastQueries vectors: " +
+          "the brute-force path is for small fixed query sets; use " +
+          "lshTopK/ivfTopK for query sides that scale with N")
+      val qArr = qRows
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
-      // the 'constant Q by contract' clause enforced, not assumed: the
-      // query side lands on the driver and in every task's heap, so a
-      // filter that scales with N (e.g. an unbounded modulus class) must
-      // fail fast with a pointer at the bucketed paths — the same guard
-      // pattern as ngramJaccardPairs.maxDocs
-      require(qArr.length <= MaxBroadcastQueries,
-        s"cosineTopK collected ${qArr.length} query vectors (limit " +
-          s"$MaxBroadcastQueries): the brute-force path is for small fixed " +
-          "query sets; use lshTopK/ivfTopK for query sides that scale with N")
       val bc = spark.sparkContext.broadcast(qArr)
       val local = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
         val qs = bc.value

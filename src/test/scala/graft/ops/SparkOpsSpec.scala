@@ -181,11 +181,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         pts.withColumnRenamed("name", "pt"), "lon", "lat", 3)
       .select("pt", "cell_id").as[(String, Long)].collect().toMap
     assert(assigned.size == 2 && assigned.values.forall(_ != 0L))
-    // non-numeric coordinate fails loudly, not as a silent null
-    java.nio.file.Files.write(dir.resolve("bad.csv"),
-      "name,lon,lat\nx,not-a-number,60.0\n".getBytes("UTF-8"))
-    intercept[Exception] {
-      GeoSources.readPointsCsv(spark, dir.resolve("bad.csv").toString).collect()
+    // non-numeric AND missing (empty-cell → null) coordinates both fail
+    // loudly, not as silent nulls
+    for (badRow <- Seq("x,not-a-number,60.0", "x,,60.0")) {
+      java.nio.file.Files.write(dir.resolve("bad.csv"),
+        s"name,lon,lat\n$badRow\n".getBytes("UTF-8"))
+      intercept[Exception] {
+        GeoSources.readPointsCsv(spark, dir.resolve("bad.csv").toString).collect()
+      }
     }
     // KML Placemark: closed ring, lon,lat,alt triplets, named by Z7 string
     val kml = Seq(assigned("hel")).toDF("cell_id")
@@ -353,9 +356,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val backCrlf = GridOps.addressTransform(crlf, "rec", "AIGEN", "Z7_STRING", 3)
       .select("out_addr").as[String].collect().toSet
     assert(backCrlf == names.toSet, backCrlf)
-    val bad = Seq("not a number\n1.0 2.0\nEND").toDF("rec")
-    intercept[Exception] {
-      GridOps.addressTransform(bad, "rec", "AIGEN", "Z7_STRING", 3).collect()
+    // whitespace-padded id lines are accepted (the fixed-width Generate
+    // export style the bare-cast era tolerated — the cast trims)
+    val padded = recs.select(concat(lit("   "), col("rec")).as("rec"))
+    val backPadded = GridOps.addressTransform(padded, "rec", "AIGEN", "Z7_STRING", 3)
+      .select("out_addr").as[String].collect().toSet
+    assert(backPadded == names.toSet, backPadded)
+    // non-numeric AND >Long-range id lines both raise (overflow would
+    // otherwise cast to a silent null)
+    for (badId <- Seq("not a number", "99999999999999999999")) {
+      val bad = Seq(s"$badId\n1.0 2.0\nEND").toDF("rec")
+      intercept[Exception] {
+        GridOps.addressTransform(bad, "rec", "AIGEN", "Z7_STRING", 3).collect()
+      }
     }
   }
 
