@@ -194,6 +194,48 @@ object BenchScaling {
   }
 }
 
+/** Clipped grid-GENERATION scale soak (O1/H5 at depth — the flagship
+  * soaks cover point→cell ASSIGNMENT; this covers the levelwise clipped
+  * expansion itself, whose cost is cells OUT, not points in). Whole-
+  * earth generation is excluded on purpose: it takes the SEQNUM-
+  * bijection `spark.range` fast path and measures nothing but row
+  * production. The clipped path exercises the per-level children
+  * explode + wrapped-lon envelope pruning + lineage truncation.
+  *
+  *   sbt "runMain graft.BenchGen <cpus> [res] [boxDeg]"
+  *
+  * Default res 10 over a boxDeg×boxDeg Baltic box (1.5° → ~1.5M
+  * res-10 cells; each +1 res is ~7× the cells at fixed box).
+  */
+object BenchGen {
+  import graft.ops.GridOps
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val res = if (args.length > 1) args(1).toInt else 10
+    val boxDeg = if (args.length > 2) args(2).toDouble else 1.5
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val clip = (24.0, 58.0, 24.0 + boxDeg, 58.0 + boxDeg)
+    // warmup at a shallow res (JIT the kernel + codegen the plan shape)
+    GridOps.gridCellIdsForExtent(spark, math.min(6, res), Some(clip)).count()
+    val wall = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val n = GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
+    println(s"""{"bench":"gen","cpus":$cpus,"res":$res,"box_deg":$boxDeg,""" +
+      s""""cells":$n,"wall_sec":$wall,"cells_per_sec":${(n / wall).toLong}}""")
+    spark.stop()
+  }
+}
+
 /** Skew demonstration (north_rule: explicit salt-based mitigation,
   * measured): a Zipfian-style corpus with a configurable fraction of
   * points in ONE res-6 cell, joined (shuffle join, broadcast disabled)

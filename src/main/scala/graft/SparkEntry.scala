@@ -84,12 +84,17 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.tbl(s, dir, "documents"))),
 
     // ---- similarity search over `embeddings` ----
-    // brute-force cosine bounded to a fixed query subset (vec_id % 20):
-    // cost Q·N with constant Q — the unbounded N² verifier lives in the
-    // ScalaTest suite only (round-1 verdict #6)
+    // brute-force cosine bounded to a fixed query subset (vec_id % 20,
+    // capped below 4000 → ≤200 queries at ANY sf): cost Q·N with
+    // constant Q — the unbounded N² verifier lives in the ScalaTest
+    // suite only (round-1 verdict #6)
     "emb_cosine_topk" -> ((s, dir) =>
+      // constant-Q by construction: the `< 4000` bound caps the query
+      // subset at 200 vectors at ANY scale factor (a bare modulus class
+      // scales as N/20 and would collect O(N) onto the driver — it
+      // tripped cosineTopK's own guard at large sf)
       VectorOps.cosineTopK(Tables.tbl(s, dir, "embeddings"), 3,
-        Some(col("vec_id") % 20 === 0))),
+        Some(col("vec_id") % 20 === 0 && col("vec_id") < 4000))),
     "emb_lsh_buckets" -> ((s, dir) => VectorOps.lshBuckets(Tables.tbl(s, dir, "embeddings"))),
     "emb_lsh_topk" -> ((s, dir) =>
       VectorOps.lshTopK(Tables.tbl(s, dir, "embeddings"), 3)
@@ -829,7 +834,7 @@ object SparkEntry {
         |        list_aggregate(list_transform(generate_series(1, 64),
         |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
         |      FROM n a JOIN n b ON a.vec_id <> b.vec_id
-        |      WHERE a.vec_id % 20 = 0)
+        |      WHERE a.vec_id % 20 = 0 AND a.vec_id < 4000)
         |SELECT vec_id, rnk, neighbor, cos FROM (
         |  SELECT vec_id, neighbor, cos,
         |         CAST(row_number() OVER (PARTITION BY vec_id

@@ -99,8 +99,16 @@ object GridOps {
             c.getField("lat") <= lit(latMax + marginDeg))
       }
       if (k % 4 == 0 && res - k > 1) {
-        // keep the plan from deepening into very long UDF chains
-        df = df.localCheckpoint(eager = true)
+        // Two jobs in one stop: (1) lineage truncation keeps the plan
+        // from deepening into very long UDF chains; (2) REPARTITION —
+        // the expansion seeds from a 12-row local relation and explode
+        // is a narrow transform, so without a shuffle the entire deep
+        // output (millions of cells at res 12) is produced by 1-2 tasks
+        // no matter how many cores exist (measured: res-12 clip wall
+        // FLAT from 2 to 32 cores before this). A small shuffle of the
+        // current survivor set here buys balanced 7^k fan-out below it.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(eager = true)
       }
     }
     clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
@@ -309,11 +317,13 @@ object GridOps {
             c.getField("lat") <= lit(latMax + marginDeg))
       }
       if (k % 4 == 0 && res - k > 1) {
-        // same lineage truncation as the Z7 path above (GridOps ~:103):
-        // without it a deep-res clipped expansion pays exponential
-        // driver-side plan analysis on the nested explode/UDF chain
-        // (round-3 verdict #4; the wall was measured twice elsewhere)
-        df = df.localCheckpoint(eager = true)
+        // same lineage truncation + repartition as the Z7 path above:
+        // truncation bounds driver-side plan analysis (round-3 verdict
+        // #4); the repartition spreads the narrow explode fan-out across
+        // the cluster (the 20-row seed otherwise pins the whole deep
+        // expansion to 1-2 tasks — measured flat 2→32-core wall)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(eager = true)
       }
     }
     df
