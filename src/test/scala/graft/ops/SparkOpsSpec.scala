@@ -393,6 +393,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!est.contains(northCell) && !est.contains(southCell))
   }
 
+  test("deep clipped generation fans out across partitions (round-4 fix)") {
+    // the expansion seeds from a 12-row local relation; without the
+    // repartition at the truncation stops the whole deep output sat in
+    // 1-2 tasks regardless of cores (measured: flat 61-65 s wall from
+    // 2 to 32 cores at res 12)
+    val df = GridOps.gridCellIdsForExtent(spark, 6, Some((20.0, 55.0, 30.0, 62.0)))
+    assert(df.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"deep generation still runs in ${df.rdd.getNumPartitions} partition(s)")
+    assert(df.count() > 0)
+  }
+
   test("4T deep clipped generation: lineage-truncated, completes at res 12") {
     // round-3 verdict #4: without the every-4-levels localCheckpoint the
     // nested explode/UDF chain hits exponential plan-analysis time well
