@@ -224,12 +224,13 @@ object BenchGen {
     val clip = (24.0, 58.0, 24.0 + boxDeg, 58.0 + boxDeg)
     // warmup at a shallow res (JIT the kernel + codegen the plan shape)
     GridOps.gridCellIdsForExtent(spark, math.min(6, res), Some(clip)).count()
+    // the count IS each timed run's result — no third generation for it
+    var n = 0L
     val wall = (0 until 2).map { _ =>
       val t0 = System.nanoTime()
-      GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
+      n = GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
       (System.nanoTime() - t0) / 1e9
     }.min
-    val n = GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
     println(s"""{"bench":"gen","cpus":$cpus,"res":$res,"box_deg":$boxDeg,""" +
       s""""cells":$n,"wall_sec":$wall,"cells_per_sec":${(n / wall).toLong}}""")
     spark.stop()

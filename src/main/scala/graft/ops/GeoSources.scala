@@ -114,11 +114,15 @@ object GeoSources {
       s"CSV at $path lacks '$lonCol'/'$latCol' columns " +
         s"(found: ${raw.columns.mkString(", ")})")
     def num(c: String): Column = {
-      val v = col(c).cast("double")
-      // missing fields (empty CSV cell → SQL null) raise too: a point
-      // row without a coordinate is as wrong as a non-numeric one, and
-      // letting it flow produces the silent null cell ids this reader
-      // exists to prevent
+      // try_cast: nulls whatever an ANSI cast rejects in BOTH ANSI modes,
+      // so this guard owns the error (with column name + offending value)
+      // regardless of cluster config — a plain cast would throw its own
+      // generic CAST_INVALID_INPUT first under default ANSI. Missing
+      // fields (empty CSV cell → SQL null) raise too: a point row without
+      // a coordinate is as wrong as a non-numeric one, and letting it
+      // flow produces the silent null cell ids this reader exists to
+      // prevent.
+      val v = col(c).try_cast("double")
       when(col(c).isNull || v.isNull,
         raise_error(concat(lit(s"missing or non-numeric $c value: '"),
           coalesce(col(c), lit("<null>")), lit("'"))))

@@ -60,6 +60,27 @@ object GridOps {
     * the clip-pushdown the reference delegates to DGGRID
     * (clip_subset_type, dggrid_runner.py:1332-1340).
     */
+  /** Truncation stop for the deep levelwise expansions — ONE canonical
+    * definition (Z7, ISEA4T, and polygon-cover paths all call it, so a
+    * cadence/partitioning tune cannot silently miss one). Two jobs in
+    * one stop: (1) `localCheckpoint` truncates lineage so the nested
+    * explode/UDF chain doesn't pay exponential driver-side plan
+    * analysis (round-3 verdict #4; measured twice); (2) REPARTITION —
+    * the expansions seed from a 12-20-row local relation and `explode`
+    * is a narrow transform, so without a shuffle the entire deep output
+    * (millions of cells) is produced by 1-2 tasks no matter how many
+    * cores exist (round-4: res-12 wall measured FLAT 61-65 s from 2 to
+    * 32 cores; with this stop, 4.8 s at 32). One small shuffle of the
+    * current survivor set buys balanced 7^k fan-out below it.
+    */
+  private[ops] def lineageStop(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = true)
+
+  /** true every 4 levels while ≥2 levels of fan-out remain below */
+  private[ops] def lineageStopAt(k: Int, res: Int): Boolean =
+    k % 4 == 0 && res - k > 1
+
   def gridCellIdsForExtent(spark: SparkSession, res: Int,
                            clip: Option[(Double, Double, Double, Double)] = None,
                            lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
@@ -98,18 +119,7 @@ object GridOps {
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }
-      if (k % 4 == 0 && res - k > 1) {
-        // Two jobs in one stop: (1) lineage truncation keeps the plan
-        // from deepening into very long UDF chains; (2) REPARTITION —
-        // the expansion seeds from a 12-row local relation and explode
-        // is a narrow transform, so without a shuffle the entire deep
-        // output (millions of cells at res 12) is produced by 1-2 tasks
-        // no matter how many cores exist (measured: res-12 clip wall
-        // FLAT from 2 to 32 cores before this). A small shuffle of the
-        // current survivor set here buys balanced 7^k fan-out below it.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-          .localCheckpoint(eager = true)
-      }
+      if (lineageStopAt(k, res)) df = lineageStop(df)
     }
     clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
       // final refine: keep cells whose center is in the box OR any
@@ -316,15 +326,7 @@ object GridOps {
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }
-      if (k % 4 == 0 && res - k > 1) {
-        // same lineage truncation + repartition as the Z7 path above:
-        // truncation bounds driver-side plan analysis (round-3 verdict
-        // #4); the repartition spreads the narrow explode fan-out across
-        // the cluster (the 20-row seed otherwise pins the whole deep
-        // expansion to 1-2 tasks — measured flat 2→32-core wall)
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-          .localCheckpoint(eager = true)
-      }
+      if (lineageStopAt(k, res)) df = lineageStop(df)
     }
     df
   }
@@ -366,15 +368,16 @@ object GridOps {
         // here wrongly claimed output-only). Input semantics: the record's
         // id line is the cell id — the exact round-trip of cellAigen's
         // output (id line, vertex lines, END). The id line is VALIDATED
-        // via the cast's own null result: a bare cast would map CRLF
-        // files / 'id lon lat' headers / malformed records / >Long-range
-        // digit strings to silent null cell ids (the silent-wrong-results
-        // mode this codebase treats as worse than a loud failure).
-        // CR/whitespace padding and an explicit sign are tolerated (the
-        // string→long cast trims and accepts both); anything the cast
-        // cannot represent — non-numeric OR overflow — raises.
+        // via try_cast, which nulls everything an ANSI cast rejects in
+        // BOTH ANSI modes — a plain cast is config-dependent (ANSI on:
+        // it throws its own generic error before this guard runs; ANSI
+        // off, the Spark-3-compat cluster setting: '42.9' truncates to
+        // 42, a silently WRONG cell id). CR/whitespace padding and an
+        // explicit sign are tolerated (the cast trims and accepts both);
+        // non-numeric, fractional, and >Long-range id lines all raise
+        // the curated error below.
         val idLine = trim(rtrim(substring_index(c, "\n", 1), "\r"))
-        val parsed = idLine.cast("long")
+        val parsed = idLine.try_cast("long")
         when(parsed.isNotNull, parsed)
           .otherwise(raise_error(
             concat(lit("malformed AIGEN id line: '"), idLine, lit("'"))))

@@ -100,14 +100,10 @@ object SpatialOps {
             col("__env.minx"), col("__env.maxx")) <= lonMargin &&
             c.getField("lat") >= col("__env.miny") - lit(margin) &&
             c.getField("lat") <= col("__env.maxy") + lit(margin))
-      if (k % 4 == 0 && res - k > 1) {
-        // same lineage truncation + repartition as GridOps' levelwise
-        // expansions: a FEW-polygon input (often 1 clip geometry) would
-        // otherwise pin the whole deep cover fan-out to as many tasks as
-        // input rows, and the nested explode/UDF chain deepens the plan
-        df = df.repartition(polygons.sparkSession.sparkContext.defaultParallelism)
-          .localCheckpoint(eager = true)
-      }
+      // a FEW-polygon input (often 1 clip geometry) would otherwise pin
+      // the whole deep cover fan-out to as many tasks as input rows —
+      // see GridOps.lineageStop for the full rationale
+      if (GridOps.lineageStopAt(k, res)) df = GridOps.lineageStop(df)
     }
     val refine = udf { (wkt: String, ring: Seq[org.apache.spark.sql.Row]) =>
       JtsCache.intersectsRing(wkt,

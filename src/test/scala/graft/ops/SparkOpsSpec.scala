@@ -182,13 +182,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("pt", "cell_id").as[(String, Long)].collect().toMap
     assert(assigned.size == 2 && assigned.values.forall(_ != 0L))
     // non-numeric AND missing (empty-cell → null) coordinates both fail
-    // loudly, not as silent nulls
+    // with the reader's OWN error (column name + value — try_cast keeps
+    // the guard in charge in any ANSI mode), not a generic cast error
     for (badRow <- Seq("x,not-a-number,60.0", "x,,60.0")) {
       java.nio.file.Files.write(dir.resolve("bad.csv"),
         s"name,lon,lat\n$badRow\n".getBytes("UTF-8"))
-      intercept[Exception] {
+      val e = intercept[Exception] {
         GeoSources.readPointsCsv(spark, dir.resolve("bad.csv").toString).collect()
       }
+      assert(e.getMessage.contains("missing or non-numeric lon"), e.getMessage)
     }
     // KML Placemark: closed ring, lon,lat,alt triplets, named by Z7 string
     val kml = Seq(assigned("hel")).toDF("cell_id")
@@ -362,13 +364,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val backPadded = GridOps.addressTransform(padded, "rec", "AIGEN", "Z7_STRING", 3)
       .select("out_addr").as[String].collect().toSet
     assert(backPadded == names.toSet, backPadded)
-    // non-numeric AND >Long-range id lines both raise (overflow would
-    // otherwise cast to a silent null)
-    for (badId <- Seq("not a number", "99999999999999999999")) {
+    // non-numeric, fractional, and >Long-range id lines all raise the
+    // CURATED error in ANY ANSI mode (try_cast; a plain cast either
+    // throws its own generic error first or — ANSI off — silently
+    // truncates '42.9' to cell 42)
+    for (badId <- Seq("not a number", "42.9", "99999999999999999999")) {
       val bad = Seq(s"$badId\n1.0 2.0\nEND").toDF("rec")
-      intercept[Exception] {
+      val e = intercept[Exception] {
         GridOps.addressTransform(bad, "rec", "AIGEN", "Z7_STRING", 3).collect()
       }
+      assert(e.getMessage.contains("malformed AIGEN id line"), e.getMessage)
     }
   }
 
