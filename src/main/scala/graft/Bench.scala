@@ -202,10 +202,11 @@ object BenchScaling {
   * production. The clipped path exercises the per-level children
   * explode + wrapped-lon envelope pruning + lineage truncation.
   *
-  *   sbt "runMain graft.BenchGen <cpus> [res] [boxDeg]"
+  *   sbt "runMain graft.BenchGen <cpus> [res] [boxDeg] [grid]"
   *
-  * Default res 10 over a boxDeg×boxDeg Baltic box (1.5° → ~1.5M
-  * res-10 cells; each +1 res is ~7× the cells at fixed box).
+  * `grid` = "7H" (default, aperture-7 hex) or "4T" (aperture-4
+  * triangle — at fixed box each +1 res is ~4× the cells instead of
+  * ~7×, so comparable cell counts need ~log₄7 ≈ 1.4× the res).
   */
 object BenchGen {
   import graft.ops.GridOps
@@ -214,6 +215,7 @@ object BenchGen {
     val cpus = if (args.nonEmpty) args(0) else "32"
     val res = if (args.length > 1) args(1).toInt else 10
     val boxDeg = if (args.length > 2) args(2).toDouble else 1.5
+    val grid = if (args.length > 3) args(3) else "7H"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -222,17 +224,22 @@ object BenchGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val clip = (24.0, 58.0, 24.0 + boxDeg, 58.0 + boxDeg)
+    def gen(r: Int) = grid match {
+      case "4T" => GridOps.gridCellIdsForExtent4T(spark, r, Some(clip))
+      case _ => GridOps.gridCellIdsForExtent(spark, r, Some(clip))
+    }
     // warmup at a shallow res (JIT the kernel + codegen the plan shape)
-    GridOps.gridCellIdsForExtent(spark, math.min(6, res), Some(clip)).count()
+    gen(math.min(6, res)).count()
     // the count IS each timed run's result — no third generation for it
     var n = 0L
     val wall = (0 until 2).map { _ =>
       val t0 = System.nanoTime()
-      n = GridOps.gridCellIdsForExtent(spark, res, Some(clip)).count()
+      n = gen(res).count()
       (System.nanoTime() - t0) / 1e9
     }.min
-    println(s"""{"bench":"gen","cpus":$cpus,"res":$res,"box_deg":$boxDeg,""" +
-      s""""cells":$n,"wall_sec":$wall,"cells_per_sec":${(n / wall).toLong}}""")
+    println(s"""{"bench":"gen","grid":"$grid","cpus":$cpus,"res":$res,""" +
+      s""""box_deg":$boxDeg,"cells":$n,"wall_sec":$wall,""" +
+      s""""cells_per_sec":${(n / wall).toLong}}""")
     spark.stop()
   }
 }
