@@ -201,6 +201,13 @@ object BenchDedupScaling {
     // a typo'd op filter must not record a vacuous empty run as a pass
     require(only.isEmpty || results.nonEmpty,
       s"op filter matched no benchmark: ${only.mkString(",")}")
+    emitJson(results, cpus, nDocs, nVecs)
+    spark.stop()
+  }
+
+  private[graft] def emitJson(
+      results: scala.collection.mutable.LinkedHashMap[String, (Double, Long, Long, Long)],
+      cpus: String, nDocs: Long, nVecs: Long): Unit = {
     val json = results.map { case (name, (wall, rows, sr, sw)) =>
       val inRows = if (name.startsWith("emb")) nVecs else nDocs
       f""""$name":{"wall_sec":$wall%.2f,"out_rows":$rows,"rows_per_sec":${(inRows / wall).toLong},""" +
@@ -208,7 +215,109 @@ object BenchDedupScaling {
     }.mkString(
       s"""{"bench":"dedup_ann_scaling","cpus":$cpus,"docs":$nDocs,"vecs":$nVecs,""",
       ",", "}")
-    spark.stop()
     println(json)
+  }
+}
+
+/** Connected-components-ONLY soak over synthetic edge lists (round-4
+  * verdict #1: the CC tail is the one measured scaling soft spot; its
+  * 1M-pair legs were stage-floor-bound at ~15 barriers/round, since cut
+  * to 1 job + 1-3 exchanges per round). Generating edges directly —
+  * instead of running the minhash pipeline — lets the soak reach ≥10M
+  * pairs, where per-stage work can amortize whatever barrier floor
+  * remains.
+  *
+  *   sbt "runMain graft.BenchCC <cpus> [nEdges] [shape] [algos]"
+  *
+  * shape: `clique` (families of 4 docs, all 6 intra-family pairs — the
+  * shape minhash dedup actually emits) or `chain` (paths of 32 nodes —
+  * the adversarial diameter shape large-star/small-star exists for;
+  * min-label needs diameter rounds here, so the default algos for chain
+  * is `ls`). algos: comma list of `ml`,`ls`.
+  *
+  * Cross-check at soak scale: when both algos run, their label sets are
+  * compared EXACTLY (count + both-direction except) — the same
+  * must-agree contract the driver oracle enforces at sf scale.
+  */
+object BenchCC {
+
+  /** families of 4 nodes with all 6 intra-family pairs, one row per edge,
+    * distributed generation (no driver data)
+    */
+  def cliqueEdges(spark: SparkSession, nEdges: Long): DataFrame = {
+    val aSel = array(Seq(0, 0, 0, 1, 1, 2).map(lit): _*)
+    val bSel = array(Seq(1, 2, 3, 2, 3, 3).map(lit): _*)
+    val fam = (col("id") / 6).cast("long")
+    val p = (pmod(col("id"), lit(6)) + 1).cast("int")
+    spark.range(nEdges).select(
+      (fam * 4 + element_at(aSel, p)).as("doc_a"),
+      (fam * 4 + element_at(bSel, p)).as("doc_b"))
+  }
+
+  /** paths of `len` nodes: edge j of chain c is (c*len + j, c*len + j+1) */
+  def chainEdges(spark: SparkSession, nEdges: Long, len: Int = 32): DataFrame = {
+    val c = (col("id") / (len - 1)).cast("long")
+    val j = pmod(col("id"), lit(len - 1))
+    spark.range(nEdges).select(
+      (c * len + j).as("doc_a"), (c * len + j + 1).as("doc_b"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nEdges = if (args.length > 1) args(1).toLong else 10000000L
+    val shape = if (args.length > 2) args(2) else "clique"
+    val algos = (if (args.length > 3) args(3)
+                 else if (shape == "chain") "ls" else "ml,ls")
+      .split(",").map(_.trim).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def edges(n: Long) = shape match {
+      case "chain" => chainEdges(spark, n)
+      case _ => cliqueEdges(spark, n)
+    }
+    // materialize the input untimed (a real pipeline reads pairs off the
+    // lake); cache instead of parquet-spool — the soak measures CC, and
+    // a columnar cache scan is the closer analogue of a lake read
+    val in = edges(nEdges).cache()
+    in.count()
+    // warmup: JIT + codegen on a small slice, untimed
+    if (algos("ml")) TextOps.nearDupClusters(edges(20000), maxIters = 40).count()
+    if (algos("ls")) TextOps.nearDupClustersLargeStar(edges(20000)).count()
+
+    var labels = Map.empty[String, DataFrame]
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def leg(name: String)(body: => (DataFrame, Int)): Unit = {
+      val t0 = System.nanoTime()
+      val (lbl, rounds) = body
+      val n = lbl.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      labels += name -> lbl
+      out += f""""$name":{"wall_sec":$wall%.2f,"rounds":$rounds,"label_rows":$n,""" +
+        s""""edges_per_sec":${(nEdges / wall).toLong}}"""
+    }
+    // min-label needs component-diameter rounds: bound by the chain
+    // length on chain inputs, 1-2 on cliques
+    if (algos("ml")) leg("cc_min_label") {
+      TextOps.nearDupClustersStaged(in, maxIters = 40)
+    }
+    if (algos("ls")) leg("cc_large_star") {
+      TextOps.nearDupClustersLargeStarStaged(in)
+    }
+    val agree =
+      if (labels.size == 2) {
+        val Seq(a, b) = labels.values.toSeq
+        val ok = a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty
+        s""","labels_identical":$ok"""
+      } else ""
+    println(out.mkString(
+      s"""{"bench":"cc_scaling","cpus":$cpus,"edges":$nEdges,"shape":"$shape",""",
+      ",", agree + "}"))
+    spark.stop()
   }
 }

@@ -203,6 +203,15 @@ object SparkEntry {
       GridOps.gridCellIdsForExtent(s, 4, Some((20.2, 57.0, 28.4, 60.0)))
         .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
     }),
+    "dggs_wrap_extent_ids" -> ((s, _) => {
+      // ANTIMERIDIAN-CROSSING extent (lonMin > lonMax spans
+      // [175,180] ∪ [−180,−175] — Fiji/NZ/Bering, round-4 verdict #3).
+      // Oracle: frozen union of the box's two split halves, each
+      // computed by the ordinary non-wrapped path — the wrapped
+      // implementation is checked against the unwrapped one.
+      GridOps.gridCellIdsForExtent(s, 4, Some((175.0, -20.0, -175.0, -10.0)))
+        .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
+    }),
     "dggs_wkt_extent_ids" -> ((s, _) => {
       // arbitrary-geometry clip (reference clip_subset_type GDAL):
       // distributed cover expansion, no driver-side cell materialization
@@ -546,6 +555,7 @@ object SparkEntry {
          |SELECT substr(c5, 1, 4) AS name2, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
     "dggs_extent_ids" -> OracleFixtures.extentIdsSql,
+    "dggs_wrap_extent_ids" -> OracleFixtures.wrapExtentSql,
     "dggs_bin_values_all" ->
       s"""WITH $geoCellsCte,
          |agg AS (SELECT c4, avg(CAST(lon_mdeg % 1000 AS DOUBLE)) AS value_mean,

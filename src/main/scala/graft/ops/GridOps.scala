@@ -86,11 +86,14 @@ object GridOps {
                            lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                            az: Double = Grids.DefaultAz): DataFrame = {
     import spark.implicits._
-    clip.foreach { case (lonMin, _, lonMax, _) =>
-      require(lonMin <= lonMax,
-        "antimeridian-crossing clip boxes are not supported: split the box " +
-          "at ±180° and union the two queries (cf. DatelineOps for outputs)")
-    }
+    // clip boxes with lonMin > lonMax are ANTIMERIDIAN-CROSSING (the box
+    // spans [lonMin, 180] ∪ [−180, lonMax] — Fiji/NZ/Bering extents):
+    // the levelwise pruning and the final refine both branch on the
+    // wrapped interval, so no split-and-union is needed (round-4 verdict
+    // #3; the reference accepts such extents via clip files). Oracle:
+    // dggs_wrap_extent_ids — frozen as the union of the two split
+    // halves, each computed by the ordinary non-wrapped path, so the
+    // wrapped implementation is checked against the unwrapped one.
     if (clip.isEmpty) {
       // whole-earth fast path: enumerate via the dense SEQNUM bijection —
       // spark.range gives even partitioning with no explode chain and no
@@ -115,7 +118,7 @@ object GridOps {
         val lonMargin = lit(marginDeg) /
           cos(radians(least(lit(85.0), abs(c.getField("lat")))))
         df = df.where(
-          lonDistToRange(c.getField("lon"), lit(lonMin), lit(lonMax)) <= lonMargin &&
+          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }
@@ -139,10 +142,24 @@ object GridOps {
     * drops cells straddling ±180° whose center normalizes to the other
     * sign (e.g. center -179.95 for a clip [179,180]) — round-2 ADVICE.
     */
-  private[ops] def lonDistToRange(lon: Column, a: Column, b: Column): Column = {
-    def wd(y: Column): Column =
-      abs(pmod(lon - y + lit(540.0), lit(360.0)) - lit(180.0))
-    when(lon >= a && lon <= b, lit(0.0)).otherwise(least(wd(a), wd(b)))
+  private[ops] def lonDistToRange(lon: Column, a: Column, b: Column): Column =
+    when(lon >= a && lon <= b, lit(0.0))
+      .otherwise(least(lonWrapDist(lon, a), lonWrapDist(lon, b)))
+
+  private def lonWrapDist(lon: Column, y: Column): Column =
+    abs(pmod(lon - y + lit(540.0), lit(360.0)) - lit(180.0))
+
+  /** [[lonDistToRange]] for LITERAL clip-box bounds, accepting the
+    * antimeridian-crossing convention `a > b` ⇒ box spans
+    * [a, 180] ∪ [−180, b] (round-4 verdict #3): inside-ness branches on
+    * the wrapped interval at PLAN time (the bounds are Scala constants).
+    */
+  private[ops] def lonDistToBox(lon: Column, a: Double, b: Double): Column = {
+    val inside =
+      if (a <= b) lon >= a && lon <= b
+      else lon >= a || lon <= b
+    when(inside, lit(0.0))
+      .otherwise(least(lonWrapDist(lon, lit(a)), lonWrapDist(lon, lit(b))))
   }
 
   private def clipMarginDeg(res: Int): Double = {
@@ -154,9 +171,13 @@ object GridOps {
   }
 
   private def boxContains(pt: Column, lonMin: Double, latMin: Double,
-                          lonMax: Double, latMax: Double): Column =
-    pt.getField("lon") >= lonMin && pt.getField("lon") <= lonMax &&
-      pt.getField("lat") >= latMin && pt.getField("lat") <= latMax
+                          lonMax: Double, latMax: Double): Column = {
+    // lonMin > lonMax = antimeridian-crossing box (see gridCellIdsForExtent)
+    val lonOk =
+      if (lonMin <= lonMax) pt.getField("lon") >= lonMin && pt.getField("lon") <= lonMax
+      else pt.getField("lon") >= lonMin || pt.getField("lon") <= lonMax
+    lonOk && pt.getField("lat") >= latMin && pt.getField("lat") <= latMax
+  }
 
   /** H1: cell polygons for extent. `densify` = extra vertices per edge
     * (reference `densification`/`geodetic_densify` params,
@@ -322,7 +343,7 @@ object GridOps {
         val lonMargin = lit(marginDeg) /
           cos(radians(least(lit(85.0), abs(c.getField("lat")))))
         df = df.where(
-          lonDistToRange(c.getField("lon"), lit(lonMin), lit(lonMax)) <= lonMargin &&
+          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
             c.getField("lat") >= lit(latMin - marginDeg) &&
             c.getField("lat") <= lit(latMax + marginDeg))
       }

@@ -235,9 +235,11 @@ object TextOps {
     * component-minimum doc_id as `keep_id` — the "keep one canonical doc
     * per duplicate cluster" step a dedup pipeline runs after pair
     * generation. Iterative min-label propagation: each round every node
-    * takes the min label over itself and its neighbours (one shuffle on
-    * doc_id per round), convergence detected by the monotone label sum
-    * (one agg over the cached labels). Plain propagation needs
+    * takes the min label over itself and its neighbours — ONE shuffle
+    * and ONE job per round (edges are pre-partitioned on the join key,
+    * label lineage truncation preserves partitioning, and the monotone
+    * label-sum convergence metric rides the materializing action via
+    * `Observation`). Plain propagation needs
     * component-diameter rounds — near-dup components are small cliques
     * by construction (1-2 rounds); a pipeline facing adversarial long
     * chains should swap in large-star/small-star, which keeps this
@@ -251,16 +253,37 @@ object TextOps {
 
   /** LOGICAL-PLAN truncation for the iterative CC algorithms: wrap the
     * cached result as a LogicalRDD leaf. Without this each round's plan
-    * nests the previous round's (union + join) with the whole pair
+    * nests the previous round's (join chain) with the whole pair
     * pipeline at the leaves — exponential driver-side analysis
     * (measured: 114 s of plan work for ~12 s of compute at 200k docs).
+    * Round 5: the wrap PRESERVES output partitioning (and stays in
+    * InternalRow), so a round keyed like the previous one reuses its
+    * shuffle instead of re-exchanging — see
+    * [[org.apache.spark.sql.graft.PlanUtils.truncatePreservingPartitioning]].
     * Unlike localCheckpoint, the RDD lineage stays intact, so blocks are
     * recomputable on executor loss and caches remain unpersistable per
     * round. Shared by BOTH implementations so their executor-loss
     * behavior cannot diverge.
     */
   private def truncate(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    org.apache.spark.sql.graft.PlanUtils.truncatePreservingPartitioning(df)
+
+  /** decimal(38,0) sum — label/endpoint checksums overflow a long sum at
+    * corpus-scale id ranges
+    */
+  private def decSum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** read a decimal metric off a completed [[Observation]] (SQL sum over
+    * zero rows is NULL — normalize so empty inputs don't NPE)
+    */
+  private def obsDecimal(o: org.apache.spark.sql.Observation,
+                         key: String): java.math.BigDecimal =
+    o.get(key) match {
+      case null => java.math.BigDecimal.ZERO
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.bigDecimal
+      case other => new java.math.BigDecimal(other.toString)
+    }
 
   /** [[nearDupClusters]] plus the number of propagation rounds it took
     * to CONFIRM convergence — exposed so the scaling bench can record
@@ -271,47 +294,60 @@ object TextOps {
     */
   private[graft] def nearDupClustersStaged(
       pairs: DataFrame, maxIters: Int = 12): (DataFrame, Int) = {
+    import org.apache.spark.sql.Observation
     // both edge directions in ONE pass over `pairs` (a union of two
     // projections references — and recomputes — the whole upstream pair
-    // pipeline twice)
+    // pipeline twice). Repartitioned ON src BEFORE caching: every round
+    // joins edges on src, and the cached hash partitioning satisfies
+    // that clustering, so the (large) edge relation is shuffled exactly
+    // ONCE for the whole loop instead of once per round (round-5 barrier
+    // cut; truncate preserves the labels side's partitioning likewise).
     val edgesCache = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .cache()
     val edges = truncate(edgesCache)
-    // round 0 folded into the init: lbl = min(self, direct neighbours)
+    // round 0 folded into the init: lbl = min(self, direct neighbours);
+    // groupBy(src) over the src-partitioned cache needs no exchange.
+    // Convergence metric (the label sum) rides the SAME materializing
+    // action via Observation — the separate per-round agg job is gone
+    // (round-5: per round = ONE job, ONE exchange).
     var labelsCache = edges.groupBy(col("src").as("doc_id"))
       .agg(least(col("doc_id"), min(col("dst"))).as("lbl"))
       .cache()
+    val obs0 = Observation()
+    var n = labelsCache.observe(obs0, decSum(col("lbl")).as("s")).count()
     var labels = truncate(labelsCache)
     // labels only ever DECREASE under min-propagation, so the label sum
-    // is strictly monotone while anything changes — convergence is one
-    // cheap agg over the cached labels instead of a per-round shuffle
-    // join (decimal sum: a long sum overflows at corpus-scale id ranges)
-    def lblSum(df: DataFrame): java.math.BigDecimal = {
-      // sum over zero rows is SQL NULL — normalize so the empty pair
-      // set converges immediately instead of NPEing on compareTo
-      val s = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = lblSum(labels)
-    var converged = prevSum.signum() == 0 && labels.isEmpty
+    // is strictly monotone while anything changes — equal consecutive
+    // sums confirm the fixpoint
+    var prevSum = obsDecimal(obs0, "s")
+    var converged = n == 0L
     var it = 0
     while (!converged && it < maxIters) {
-      val viaNbr = edges
+      // each node's incoming neighbour-label minimum: edges(src-
+      // partitioned) ⋈ labels(doc_id-partitioned, alias-preserved) is
+      // exchange-free; the groupBy(dst) is the round's ONE shuffle
+      val viaNbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("lbl"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      // inner join is total: every node is some edge's dst (edges are
+      // bidirectional), so viaNbrMin covers the whole label universe
+      val nextCache = labels.join(viaNbrMin, Seq("doc_id"))
+        .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .cache()
+      val o = Observation()
+      n = nextCache.observe(o, decSum(col("lbl")).as("s")).count()
       // lineage truncation per round — see the edges note above; the
       // PREVIOUS round's cache is released once the new round is
       // materialized (its RDD lineage can still recompute through the
       // unpersisted InMemoryRelation if an executor is lost)
-      val nextCache = labels.unionByName(viaNbr)
-        .groupBy("doc_id").agg(min("lbl").as("lbl"))
-        .cache()
       val next = truncate(nextCache)
-      val nextSum = lblSum(next)
+      val nextSum = obsDecimal(o, "s")
       labelsCache.unpersist(false)
       labelsCache = nextCache
       labels = next
@@ -350,10 +386,12 @@ object TextOps {
     *  - small-star: over the larger→smaller edges grouped by the larger
     *    endpoint, the node and its smaller neighbours re-attach to
     *    their minimum.
-    * Edges always point DOWNWARD (hi > lo) so each round can only
-    * shrink the (count, endpoint-sum) checksum; when the checksum goes
-    * stable the fixpoint is CONFIRMED with an exact `except` before
-    * returning (checksum collisions cannot fake convergence). Lineage
+    * Edges always point DOWNWARD (hi > lo). The per-round
+    * (count, endpoint-sum) checksum is a cheap STABILITY SIGNAL only —
+    * large-star can add edges in general graphs, so the pair is not
+    * monotone and can collide or oscillate; convergence is therefore
+    * gated on an exact `except` fixpoint confirmation once the checksum
+    * goes stable (a collision cannot fake convergence). Lineage
     * is truncated per round like [[nearDupClusters]] (LogicalRDD wrap —
     * recomputable on executor loss, caches releasable). Throws if
     * `maxIters` rounds cannot confirm the fixpoint.
@@ -377,8 +415,9 @@ object TextOps {
       .select(explode(array(col("hi"), col("lo"))).as("doc_id")).distinct()
     var edgesCache = canonicalCache
     var edges = canonical.where(col("hi") =!= col("lo"))
-    // (count, sum of endpoints) fingerprint — decimal: long sums overflow
-    // at corpus-scale id ranges
+    // (count, sum of endpoints) fingerprint for the INITIAL edge set
+    // (inside the loop the same two numbers ride the materializing
+    // count() + an Observation — no separate agg job per round)
     def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))).head()
@@ -396,12 +435,18 @@ object TextOps {
           struct(col("hi").as("u"), col("lo").as("v")),
           struct(col("lo").as("u"), col("hi").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
+      // NOT deduped before the small-star window (round-5 barrier cut):
+      // m = min(closed nbhd of u) ≤ u < v, so hi > lo holds by
+      // construction (the old hi≠lo filter was vacuous), and a window
+      // MIN is duplicate-insensitive — the former distinct() bought
+      // nothing but an extra exchange+aggregate per round. Input edges
+      // are distinct, so rows here = |edges| exactly (one per kept
+      // direction); duplicate (hi, m) rows from different u-partitions
+      // are collapsed by the post-small-star distinct below.
       val ls = bi
         .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .where(col("hi") =!= col("lo"))
-        .distinct()
       // small-star on the downward edges, grouped by the larger endpoint
       // — both outputs in ONE explode pass over ssBase (a union of two
       // projections would plan and execute the large-star window subtree
@@ -414,12 +459,19 @@ object TextOps {
         .where(col("hi") =!= col("lo"))
         .distinct()
       val nextCache = next.cache()
+      val o = org.apache.spark.sql.Observation()
+      val nRows = nextCache
+        .observe(o, sum(col("hi").cast("decimal(38,0)") +
+          col("lo").cast("decimal(38,0)")).as("s")).count()
       val nextT = truncate(nextCache)
-      val cur = fingerprint(nextT)
+      val cur = (nRows, obsDecimal(o, "s"))
       // BigDecimal.equals is scale-sensitive — compare numerically
       if (cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0) {
-        // checksum stable — CONFIRM the fixpoint exactly (same count +
-        // empty difference over distinct sets ⇒ set equality)
+        // fingerprint stable — a cheap STABILITY SIGNAL, not a proof
+        // (large-star can add edges in general graphs, so the pair is
+        // not monotone; collisions/oscillations are possible). The
+        // fixpoint is therefore CONFIRMED exactly: same count + empty
+        // difference over distinct sets ⇒ set equality.
         converged = nextT.except(edges).isEmpty
       }
       prev = cur

@@ -284,50 +284,15 @@ object VectorOps {
       .collect().map(r => r.getSeq[Double](1).toArray)
     require(sample.length >= nCentroids,
       s"trainCentroids: ${sample.length} sample vectors < $nCentroids centroids")
+    val init = farthestFirstInit(sample, nCentroids)
+    var cents = init.map(_.clone)
     val dim = sample.head.length
-    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
-    // farthest-first init (deterministic k-means++ analogue): start at
-    // the lowest-id vector, then greedily add the sample vector least
-    // similar to everything already chosen — unlike lowest-id init this
-    // cannot start degenerate when the low ids share one cluster.
-    // Incremental form: norms cached once, per-sample running max-sim
-    // updated only against the newly added centroid — O(k·n·dim), not
-    // O(k²·n·dim) with norm recomputation per pair.
-    val sampleNrm = sample.map(nrm)
-    def cosWith(i: Int, c: Array[Double], cn: Double): Double = {
-      val v = sample(i)
-      var d = 0.0; var x = 0
-      while (x < dim) { d += v(x) * c(x); x += 1 }
-      if (sampleNrm(i) == 0.0 || cn == 0.0) 0.0 else d / (sampleNrm(i) * cn)
-    }
-    val init = scala.collection.mutable.ArrayBuffer(sample.head)
-    val maxSim = Array.tabulate(sample.length)(i =>
-      cosWith(i, sample.head, sampleNrm(0)))
-    // a chosen index is marked +∞ so it can never be re-picked: a
-    // zero-norm vector's cos is 0 against EVERYTHING including itself,
-    // which would otherwise make it the argmin forever and fill the
-    // codebook with duplicate zero centroids
-    maxSim(0) = Double.PositiveInfinity
-    while (init.length < nCentroids) {
-      var bestIdx = -1; var bestScore = Double.MaxValue
-      for (i <- sample.indices)
-        if (maxSim(i) < bestScore) { bestScore = maxSim(i); bestIdx = i }
-      val chosen = sample(bestIdx)
-      val chosenN = nrm(chosen)
-      init += chosen
-      for (i <- sample.indices) {
-        val c = cosWith(i, chosen, chosenN)
-        if (c > maxSim(i)) maxSim(i) = c
-      }
-      maxSim(bestIdx) = Double.PositiveInfinity
-    }
-    var cents = init.toArray.map(_.clone)
     for (_ <- 0 until iters) {
       val sums = Array.fill(nCentroids)(new Array[Double](dim))
       val counts = new Array[Int](nCentroids)
-      val cn = cents.map(nrm)
+      val cn = cents.map(euclidNorm)
       for (v <- sample) {
-        val vn = nrm(v)
+        val vn = euclidNorm(v)
         var best = 0; var bestCos = Double.MinValue
         for (c <- 0 until nCentroids) {
           var d = 0.0; var i = 0
@@ -344,7 +309,194 @@ object VectorOps {
         else sums(c).map(_ / counts(c))
       }
     }
-    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, nrm(v)) }
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, euclidNorm(v)) }
+  }
+
+  private def euclidNorm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+
+  /** Deterministic farthest-first selection of `k` seeds from `sample`
+    * (the k-means++ analogue shared by both trainers): start at
+    * sample(0), then greedily add the vector least cosine-similar to
+    * everything already chosen — unlike lowest-id init this cannot start
+    * degenerate when the low ids share one cluster. Incremental form:
+    * norms cached once, per-sample running max-sim updated only against
+    * the newly added seed — O(k·n·dim), not O(k²·n·dim).
+    */
+  private def farthestFirstInit(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val sampleNrm = sample.map(euclidNorm)
+    def cosWith(i: Int, c: Array[Double], cn: Double): Double = {
+      val v = sample(i)
+      var d = 0.0; var x = 0
+      while (x < dim) { d += v(x) * c(x); x += 1 }
+      if (sampleNrm(i) == 0.0 || cn == 0.0) 0.0 else d / (sampleNrm(i) * cn)
+    }
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    val maxSim = Array.tabulate(sample.length)(i =>
+      cosWith(i, sample.head, sampleNrm(0)))
+    // a chosen index is marked +∞ so it can never be re-picked: a
+    // zero-norm vector's cos is 0 against EVERYTHING including itself,
+    // which would otherwise make it the argmin forever and fill the
+    // codebook with duplicate zero centroids
+    maxSim(0) = Double.PositiveInfinity
+    while (init.length < k) {
+      var bestIdx = -1; var bestScore = Double.MaxValue
+      for (i <- sample.indices)
+        if (maxSim(i) < bestScore) { bestScore = maxSim(i); bestIdx = i }
+      val chosen = sample(bestIdx)
+      val chosenN = euclidNorm(chosen)
+      init += chosen
+      for (i <- sample.indices) {
+        val c = cosWith(i, chosen, chosenN)
+        if (c > maxSim(i)) maxSim(i) = c
+      }
+      maxSim(bestIdx) = Double.PositiveInfinity
+    }
+    init.toArray
+  }
+
+  /** DISTRIBUTED deterministic k-means training (round-4 verdict #2):
+    * [[trainCentroids]] is bounded by its driver-side sample
+    * (`sampleSize` rows), but the IVF heap contract sizes buckets as
+    * N/nCentroids — production codebooks at 100M+ vectors need ≳10⁴
+    * centroids, past any driver sample. This trains over the FULL
+    * relation with the same zero-RNG contract:
+    *
+    *  - init: k-means||-style deterministic oversampling — per round,
+    *    each vector's max-cosine against the chosen set is updated
+    *    incrementally (a narrow column update against only the newly
+    *    chosen seeds), and the `L` LEAST-similar vectors are taken by a
+    *    global (max_sim ASC, vec_id ASC) top-L — the same farthest-first
+    *    criterion as the driver trainer, one job per round instead of
+    *    one per seed. The ~2k oversampled candidates are reduced to k
+    *    seeds by the shared driver-side [[farthestFirstInit]].
+    *  - Lloyd's: assignment is the argmax-cosine primitive UDF (tie →
+    *    lowest centroid index, identical rule), per-centroid means are
+    *    groupBy aggregates. Dimension sums use DECIMAL(38,18): decimal
+    *    addition is exact, hence associative-commutative — the result is
+    *    bit-identical under ANY partitioning/core count, where a double
+    *    sum would drift with aggregation order (pinned by the
+    *    VectorOpsSpec cross-partitioning equality test). Empty clusters
+    *    keep their previous centroid, like the driver trainer.
+    *
+    * Scale shape: per init round ONE narrow pass + a top-L sort of
+    * (id, sim) pairs only; per Lloyd's iteration ONE partial-aggregated
+    * groupBy of ≤ nCentroids × dim decimal cells. Only candidate seeds
+    * and the k×dim codebook ever reach the driver.
+    */
+  def trainCentroidsDistributed(embs: DataFrame, nCentroids: Int, iters: Int = 10,
+                                oversampleRounds: Int = 5,
+                                oversampleFactor: Double = 2.0): Array[(Int, Seq[Double], Double)] = {
+    val e = withNorm(embs).cache()
+    try {
+      val first = e.orderBy("vec_id").limit(1).collect()
+      require(first.nonEmpty, "trainCentroidsDistributed: empty input")
+      val firstVec = first.head.getSeq[Double](1).toArray
+      val dim = firstVec.length
+      val targetCands = math.max(nCentroids,
+        math.ceil(nCentroids * oversampleFactor).toInt)
+      val cands = scala.collection.mutable.ArrayBuffer(
+        (first.head.getLong(0), firstVec))
+      // running max-sim column, updated incrementally per round against
+      // only the newly chosen seeds (cost N·|new| dots, totalling
+      // N·|candidates| over the whole init — not N·|candidates|·rounds)
+      var simCache = e.withColumn("ms", simAgainst(Array(firstVec))(col("e"), col("nrm")))
+        .cache()
+      var round = 0
+      while (cands.length < targetCands && round < oversampleRounds) {
+        val take = math.min(targetCands - cands.length,
+          math.max(1, math.ceil(targetCands.toDouble / oversampleRounds).toInt))
+        // explicit id exclusion: a zero-norm chosen vector scores 0
+        // against itself and would be re-picked forever on sim alone
+        val chosenIds = cands.map(_._1).toSeq
+        val batch = simCache
+          .where(!col("vec_id").isInCollection(chosenIds))
+          .orderBy(col("ms").asc, col("vec_id").asc)
+          .limit(take)
+          .select("vec_id", "e")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        if (batch.isEmpty) round = oversampleRounds // input exhausted
+        else {
+          cands ++= batch
+          val prev = simCache
+          simCache = prev
+            .withColumn("ms", greatest(col("ms"),
+              simAgainst(batch.map(_._2))(col("e"), col("nrm"))))
+            .cache()
+          simCache.count()
+          prev.unpersist(false)
+        }
+        round += 1
+      }
+      simCache.unpersist(false)
+      require(cands.length >= nCentroids,
+        s"trainCentroidsDistributed: ${cands.length} distinct candidate " +
+          s"vectors < $nCentroids centroids")
+      var cents = farthestFirstInit(cands.map(_._2).toArray, nCentroids)
+      // distributed Lloyd's
+      for (_ <- 0 until iters) {
+        val assign = assignUdf(cents)
+        val aggCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+          sum(element_at(col("e"), i + 1).cast("decimal(38,18)")).as(s"s$i"))
+        val rows = e.select(assign(col("e"), col("nrm")).as("c"), col("e"))
+          .groupBy("c").agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val next = cents.map(_.clone) // empty cluster keeps old centroid
+        rows.foreach { r =>
+          val c = r.getInt(0)
+          val n = r.getLong(1).toDouble
+          next(c) = Array.tabulate(dim)(i => r.getDecimal(i + 2).doubleValue() / n)
+        }
+        cents = next
+      }
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq, euclidNorm(v)) }
+    } finally e.unpersist(false)
+  }
+
+  /** max cosine of a row against a fixed seed batch (primitive loop,
+    * same left-fold order and zero-norm → 0 rule as the driver trainer)
+    */
+  private def simAgainst(seeds: Array[Array[Double]]) = {
+    val local = seeds.map(s => (s, euclidNorm(s)))
+    udf { (ev: Seq[Double], n: Double) =>
+      val v = ev.toArray
+      var best = Double.MinValue
+      var j = 0
+      while (j < local.length) {
+        val (s, sn) = local(j)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { d += v(i) * s(i); i += 1 }
+        val cos = if (n == 0.0 || sn == 0.0) 0.0 else d / (n * sn)
+        if (cos > best) best = cos
+        j += 1
+      }
+      best
+    }
+  }
+
+  /** argmax-cosine centroid assignment (tie → lowest centroid index —
+    * the exact rule of [[trainCentroids]]' Lloyd's loop and `probesUdf`)
+    */
+  private def assignUdf(cents: Array[Array[Double]]) = {
+    val local = cents.map(c => (c, euclidNorm(c)))
+    udf { (ev: Seq[Double], n: Double) =>
+      val v = ev.toArray
+      var best = 0
+      var bestCos = Double.MinValue
+      var c = 0
+      while (c < local.length) {
+        val (cv, cn) = local(c)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { d += v(i) * cv(i); i += 1 }
+        val cos = if (cn == 0.0 || n == 0.0) 0.0 else d / (n * cn)
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path next

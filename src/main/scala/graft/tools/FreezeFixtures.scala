@@ -58,6 +58,17 @@ object FreezeFixtures {
       .select(F.z7String(col("cell_id"))).as[String].collect().sorted
     val extentRows = extent.map(n => s"  ('$n')")
 
+    // antimeridian-crossing box (Fiji-ish): frozen as the UNION of its
+    // two split halves, each computed by the ordinary NON-wrapped path —
+    // so the wrapped implementation (the dggs_wrap_extent_ids query) is
+    // checked against the unwrapped one, not against itself
+    val wrapHalves = Seq((175.0, -20.0, 180.0, -10.0), (-180.0, -20.0, -175.0, -10.0))
+    val wrapIds = wrapHalves.flatMap { h =>
+      GridOps.gridCellIdsForExtent(spark, 4, Some(h))
+        .select(F.z7String(col("cell_id"))).as[String].collect()
+    }.distinct.sorted
+    val wrapRows = wrapIds.map(n => s"  ('$n')")
+
     val dl = DatelineOps.splitDateline(
         GridOps.gridCellPolygonsForExtent(spark, 2), "boundary")
       .groupBy("name").agg(count(lit(1)).as("n"))
@@ -121,6 +132,14 @@ object FreezeFixtures {
          |  val extentIdsSql: String =
          |    ${q3}SELECT name FROM (VALUES
          |${extentRows.mkString(",\n")}) t(name)${q3}
+         |
+         |  /** antimeridian-crossing extent (175,−20)→(−175,−10) at res 4,
+         |    * frozen as the union of its two split halves (each via the
+         |    * ordinary non-wrapped path).
+         |    */
+         |  val wrapExtentSql: String =
+         |    ${q3}SELECT name FROM (VALUES
+         |${wrapRows.mkString(",\n")}) t(name)${q3}
          |
          |  /** res-2 whole-earth cells split by the antimeridian */
          |  val datelineSql: String =

@@ -57,6 +57,57 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trained.map(_._2) sameElements again.map(_._2))
   }
 
+  test("distributed k-means: recall matches driver trainer, deterministic " +
+    "under any partitioning") {
+    import spark.implicits._
+    val dim = 64; val nClusters = 8; val n = 400; val k = 5
+    def vec(i: Int): Seq[Float] = {
+      val cluster = if (i < 16) 0 else i % nClusters
+      (0 until dim).map { d =>
+        val base = if (d / (dim / nClusters) == cluster) 1.0f else 0.0f
+        base + 0.06f * (((i * 7 + d * 13) % 11) - 5)
+      }
+    }
+    val embs = (0 until n).map(i => (i.toLong, vec(i), i % nClusters))
+      .toDF("vec_id", "embedding", "label")
+    val truth = VectorOps.cosineTopK(embs, k)
+      .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+    val dist = VectorOps.trainCentroidsDistributed(embs, nCentroids = 16, iters = 10)
+    val got = VectorOps.ivfTopK(embs, k, 16, 2, Some(dist))
+      .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    info(f"distributed k-means recall@$k: $recall%.3f")
+    assert(recall >= 0.95, f"distributed k-means recall $recall%.3f < 0.95")
+    // DETERMINISM ACROSS PARTITIONINGS — the property the decimal
+    // dimension sums exist for: a double sum would drift with the
+    // aggregation order and produce partitioning-dependent codebooks.
+    // Compare via doubleToLongBits (bit-for-bit, NaN-safe).
+    def bits(cs: Array[(Int, Seq[Double], Double)]) =
+      cs.map { case (i, v, nm) =>
+        (i, v.map(java.lang.Double.doubleToLongBits).toList,
+          java.lang.Double.doubleToLongBits(nm))
+      }.toList
+    val p3 = VectorOps.trainCentroidsDistributed(embs.repartition(3), 16, iters = 10)
+    val p7 = VectorOps.trainCentroidsDistributed(embs.repartition(7), 16, iters = 10)
+    assert(bits(p3) == bits(p7),
+      "distributed k-means codebook differs across partitionings")
+    // both trainers implement the same criterion family; their codebooks
+    // need not be identical (different candidate pools) but must be
+    // interchangeable in quality on this well-separated input
+    val driver = VectorOps.trainCentroids(embs, nCentroids = 16, iters = 10)
+    val driverGot = VectorOps.ivfTopK(embs, k, 16, 2, Some(driver))
+      .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+    val driverRecall = (truth intersect driverGot).size.toDouble / truth.size
+    assert(math.abs(recall - driverRecall) <= 0.05,
+      f"distributed recall $recall%.3f vs driver $driverRecall%.3f " +
+        "diverge by more than 0.05")
+    // too few distinct vectors for the codebook must raise, not loop
+    val tiny = (0 until 4).map(i => (i.toLong, vec(i), 0)).toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      VectorOps.trainCentroidsDistributed(tiny, nCentroids = 16)
+    }
+  }
+
   test("cosineTopK broadcast-scan path equals the N² verifier bit-for-bit") {
     import spark.implicits._
     // the round-4 mapPartitions rewrite must stay exact AND tie-stable:
