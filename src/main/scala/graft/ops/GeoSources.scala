@@ -135,8 +135,19 @@ object GeoSources {
     * `(poly_id, wkt)`. Splittable — a single large file fans out across
     * executors, unlike the FeatureCollection reader. `idProp`: id from
     * `properties[idProp]`; otherwise md5 of the feature's WKT — a
-    * content key (positions are meaningless under a splittable scan),
-    * colliding only for byte-identical geometries.
+    * content key (positions are meaningless under a splittable scan).
+    *
+    * Fallback-id collision contract (round-4 ADVICE): byte-identical
+    * geometries are legitimate in real corpora (duplicated features),
+    * but under the md5-of-WKT fallback they would collapse to ONE id and
+    * be silently deduped/merged by downstream joins — silent data loss
+    * in an otherwise-FAILFAST reader. The fallback path therefore
+    * RAISES on duplicate ids (one windowed count — the scan stays
+    * splittable; the check costs a shuffle only when no idProp is
+    * given), pointing at `idProp` as the fix. Reads with `idProp` are
+    * untouched — a property id is the caller's uniqueness claim, and
+    * duplicate property ids flow through exactly as the source encodes
+    * them.
     */
   def readGeoJsonFeaturesNdjson(spark: SparkSession, path: String,
                                 idProp: Option[String] = None): DataFrame = {
@@ -148,9 +159,21 @@ object GeoSources {
       .option("mode", "FAILFAST").json(path)
     val wkt = toWkt(col("geometry.type"), col("geometry.coordinates"))
     val withWkt = raw.select(col("properties"), wkt.as("wkt"))
-    val id: Column = idProp
-      .map(p => col("properties")(p))
-      .getOrElse(md5(col("wkt").cast("binary")))
-    withWkt.select(id.as("poly_id"), col("wkt"))
+    idProp match {
+      case Some(p) =>
+        withWkt.select(col("properties")(p).as("poly_id"), col("wkt"))
+      case None =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("poly_id")
+        withWkt
+          .select(md5(col("wkt").cast("binary")).as("poly_id"), col("wkt"))
+          .withColumn("__n", count(lit(1)).over(w))
+          .select(
+            when(col("__n") > 1, raise_error(concat(
+              lit("duplicate fallback poly_id (byte-identical geometries): '"),
+              col("poly_id"),
+              lit("' — pass idProp to key features by a source property"))))
+              .otherwise(col("poly_id")).as("poly_id"),
+            col("wkt"))
+    }
   }
 }

@@ -383,25 +383,33 @@ object GridOps {
       case "VERTEX2DD" =>
         A.vertex2ddToZ7(c.getField("t"), c.getField("x"), c.getField("y"), lit(res))
       case "GEO" => F.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
-      case "AIGEN" =>
+      case "AIGEN" | "AIGEN_SEQNUM" =>
         // the reference admits AIGEN on the INPUT side too
         // (dggrid_runner.py:199, 218 — round-3 ADVICE; an earlier comment
-        // here wrongly claimed output-only). Input semantics: the record's
-        // id line is the cell id — the exact round-trip of cellAigen's
-        // output (id line, vertex lines, END). The id line is VALIDATED
-        // via try_cast, which nulls everything an ANSI cast rejects in
-        // BOTH ANSI modes — a plain cast is config-dependent (ANSI on:
-        // it throws its own generic error before this guard runs; ANSI
-        // off, the Spark-3-compat cluster setting: '42.9' truncates to
-        // 42, a silently WRONG cell id). CR/whitespace padding and an
-        // explicit sign are tolerated (the cast trims and accepts both);
-        // non-numeric, fractional, and >Long-range id lines all raise
-        // the curated error below.
+        // here wrongly claimed output-only).
+        // ⚠ ID-LINE CONVENTION (round-4 ADVICE): "AIGEN" reads the
+        // record's id line as the ENGINE-canonical Z7 int64 — the exact
+        // round-trip of cellAigen's own output. AIGEN files produced by
+        // DGGRID itself carry SEQNUM ids on that line
+        // (dggrid_runner.py:1607-1617), which parse as valid longs and
+        // would silently become WRONG cell ids under the Z7 reading —
+        // ingest reference-produced files with from = "AIGEN_SEQNUM",
+        // which maps the validated id line through the SEQNUM decoder.
+        // The id line is VALIDATED via try_cast, which nulls everything
+        // an ANSI cast rejects in BOTH ANSI modes — a plain cast is
+        // config-dependent (ANSI on: it throws its own generic error
+        // before this guard runs; ANSI off, the Spark-3-compat cluster
+        // setting: '42.9' truncates to 42, a silently WRONG cell id).
+        // CR/whitespace padding and an explicit sign are tolerated (the
+        // cast trims and accepts both); non-numeric, fractional, and
+        // >Long-range id lines all raise the curated error below.
         val idLine = trim(rtrim(substring_index(c, "\n", 1), "\r"))
         val parsed = idLine.try_cast("long")
-        when(parsed.isNotNull, parsed)
+        val validated = when(parsed.isNotNull, parsed)
           .otherwise(raise_error(
             concat(lit("malformed AIGEN id line: '"), idLine, lit("'"))))
+        if (from == "AIGEN_SEQNUM") F.seqnumToZ7(validated, lit(res))
+        else validated
       case other => throw new IllegalArgumentException(s"unsupported input $other")
     }
     val out: Column = to match {

@@ -47,14 +47,93 @@ object MediaOps {
         .cast("int") % 16 + 1) * 64)
   }
 
+  // ---- CODEC SECTION --------------------------------------------------
+  // REAL: binary PNM (P5 grayscale / P6 RGB) — fixed header + raw pixel
+  // bytes, decodable with zero external libraries (round-4 verdict #4).
+  // STUB (clearly marked below): every other format — JPEG/PNG/PCM need
+  // codec libraries this zero-egress container doesn't ship.
+
+  /** a decoded binary-PNM image: `pixels` is the raw sample array,
+    * row-major, `channels` interleaved (1 for P5, 3 for P6).
+    */
+  final case class PnmImage(width: Int, height: Int, channels: Int,
+                            maxVal: Int, pixels: Array[Byte])
+
+  /** Decode a binary PNM payload (P5 = PGM grayscale, P6 = PPM RGB).
+    * Returns None when the magic is not P5/P6 (callers fall back to the
+    * stub path); a payload that CLAIMS to be PNM but is malformed —
+    * bad/missing header tokens, 16-bit maxval (unsupported), truncated
+    * pixel data — raises loudly rather than yielding garbage pixels
+    * (the FAILFAST contract of the GeoSources readers).
+    *
+    * Header grammar per the netpbm spec: magic, then whitespace-
+    * separated width, height, maxval, with `#`-to-end-of-line comments
+    * allowed between tokens, then EXACTLY ONE whitespace byte before
+    * the raw samples.
+    */
+  def decodePnm(payload: Array[Byte]): Option[PnmImage] = {
+    if (payload.length < 2 || payload(0) != 'P' ||
+      (payload(1) != '5' && payload(1) != '6')) return None
+    val channels = if (payload(1) == '5') 1 else 3
+    var pos = 2
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PNM payload: $msg")
+    def nextInt(what: String): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < payload.length && {
+        val b = payload(pos)
+        if (inComment) { if (b == '\n') inComment = false; true }
+        else if (b == '#') { inComment = true; true }
+        else b == ' ' || b == '\t' || b == '\r' || b == '\n'
+      }) pos += 1
+      val start = pos
+      var v = 0L
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0')
+        if (v > Int.MaxValue) fail(s"$what out of range")
+        pos += 1
+      }
+      if (pos == start) fail(s"expected $what at byte $pos")
+      v.toInt
+    }
+    val w = nextInt("width")
+    val h = nextInt("height")
+    val maxVal = nextInt("maxval")
+    if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
+    if (maxVal <= 0 || maxVal > 255)
+      fail(s"maxval $maxVal unsupported (only single-byte samples)")
+    // exactly one whitespace byte separates maxval from the raster
+    if (pos >= payload.length || !Set(' ', '\t', '\r', '\n')(payload(pos).toChar))
+      fail("missing whitespace before raster")
+    pos += 1
+    val n = w.toLong * h * channels
+    if (payload.length - pos < n)
+      fail(s"truncated raster: need $n bytes, have ${payload.length - pos}")
+    Some(PnmImage(w, h, channels, maxVal,
+      java.util.Arrays.copyOfRange(payload, pos, pos + n.toInt)))
+  }
+
+  /** decode: REAL for binary PNM payloads (pixels + header dims), stub
+    * passthrough for everything else. Returns (samples, Some((w, h))
+    * when a real header was decoded).
+    */
+  private def decode(payload: Array[Byte]): (Array[Byte], Option[(Int, Int)]) =
+    decodePnm(payload) match {
+      case Some(img) => (img.pixels, Some((img.width, img.height)))
+      case None => (decodeStub(payload), None)
+    }
+
   // ---- STUB SECTION: replace with real codecs -------------------------
 
-  /** STUB decode: payload bytes ARE the "pixels". A real implementation
-    * would decode JPEG/PNG/PCM here.
+  /** STUB decode for non-PNM payloads: payload bytes ARE the "pixels".
+    * A real implementation would decode JPEG/PNG/PCM here.
     */
   private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
 
-  /** STUB resize: deterministic subsample to at most `maxPx` "pixels". */
+  /** deterministic nearest-neighbour subsample to at most `maxPx`
+    * samples (shared by the real and stub decode paths).
+    */
   private def resizeStub(pixels: Array[Byte], maxPx: Int): Array[Byte] =
     if (pixels.length <= maxPx) pixels
     else Array.tabulate(maxPx)(i => pixels(i * pixels.length / maxPx))
@@ -71,8 +150,12 @@ object MediaOps {
 
   /** decode + feature-extract, partition-wise: one pass per partition
     * over the binary payloads producing typed feature rows (nibble
-    * histogram = the stub's "embedding"; deterministic and
-    * SQL-reproducible for the oracle).
+    * histogram over the decoded samples; deterministic and
+    * SQL-reproducible for the oracle). Binary-PNM payloads take the
+    * REAL codec path — pixel samples and header dimensions; anything
+    * else flows through the stub passthrough with the caller-supplied
+    * dims (the driver's synthetic media is not PNM, so its oracle is
+    * unchanged; MediaOpsSpec pins the real path byte-exactly).
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeature] = {
     val spark = media.sparkSession
@@ -80,8 +163,10 @@ object MediaOps {
     media.select("doc_id", "media_ref", "media_type", "payload", "width", "height")
       .as[(String, String, String, Array[Byte], Int, Int)]
       .mapPartitions { it =>
-        it.map { case (doc, ref, typ, payload, w, h) =>
-          val pixels = resizeStub(decodeStub(payload), 4096)
+        it.map { case (doc, ref, typ, payload, w0, h0) =>
+          val (samples, dims) = decode(payload)
+          val (w, h) = dims.getOrElse((w0, h0))
+          val pixels = resizeStub(samples, 4096)
           val hist = new Array[Long](16)
           var i = 0
           while (i < pixels.length) {

@@ -643,35 +643,102 @@ object TextOps {
       .groupBy("doc_id")
       .agg(min(md5(col("s").cast("binary"))).as("fp"), count(lit(1)).as("n_shingles"))
 
+  /** Near-dup PAIR GENERATORS for [[cleanCorpus]] — each maps the
+    * surviving `(doc_id, text, …)` relation to `(doc_a, doc_b)` pairs
+    * and feeds the same CC keep-one tail (round-4 verdict #6). The
+    * minhash source is the default; simhash trades the shingle pipeline
+    * for the 64-bit fingerprint band join; the embedding source dedups
+    * on semantic vectors (joined on doc_id) instead of surface text.
+    */
+  def minhashPairSource(k: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+                        threshold: Double = 0.5): DataFrame => DataFrame =
+    docs => minhashLshPairs(docs, k, numHashes, bandSize, threshold)
+
+  def simhashPairSource(maxHamming: Int = 3): DataFrame => DataFrame =
+    docs => simhashPairs(docs, maxHamming)
+
+  /** embedding-cosine near-dup pairs as a cleanCorpus source: `embs` is
+    * the `(vec_id, embedding)` relation keyed by doc_id; only vectors of
+    * SURVIVING docs participate (left-semi on the stage input, so the
+    * quality/exact drops propagate into candidate generation).
+    */
+  def embeddingPairSource(embs: DataFrame, minCos: Double = 0.95,
+                          nBits: Int = 8, dim: Int = 64): DataFrame => DataFrame =
+    docs => VectorOps.cosineNearDupPairs(
+        embs.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        minCos, nBits, dim)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+
   /** End-to-end corpus cleaning — the composition a training-data
     * pipeline actually runs, as one operator: quality filter (length +
     * distinct-token floor) → exact dedup (keep the min doc_id per
     * identical text) → near-dup dedup (keep the min doc_id per
-    * minhash-LSH connected component). Returns the surviving doc ids.
+    * connected component of `pairSource` pairs). Returns the surviving
+    * doc ids. For per-stage drop accounting use [[cleanCorpusStaged]].
     *
     * Scale shape: a narrow filter pushed to the scan, one hash agg, the
-    * minhash pair pipeline (its own 100 TB shapes documented at
-    * [[minhashLshPairs]]), the CC iteration over pairs only, and a final
-    * equi-join against the (small — only docs that were IN a pair)
-    * cluster map. The filtered survivor set is consumed twice (pair
-    * pipeline + final join), so it is cached; callers release via
-    * `spark.catalog.clearCache()` per the class cache-lifecycle note.
+    * pair pipeline (its own 100 TB shapes documented at
+    * [[minhashLshPairs]] / [[simhashPairs]] /
+    * [[VectorOps.cosineNearDupPairs]]), the CC iteration over pairs
+    * only, and a final equi-join against the (small — only docs that
+    * were IN a pair) cluster map. The filtered survivor set is consumed
+    * twice (pair pipeline + final join), so it is cached; callers
+    * release via `spark.catalog.clearCache()` per the class
+    * cache-lifecycle note.
     */
   def cleanCorpus(docs: DataFrame, minChars: Long = 50, minUniqTokens: Long = 10,
-                  k: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
-                  threshold: Double = 0.5): DataFrame = {
+                  pairSource: DataFrame => DataFrame = minhashPairSource()): DataFrame =
+    cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource)._3
+
+  /** back-compat signature with explicit minhash parameters */
+  def cleanCorpus(docs: DataFrame, minChars: Long, minUniqTokens: Long,
+                  k: Int, numHashes: Int, bandSize: Int,
+                  threshold: Double): DataFrame =
+    cleanCorpus(docs, minChars, minUniqTokens,
+      minhashPairSource(k, numHashes, bandSize, threshold))
+
+  /** [[cleanCorpus]] plus the per-stage drop accounting a production
+    * pipeline needs for observability (round-4 verdict #6): returns
+    * (survivor doc ids, stats) where stats has one row per stage —
+    * `(stage, n_in, n_kept, n_dropped)` for `quality`, `exact_dedup`,
+    * `near_dup` — and n_kept of each stage equals n_in of the next.
+    * Materializes the pipeline (the counts are actions); the survivors
+    * DataFrame reuses the cached stages, not a recompute.
+    */
+  def cleanCorpusStaged(docs: DataFrame, minChars: Long = 50, minUniqTokens: Long = 10,
+                        pairSource: DataFrame => DataFrame = minhashPairSource())
+      : (DataFrame, DataFrame) = {
+    val (q, exq, survivors) = cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nIn = docs.count()
+    val nQ = q.count()
+    val nEx = exq.count()
+    val surv = survivors.cache()
+    val nFinal = surv.count()
+    val stats = Seq(
+      ("quality", nIn, nQ, nIn - nQ),
+      ("exact_dedup", nQ, nEx, nQ - nEx),
+      ("near_dup", nEx, nFinal, nEx - nFinal))
+      .toDF("stage", "n_in", "n_kept", "n_dropped")
+    (surv, stats)
+  }
+
+  private def cleanCorpusPlan(docs: DataFrame, minChars: Long, minUniqTokens: Long,
+                              pairSource: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val q = docs.where(length(col("text")) >= minChars &&
       size(array_distinct(words(col("text")))) >= minUniqTokens)
     val exKeep = q.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .drop("h")
     val exq = q.join(exKeep, "doc_id").cache()
-    val clusters = nearDupClusters(
-      minhashLshPairs(exq, k, numHashes, bandSize, threshold))
-    exq.select("doc_id")
+    val clusters = nearDupClusters(pairSource(exq))
+    val survivors = exq.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .where(col("keep_id").isNull || col("keep_id") === col("doc_id"))
       .select("doc_id")
+    (q, exq, survivors)
   }
 
   /** Text quality scoring: integer-valued features a filtering pipeline

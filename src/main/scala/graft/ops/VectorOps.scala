@@ -161,6 +161,16 @@ object VectorOps {
       val qArr = qRows
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1)
+      // broadcast lifecycle (round-4 ADVICE): the returned DataFrame is
+      // LAZY, so this operator cannot destroy the broadcast itself — the
+      // caller may not have materialized (or may re-materialize) the
+      // plan. The broadcast is referenced only by the plan's closures:
+      // once the caller drops the DataFrame, driver GC makes it
+      // unreachable and Spark's ContextCleaner removes the blocks from
+      // driver and executors (weak-reference cleanup, plus the periodic
+      // GC tick). Long-lived drivers issuing many calls rely on that
+      // same mechanism for every cached/broadcast artifact; the ≤
+      // MaxBroadcastQueries bound caps any single broadcast at a few MB.
       val bc = spark.sparkContext.broadcast(qArr)
       val local = e.as[(Long, Seq[Double], Double)].mapPartitions { it =>
         val qs = bc.value

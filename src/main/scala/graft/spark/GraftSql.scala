@@ -11,6 +11,20 @@ import Sphere.GeoRad
   */
 object GraftSql {
 
+  /** every name [[register]] installs — the public SQL API surface.
+    * GraftSqlSpec sweeps each name through `spark.sql` once and fails if
+    * this list and the actually-registered temporary functions drift
+    * (add a registration below ⇒ add it here ⇒ add its sweep case).
+    */
+  val functionNames: Seq[String] = Seq(
+    "z7_cell", "z7_string", "z7_from_string", "z7_parent", "z7_ancestor",
+    "z7_resolution", "z7_is_pentagon", "z7_children", "z7_ring1", "z7_disk",
+    "z7_range_min", "z7_range_max", "z7_seqnum", "z7_from_seqnum",
+    "z7_center_lon", "z7_center_lat", "z7_boundary_wkt",
+    "t4_cell", "t4_string", "t4_ancestor", "d4_cell", "d4_string", "d4_ancestor",
+    "to_authalic_lat", "to_geodetic_lat",
+    "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane")
+
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
     // Z7 / ISEA7H

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.spark.GraftSql
+
+/** The SQL registration surface is the public API a Spark-SQL-only user
+  * (JDBC/thrift, notebooks) sees — this sweep exercises EVERY registered
+  * function name through `spark.sql` once (round-4 verdict #7) and fails
+  * when the registry and [[GraftSql.functionNames]] drift in either
+  * direction, so a new registration cannot ship untested.
+  */
+class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .appName("graft-sql-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every registered SQL function runs via spark.sql and the registry is in sync") {
+    import spark.implicits._
+    def catalogFunctions(): Set[String] = spark.catalog.listFunctions
+      .filter(col("isTemporary") === true)
+      .select("name").as[String].collect().toSet
+    val before = catalogFunctions()
+    GraftSql.register(spark)
+    // what register() ACTUALLY installed = the catalog diff (robust to
+    // Spark listing builtins as temporary)
+    val registered = catalogFunctions() -- before
+    // (name → assertion run through spark.sql). Each case checks a real
+    // property, not just non-null — relationships (round trips, prefix
+    // ancestry, ring sizes) rather than frozen constants where possible.
+    def one(sql: String): Any = spark.sql(s"SELECT $sql AS v").head().get(0)
+    val z = one("z7_cell(24.7D, 59.4D, 5)").asInstanceOf[Long]
+    val sweep: Map[String, () => Unit] = Map(
+      "z7_cell" -> (() => assert(one("z7_cell(24.7D, 59.4D, 5)") == z)),
+      "z7_string" -> (() =>
+        assert(one(s"z7_string($z)").asInstanceOf[String].length == 7)), // 2 base + 5 digits
+      "z7_from_string" -> (() =>
+        assert(one(s"z7_from_string(z7_string($z))") == z)),
+      "z7_parent" -> (() =>
+        assert(one(s"z7_string(z7_parent($z))") ==
+          one(s"substr(z7_string($z), 1, 6)"))),
+      "z7_ancestor" -> (() =>
+        assert(one(s"z7_string(z7_ancestor($z, 2))") ==
+          one(s"substr(z7_string($z), 1, 4)"))),
+      "z7_resolution" -> (() => assert(one(s"z7_resolution($z)") == 5)),
+      "z7_is_pentagon" -> (() =>
+        assert(one(s"z7_is_pentagon($z)") == false)),
+      "z7_children" -> (() =>
+        assert(one(s"size(z7_children($z))") == 7)),
+      "z7_ring1" -> (() => assert(one(s"size(z7_ring1($z))") == 6)),
+      "z7_disk" -> (() => assert(one(s"size(z7_disk($z, 1))") == 7)),
+      "z7_range_min" -> (() =>
+        assert(one(s"z7_range_min(z7_ancestor($z, 2)) <= $z") == true)),
+      "z7_range_max" -> (() =>
+        assert(one(s"z7_range_max(z7_ancestor($z, 2)) >= $z") == true)),
+      "z7_seqnum" -> (() =>
+        assert(one(s"z7_seqnum($z) BETWEEN 1 AND ${10L * 16807 + 2}") == true)),
+      "z7_from_seqnum" -> (() =>
+        assert(one(s"z7_from_seqnum(z7_seqnum($z), 5)") == z)),
+      "z7_center_lon" -> (() => {
+        val lon = one(s"z7_center_lon($z)").asInstanceOf[Double]
+        assert(math.abs(lon - 24.7) < 2.0, lon) // res-5 cell near the point
+      }),
+      "z7_center_lat" -> (() => {
+        val lat = one(s"z7_center_lat($z)").asInstanceOf[Double]
+        assert(math.abs(lat - 59.4) < 2.0, lat)
+      }),
+      "z7_boundary_wkt" -> (() => {
+        val w = one(s"z7_boundary_wkt($z)").asInstanceOf[String]
+        assert(w.startsWith("POLYGON ((") && w.split(",").length == 7) // closed hex ring
+      }),
+      "t4_cell" -> (() =>
+        assert(one("t4_string(t4_cell(24.7D, 59.4D, 4))")
+          .asInstanceOf[String].length == 6)), // 2 face + 4 digits
+      "t4_string" -> (() =>
+        assert(one("length(t4_string(t4_cell(0.0D, 0.0D, 3)))") == 5)),
+      "t4_ancestor" -> (() =>
+        assert(one("t4_string(t4_ancestor(t4_cell(24.7D, 59.4D, 4), 2))") ==
+          one("substr(t4_string(t4_cell(24.7D, 59.4D, 4)), 1, 4)"))),
+      "d4_cell" -> (() =>
+        assert(one("d4_string(d4_cell(24.7D, 59.4D, 4))")
+          .asInstanceOf[String].length == 6)),
+      "d4_string" -> (() =>
+        assert(one("length(d4_string(d4_cell(0.0D, 0.0D, 3)))") == 5)),
+      "d4_ancestor" -> (() =>
+        assert(one("d4_string(d4_ancestor(d4_cell(24.7D, 59.4D, 4), 2))") ==
+          one("substr(d4_string(d4_cell(24.7D, 59.4D, 4)), 1, 4)"))),
+      "to_authalic_lat" -> (() => {
+        val a = one("to_authalic_lat(45.0D)").asInstanceOf[Double]
+        assert(a < 45.0 && a > 44.5, a) // authalic pulls toward the equator
+      }),
+      "to_geodetic_lat" -> (() => {
+        val g = one("to_geodetic_lat(to_authalic_lat(45.0D))").asInstanceOf[Double]
+        assert(math.abs(g - 45.0) < 1e-9, g)
+      }),
+      "z7_vertex2dd" -> (() =>
+        assert(one(s"z7_vertex2dd($z)") != null)),
+      "z7_projtri" -> (() => assert(one(s"z7_projtri($z)") != null)),
+      "z7_q2dd" -> (() => assert(one(s"z7_q2dd($z)") != null)),
+      "z7_plane" -> (() => assert(one(s"z7_plane($z)") != null)))
+    // 1. run every sweep case
+    sweep.foreach { case (name, check) =>
+      withClue(s"sweep of $name: ")(check())
+    }
+    // 2. the sweep covers exactly the declared surface
+    assert(sweep.keySet == GraftSql.functionNames.toSet,
+      "sweep cases and GraftSql.functionNames drifted")
+    // 3. the declared surface is exactly what register() installed
+    //    (catches an r.register(...) added without updating the list)
+    assert(registered == GraftSql.functionNames.toSet,
+      s"declared-but-not-registered: ${GraftSql.functionNames.toSet -- registered}; " +
+        s"registered-but-not-declared: ${registered -- GraftSql.functionNames.toSet}")
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The REAL codec path (round-4 verdict #4): binary PNM (P5/P6) decoded
+  * byte-exactly with zero external libraries, wired through
+  * extractFeatures so real pixel stats flow into the feature pipeline;
+  * non-PNM payloads keep the stub passthrough (driver oracle unchanged).
+  */
+class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .appName("graft-media-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("decodePnm: P5 grayscale with header comment, byte-exact pixels") {
+    // 4×2 PGM, maxval 255, a comment between tokens, pixel bytes 0..7
+    val px = Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)
+    val img = MediaOps.decodePnm(
+      bytes("P5\n# a comment\n4 2\n255\n") ++ px).get
+    assert(img.width == 4 && img.height == 2 && img.channels == 1)
+    assert(img.maxVal == 255)
+    assert(img.pixels.sameElements(px))
+  }
+
+  test("decodePnm: P6 RGB byte-exact; non-PNM magic falls through") {
+    // 2×2 PPM: 12 raster bytes, values chosen to hit high nibbles too
+    val px = Array.tabulate(12)(i => (i * 21).toByte)
+    val img = MediaOps.decodePnm(bytes("P6 2 2 255\n") ++ px).get
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    assert(img.pixels.sameElements(px))
+    // P3 (ASCII PPM), JPEG magic, empty: all None — stub path, no throw
+    assert(MediaOps.decodePnm(bytes("P3\n1 1\n255\n0 0 0")).isEmpty)
+    assert(MediaOps.decodePnm(Array[Byte](0xFF.toByte, 0xD8.toByte)).isEmpty)
+    assert(MediaOps.decodePnm(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodePnm: malformed PNM raises loudly, never garbage pixels") {
+    def boom(payload: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](MediaOps.decodePnm(payload))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' !~ '$frag'")
+    }
+    boom(bytes("P5\n4 2\n255\n") ++ Array[Byte](1, 2, 3), "truncated")
+    boom(bytes("P5\n4 2\n65535\n") ++ new Array[Byte](16), "maxval")
+    boom(bytes("P5\nx 2\n255\n"), "width")
+    boom(bytes("P5\n0 2\n255\n "), "non-positive")
+  }
+
+  test("extractFeatures: real PNM pixels drive the histogram and dims") {
+    import spark.implicits._
+    // P6 2×2 with 12 known samples → hand-computed nibble histogram;
+    // the caller-supplied width/height (999) MUST be overridden by the
+    // decoded header (2×2)
+    val px = Array.tabulate(12)(i => (i * 21).toByte) // 0,21,42,...,231
+    val payload = bytes("P6 2 2 255\n") ++ px
+    val expected = new Array[Long](16)
+    px.foreach { b => expected((b >> 4) & 0xF) += 1; expected(b & 0xF) += 1 }
+    val df = Seq(("d1", "m1", "image", payload, 999, 999))
+      .toDF("doc_id", "media_ref", "media_type", "payload", "width", "height")
+    val f = MediaOps.extractFeatures(df).collect().head
+    assert(f.width == 2 && f.height == 2, "decoded dims must win over caller dims")
+    assert(f.n_bytes == payload.length)
+    assert(f.nibble_hist.sameElements(expected),
+      s"hist ${f.nibble_hist.mkString(",")} != ${expected.mkString(",")}")
+    // a non-PNM payload keeps the caller dims + stub passthrough bytes
+    val stub = Seq(("d2", "m2", "image", Array[Byte](0x12, 0x34), 7, 9))
+      .toDF("doc_id", "media_ref", "media_type", "payload", "width", "height")
+    val g = MediaOps.extractFeatures(stub).collect().head
+    assert(g.width == 7 && g.height == 9)
+    assert(g.nibble_hist(1) == 1 && g.nibble_hist(2) == 1 &&
+      g.nibble_hist(3) == 1 && g.nibble_hist(4) == 1)
+  }
+}

@@ -250,6 +250,59 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("cleanCorpusStaged: per-stage drop accounting chains; pair sources swap") {
+    import spark.implicits._
+    val base = (1 to 14).map(i => s"alpha$i").mkString(" ")
+    val famB = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val famBNear = ((1 to 19).map(i => s"beta$i") :+ "CHANGED").mkString(" ")
+    val docs = Seq(
+      (1L, base), (3L, famB), (4L, famBNear), (5L, base), (6L, "tiny text"))
+      .toDF("doc_id", "text")
+    val (kept, stats) = TextOps.cleanCorpusStaged(docs)
+    assert(kept.as[Long].collect().toSet == Set(1L, 3L))
+    val rows = stats.as[(String, Long, Long, Long)].collect().toList
+    // quality: 5 in, 6 dropped → 4; exact: 5 dups 1 → 3; near-dup: 4
+    // joins 3's cluster → 2
+    assert(rows == List(
+      ("quality", 5L, 4L, 1L),
+      ("exact_dedup", 4L, 3L, 1L),
+      ("near_dup", 3L, 2L, 1L)), rows)
+    // accounting invariant: each stage's n_kept is the next stage's n_in
+    rows.sliding(2).foreach { case List(a, b) => assert(a._3 == b._2); case _ => }
+    spark.catalog.clearCache()
+
+    // SIMHASH pair source: one word changed in ~20 flips ~6-7 of the 64
+    // bits (cos ≈ 0.95), so the shared near-dup corpus above is NOT a
+    // simhash near-dup — this corpus is: 60 words with word 17 changed
+    // gives Hamming distance 1 (computed offline from the deterministic
+    // md5 hash family, which the DuckDB oracle mirrors)
+    val famG = (1 to 60).map(i => s"gamma$i").mkString(" ")
+    val famGNear = (1 to 60).map(i => if (i == 17) "CHANGED" else s"gamma$i")
+      .mkString(" ")
+    val docsSim = Seq(
+      (1L, base), (3L, famG), (4L, famGNear), (5L, base), (6L, "tiny text"))
+      .toDF("doc_id", "text")
+    val keptSim = TextOps.cleanCorpus(docsSim,
+      pairSource = TextOps.simhashPairSource(3)).as[Long].collect().toSet
+    assert(keptSim == Set(1L, 3L), keptSim)
+    spark.catalog.clearCache()
+
+    // EMBEDDING pair source: doc-id-keyed vectors where 3 and 4 are
+    // near-identical, others orthogonal; quality/exact drops must
+    // propagate (doc 5's and 6's vectors never generate pairs)
+    def vec(active: Int): Seq[Float] =
+      (0 until 64).map(d => if (d == active) 1.0f else 0.0f)
+    val embs = Seq(
+      (1L, vec(0)), (3L, vec(1)),
+      (4L, (0 until 64).map(d => if (d == 1) 1.0f else if (d == 2) 0.05f else 0.0f)),
+      (5L, vec(0)), (6L, vec(3))).toDF("vec_id", "embedding")
+    val keptEmb = TextOps.cleanCorpus(docs,
+      pairSource = TextOps.embeddingPairSource(embs, 0.95))
+      .as[Long].collect().toSet
+    assert(keptEmb == Set(1L, 3L), keptEmb)
+    spark.catalog.clearCache()
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
@@ -364,6 +417,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val backPadded = GridOps.addressTransform(padded, "rec", "AIGEN", "Z7_STRING", 3)
       .select("out_addr").as[String].collect().toSet
     assert(backPadded == names.toSet, backPadded)
+    // AIGEN_SEQNUM: DGGRID-produced AIGEN files carry SEQNUM ids on the
+    // id line (round-4 ADVICE — under the plain AIGEN reading those
+    // parse as valid longs but are WRONG cell ids); the _SEQNUM input
+    // maps the id line through the seqnum decoder, so an engine
+    // Z7→SEQNUM-id AIGEN record round-trips to the same cell
+    val seqRecs = GridOps.addressTransform(cells, "name", "Z7_STRING", "SEQNUM", 3)
+      .select(col("name"), concat(col("out_addr").cast("string"),
+        lit("\n1.0 2.0\nEND")).as("rec"))
+    val backSeq = GridOps.addressTransform(seqRecs, "rec", "AIGEN_SEQNUM", "Z7_STRING", 3)
+      .select("out_addr").as[String].collect().toSet
+    assert(backSeq == names.toSet, backSeq)
     // non-numeric, fractional, and >Long-range id lines all raise the
     // CURATED error in ANY ANSI mode (try_cast; a plain cast either
     // throws its own generic error first or — ANSI off — silently
@@ -478,6 +542,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotNd2 = GeoSources.readGeoJsonFeaturesNdjson(spark, ndFile.toString)
       .as[(String, String)].collect()
     assert(gotNd2.length == 2 && gotNd2.map(_._1).distinct.length == 2)
+    // byte-identical geometries under the FALLBACK id raise instead of
+    // silently collapsing to one id (round-4 ADVICE); the same file
+    // read with idProp flows both rows through
+    val dupFile = dir.resolve("dup.ndjson")
+    java.nio.file.Files.write(dupFile,
+      (nd.head + "\n" + nd.head.replace("\"x\"", "\"z\"")).getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      GeoSources.readGeoJsonFeaturesNdjson(spark, dupFile.toString).collect()
+    }
+    assert(e.getMessage.contains("duplicate fallback poly_id"), e.getMessage)
+    assert(GeoSources.readGeoJsonFeaturesNdjson(spark, dupFile.toString,
+      Some("name")).count() == 2)
   }
 
   test("ring1: reciprocity and size over all res-2 cells") {
