@@ -197,6 +197,15 @@ object BenchDedupScaling {
       VectorOps.lshTopK(embsWarm, 3, 11).count()) {
       VectorOps.lshTopK(embs, 3, 11).count()
     }
+    // DISTRIBUTED k-means training at codebook sizes past the driver
+    // sample (round-4 verdict #2): √N centroids rounded up to a power of
+    // two (1M vectors → 1024), trained over the full relation — the
+    // production IVF codebook shape
+    run("emb_kmeans_dist",
+      { VectorOps.trainCentroidsDistributed(embsWarm, 64, iters = 2); 2000L }) {
+      val k = math.max(64, Integer.highestOneBit(math.sqrt(nVecs.toDouble).toInt - 1) * 2)
+      VectorOps.trainCentroidsDistributed(embs, k, iters = 5).length.toLong
+    }
 
     // a typo'd op filter must not record a vacuous empty run as a pass
     require(only.isEmpty || results.nonEmpty,

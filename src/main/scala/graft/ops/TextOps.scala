@@ -302,12 +302,16 @@ object TextOps {
     // that clustering, so the (large) edge relation is shuffled exactly
     // ONCE for the whole loop instead of once per round (round-5 barrier
     // cut; truncate preserves the labels side's partitioning likewise).
+    // EXPLICIT partition count: an N-less repartition(col) leaves AQE
+    // free to re-plan the shuffle, which would falsify the static
+    // hash-partitioning the truncation records before materialization
+    val nPart = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val edgesCache = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .repartition(col("src"))
+      .repartition(nPart, col("src"))
       .cache()
     val edges = truncate(edgesCache)
     // round 0 folded into the init: lbl = min(self, direct neighbours);
@@ -315,8 +319,15 @@ object TextOps {
     // Convergence metric (the label sum) rides the SAME materializing
     // action via Observation — the separate per-round agg job is gone
     // (round-5: per round = ONE job, ONE exchange).
-    var labelsCache = edges.groupBy(col("src").as("doc_id"))
-      .agg(least(col("doc_id"), min(col("dst"))).as("lbl"))
+    // grouped on the RAW src column (not an alias): HashAggregate
+    // demands clustering on its grouping expressions, and an alias is a
+    // new attribute the cached hash partitioning doesn't satisfy — the
+    // aliased form re-exchanged the whole edge relation (measured);
+    // renaming AFTER the agg keeps the exchange-free plan (alias-aware
+    // output partitioning maps src → doc_id for the downstream joins)
+    var labelsCache = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .withColumnRenamed("src", "doc_id")
       .cache()
     val obs0 = Observation()
     var n = labelsCache.observe(obs0, decSum(col("lbl")).as("s")).count()

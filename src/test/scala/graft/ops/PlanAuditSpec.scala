@@ -69,6 +69,76 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("min-label CC: one action per round, bounded exchanges (round-5 barrier cut)") {
+    // the round-5 contract: per round, the convergence metric rides the
+    // materializing count() via Observation — so the WHOLE loop issues
+    // exactly (1 init + rounds + 0) Dataset actions — and each round
+    // performs one exchange (co-partitioned join over the
+    // src-pre-partitioned edge cache + partitioning-preserving
+    // truncation). A regression to the old shape (separate agg job per
+    // round, re-shuffled edges, union+groupBy) breaks these counts.
+    // Actions are counted via QueryExecutionListener (robust under AQE,
+    // which splits one action into a job per query stage).
+    import spark.implicits._
+    val actions = new java.util.concurrent.atomic.AtomicInteger
+    val shuffles = new java.util.concurrent.atomic.AtomicInteger
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        // a stage that wrote shuffle data = one exchange executed
+        if (s.stageInfo.taskMetrics != null &&
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
+          shuffles.incrementAndGet()
+    }
+    // clique families → min-label confirms in exactly 1 loop round
+    val pairs = (0 until 400).flatMap { f =>
+      Seq((f * 3L, f * 3L + 1), (f * 3L, f * 3L + 2), (f * 3L + 1, f * 3L + 2))
+    }.toDF("doc_a", "doc_b").cache()
+    pairs.count() // materialize the input outside the counted window
+    spark.listenerManager.register(ql)
+    spark.sparkContext.addSparkListener(sl)
+    try {
+      val (labels, rounds) = TextOps.nearDupClustersStaged(pairs)
+      // listener buses are async — wait until both counters stabilize
+      // (two unchanged 200 ms windows, 5 s ceiling)
+      var stable = 0
+      var last = (actions.get, shuffles.get)
+      val deadline = System.nanoTime() + 15000000000L
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val cur = (actions.get, shuffles.get)
+        stable = if (cur == last) stable + 1 else 0
+        last = cur
+      }
+      // actions: the init count + one count per round, nothing else
+      assert(actions.get == rounds + 1,
+        s"expected ${rounds + 1} actions (init + $rounds round(s)), got ${actions.get}")
+      // exchanges, measured exactly: 1 edge repartition + 1 per-count
+      // final exchange for the init, then 1 groupBy(dst) + 1 count
+      // exchange per round = 2 + 2·rounds. The bound adds one stage of
+      // slack per phase so a benign Spark/AQE planning change doesn't
+      // fail the suite; the old shape (edges re-shuffled every round +
+      // union+groupBy re-exchange + a separate agg job) still blows it
+      val bound = 3 + rounds * 3
+      assert(shuffles.get <= bound,
+        s"expected <= $bound shuffle map stages for $rounds round(s), got ${shuffles.get}")
+      assert(labels.count() == 1200)
+    } finally {
+      spark.listenerManager.unregister(ql)
+      spark.sparkContext.removeSparkListener(sl)
+      pairs.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("parquet scan prunes columns: cell assign reads only what it needs") {
     val plan = graft.SparkEntry.queries("dggs_cell_assign")(spark, sfDir)
       .queryExecution.executedPlan.toString
