@@ -397,15 +397,16 @@ object TextOps {
     *  - small-star: over the larger→smaller edges grouped by the larger
     *    endpoint, the node and its smaller neighbours re-attach to
     *    their minimum.
-    * Edges always point DOWNWARD (hi > lo). The per-round
-    * (count, endpoint-sum) checksum is a cheap STABILITY SIGNAL only —
-    * large-star can add edges in general graphs, so the pair is not
-    * monotone and can collide or oscillate; convergence is therefore
-    * gated on an exact `except` fixpoint confirmation once the checksum
-    * goes stable (a collision cannot fake convergence). Lineage
+    * Edges always point DOWNWARD (hi > lo). Termination is an EXACT
+    * star-forest test after each round (the algorithm's fixpoints are
+    * precisely star forests — see the in-loop proof sketch): one cheap
+    * aggregate over the new edge set, detecting convergence in the
+    * same round that forms the stars (round 5 — the former
+    * checksum-stability + `except` confirmation needed one whole extra
+    * contraction round to observe stability). Lineage
     * is truncated per round like [[nearDupClusters]] (LogicalRDD wrap —
     * recomputable on executor loss, caches releasable). Throws if
-    * `maxIters` rounds cannot confirm the fixpoint.
+    * `maxIters` rounds cannot reach the fixpoint.
     */
   def nearDupClustersLargeStar(pairs: DataFrame, maxIters: Int = 25): DataFrame =
     nearDupClustersLargeStarStaged(pairs, maxIters)._1
@@ -426,17 +427,30 @@ object TextOps {
       .select(explode(array(col("hi"), col("lo"))).as("doc_id")).distinct()
     var edgesCache = canonicalCache
     var edges = canonical.where(col("hi") =!= col("lo"))
-    // (count, sum of endpoints) fingerprint for the INITIAL edge set
-    // (inside the loop the same two numbers ride the materializing
-    // count() + an Observation — no separate agg job per round)
-    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(col("hi").cast("decimal(38,0)") + col("lo").cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
-    }
-    var prev = fingerprint(edges)
-    var converged = prev._1 == 0L
+    // EXACT termination test (round 5 — replaces the round-4 checksum
+    // stability signal + `except` confirmation, which cost one ENTIRE
+    // extra contraction round to observe stability plus a full-width
+    // set difference): the alternating algorithm's fixpoints are
+    // precisely the STAR FORESTS centered at component minima (Kiveris
+    // et al. §3), and "star forest" is locally checkable in ONE cheap
+    // aggregate over the (distinct, hi>lo) edge set —
+    //   (a) no node is both a hi and a lo, and
+    //   (b) no hi carries two edges.
+    // ⇐: such a set is stars centered at the lo nodes (each < its
+    // leaves), and a star is stable under both contractions.
+    // ⇒: a hi with two los is rewritten by small-star; a node that is
+    // both hi and lo is re-attached by large-star — either way not a
+    // fixpoint. So the test is exact, converges one round EARLIER than
+    // stability detection (the round that FORMS the stars also detects
+    // them), and a star-shaped input converges with zero rounds.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("hi").as("node"), lit(1L).as("h"), lit(0L).as("l"))
+        .unionByName(df.select(col("lo").as("node"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("node")
+        .agg(sum("h").as("nh"), sum("l").as("nl"))
+        .where(col("nh") > 1L || (col("nh") > 0L && col("nl") > 0L))
+        .isEmpty
+    var converged = isStarForest(edges)
     var it = 0
     while (!converged && it < maxIters) {
       // large-star over the undirected adjacency (both directions in one
@@ -470,22 +484,10 @@ object TextOps {
         .where(col("hi") =!= col("lo"))
         .distinct()
       val nextCache = next.cache()
-      val o = org.apache.spark.sql.Observation()
-      val nRows = nextCache
-        .observe(o, sum(col("hi").cast("decimal(38,0)") +
-          col("lo").cast("decimal(38,0)")).as("s")).count()
+      nextCache.count() // materialize (one action; the star test below
+      // scans the cache, not the pipeline)
       val nextT = truncate(nextCache)
-      val cur = (nRows, obsDecimal(o, "s"))
-      // BigDecimal.equals is scale-sensitive — compare numerically
-      if (cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0) {
-        // fingerprint stable — a cheap STABILITY SIGNAL, not a proof
-        // (large-star can add edges in general graphs, so the pair is
-        // not monotone; collisions/oscillations are possible). The
-        // fixpoint is therefore CONFIRMED exactly: same count + empty
-        // difference over distinct sets ⇒ set equality.
-        converged = nextT.except(edges).isEmpty
-      }
-      prev = cur
+      converged = isStarForest(nextT)
       // round 1 starts with edgesCache == canonicalCache, which `nodes`
       // (and through it the returned labels) still reads — unpersisting
       // it would recompute the whole upstream pair pipeline when the
