@@ -33,7 +33,7 @@ class KnnSafeRadiusSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("diskSafeKm is a lower bound on disk-exterior distance (k=1,2; res 1-5)") {
+  test("diskSafeKm is a lower bound on disk-exterior distance (k=1..4; res 1-5)") {
     // res 1 included because the driver's dggs_knn query runs at res 1,
     // where ISEA distortion and pentagon fans are at their worst
     val g = Grids.default
@@ -49,7 +49,7 @@ class KnnSafeRadiusSpec extends AnyFunSuite with BeforeAndAfterAll {
         g.cellForPoint(GeoRad.fromDeg(lat, lon), res)
       }
       val cells = (pentas ++ pentaNbrs ++ seeded).distinct
-      for (k <- 1 to 2) {
+      for (k <- 1 to 4) {
         val safe = SpatialOps.diskSafeKm(res, k)
         var worst = Double.MaxValue
         for (z <- cells) {
@@ -117,5 +117,38 @@ class KnnSafeRadiusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(got == want, s"staged kNN != brute force " +
       s"(${(got -- want).size} extra, ${(want -- got).size} missing)")
+  }
+
+  test("sparser corpus: disk-2 cannot certify, probeDisk=3 does; result exact") {
+    import spark.implicits._
+    // ~25 km spacing at res 6: d_3 > diskSafe(6,2) ≈ 20.1 km so the
+    // default disk-2 probe leaves a large brute residue; diskSafe(6,3)
+    // ≈ 33.6 km so a disk-3 probe certifies (the round-5 probeDisk knob
+    // — KnnProbe measured factors ≥ 0.75 for k=3/4, margin over 0.6)
+    val pts = (for (i <- 0 until 15; j <- 0 until 15) yield {
+      val jit = ((i * 7 + j * 13) % 11) * 1.3e-4
+      (f"p$i%02d_$j%02d", 10.0 + i * 0.36 + jit, 50.0 + j * 0.225 + jit)
+    }).toDF("id", "lon", "lat")
+    val queries = pts.select(col("id").as("q_id"), col("lon"), col("lat"))
+    val targets = pts.select(col("id").as("t_id"), col("lon"), col("lat"))
+    val k = 3
+    val (r2, residue2) = SpatialOps.knnJoinStaged(
+      queries, targets, "lon", "lat", k, 6, excludeSelf = Seq("q_id" -> "t_id"))
+    val (r3, residue3) = SpatialOps.knnJoinStaged(
+      queries, targets, "lon", "lat", k, 6, excludeSelf = Seq("q_id" -> "t_id"),
+      probeDisk = 3)
+    val n2 = residue2.count(); val n3 = residue3.count()
+    assert(n2 > 225 / 2,
+      s"expected the disk-2 probe to fail certification at 25 km spacing, residue $n2")
+    // residue = exactly the 4 grid CORNERS: their 3rd-nearest is the
+    // ~35.4 km diagonal, just past diskSafe(6,3) ≈ 33.6 km — the
+    // certificate is conservative by design, and corner queries fall
+    // back to the exact brute path
+    assert(n3 <= 4, s"disk-3 residue $n3 of 225 queries (expected ≤ 4 corners)")
+    // both paths (certified and residue-heavy) remain EXACT and equal
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "t_id").as[(String, Long, String)].collect().toSet
+    assert(rows(r2) == rows(r3))
+    spark.catalog.clearCache()
   }
 }
