@@ -184,14 +184,19 @@ object SpatialOps {
     knnJoinStaged(queries, targets, lonCol, latCol, k, res, excludeSelf,
       probeDisk)._1
 
-  /** knnJoin plus the residual (post-disk-2) escalation query-id set —
-    * exposed so tests can assert the brute-force residue is rare.
+  /** knnJoin plus the residual (post-disk-probe) escalation query-id
+    * set — exposed so tests can assert the brute-force residue is rare.
     */
   private[graft] def knnJoinStaged(queries: DataFrame, targets: DataFrame,
                                    lonCol: String, latCol: String, k: Int, res: Int,
                                    excludeSelf: Seq[(String, String)] = Nil,
                                    probeDisk: Int = 2)
       : (DataFrame, DataFrame) = {
+    // validated here under its own name: letting diskSafeKm throw would
+    // blame "k", which in THIS signature is the (valid) neighbor count
+    require(probeDisk >= 1 && probeDisk <= 4,
+      s"knnJoin: probeDisk=$probeDisk outside the validated range 1..4 " +
+        "(KnnSafeRadiusSpec/KnnProbe)")
     val qc = GridOps.cellsForGeoPoints(
         queries.withColumn("__qid", monotonically_increasing_id()),
         lonCol, latCol, res)
@@ -216,8 +221,8 @@ object SpatialOps {
       cand.withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= k)
     }
-    // probe the 2-disk neighbourhood of each query's cell (a plain
-    // cell-id equi-join) and fold the completeness PROOF into the same
+    // probe the probeDisk-disk neighbourhood of each query's cell (a
+    // plain cell-id equi-join) and fold the completeness PROOF into the same
     // window pass: a query is proven when it has >= k candidates
     // (pre-filter count over the partition) all within diskSafeKm (max
     // over the kept top-k rows). Both extra window functions share the
@@ -263,9 +268,10 @@ object SpatialOps {
     */
   def diskSafeKm(res: Int, k: Int): Double = {
     // the 0.6 distortion factor is empirically validated for k=1..4
-    // (KnnSafeRadiusSpec sweeps the exact geometric lower bound over
-    // sampled cells incl. pentagons at res 1-5: measured factors
-    // 0.73-1.00 of the ideal (2k-1)·rIn, i.e. ≥1.22× margin over 0.6);
+    // (KnnSafeRadiusSpec sweeps the exact geometric lower bound — the
+    // shared graft.tools.KnnProbe measurement — over sampled cells
+    // incl. pentagons at res 1-7: measured factors 0.71-1.00 of the
+    // ideal (2k-1)·rIn, i.e. ≥1.19× margin over 0.6);
     // a k>=5 caller would lean an exactness certificate on an
     // unverified constant — extend the spec's sweep before admitting
     // larger k
