@@ -73,6 +73,19 @@ object SparkEntry {
       // the full cleaning pipeline a training-data run composes: quality
       // filter → exact dedup → keep-one-per-near-dup-cluster
       TextOps.cleanCorpus(Tables.tbl(s, dir, "documents"))),
+    "pipeline_clean_spans" -> ((s, dir) => {
+      // the two graft axes COMPOSED: corpus cleaning (quality → exact →
+      // near-dup keep-one) with the interleaved span-sequence invariant
+      // carried through — surviving docs keep their exact (kind, text,
+      // media_ref, order) digest, proving dedup does not disturb the
+      // per-row span contract (input_hint)
+      val docs = Tables.tbl(s, dir, "documents")
+      val digest = CorpusOps.spanSequenceDigest(CorpusOps.interleavedDocs(docs))
+      TextOps.cleanCorpus(docs)
+        .select(format_string("doc-%012d", col("doc_id")).as("doc_id"))
+        .join(digest, "doc_id")
+        .select(col("doc_id"), col("n_spans"), col("seq_md5"))
+    }),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
@@ -768,6 +781,33 @@ object SparkEntry {
          |         FROM reach GROUP BY node)
          |SELECT e.doc_id FROM exq e LEFT JOIN keep k ON e.doc_id = k.doc_id
          |WHERE k.keep_id IS NULL OR k.keep_id = e.doc_id""".stripMargin,
+    "pipeline_clean_spans" ->
+      // the clean-corpus survivor chain joined with the span-sequence
+      // digest (axes composed: dedup must not disturb the per-row span
+      // invariant)
+      s"""WITH RECURSIVE $corpusCte,
+         |qdocs AS (SELECT doc_id, text FROM documents
+         |          WHERE len(text) >= 50
+         |            AND len(list_distinct(string_split(text, ' '))) >= 10),
+         |exkeep AS (SELECT min(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
+         |exq AS (SELECT q.doc_id, q.text FROM qdocs q JOIN exkeep USING (doc_id)),
+         |${minhashPairsCteOver("exq")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+         |reach AS (SELECT src AS node, dst AS r FROM edges
+         |          UNION
+         |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+         |keep AS (SELECT node AS doc_id, least(node, min(r)) AS keep_id
+         |         FROM reach GROUP BY node),
+         |survivors AS (SELECT e.doc_id FROM exq e
+         |              LEFT JOIN keep k ON e.doc_id = k.doc_id
+         |              WHERE k.keep_id IS NULL OR k.keep_id = e.doc_id),
+         |digest AS (SELECT i, count(*) AS n_spans,
+         |             md5(string_agg(kind || '|' || text || '|' || media_ref, '#'
+         |                            ORDER BY off)) AS seq_md5
+         |           FROM spans GROUP BY 1)
+         |SELECT printf('doc-%012d', s.doc_id) AS doc_id, d.n_spans, d.seq_md5
+         |FROM survivors s JOIN digest d ON d.i = s.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,
