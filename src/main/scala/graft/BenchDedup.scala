@@ -278,6 +278,11 @@ object BenchCC {
     val algos = (if (args.length > 3) args(3)
                  else if (shape == "chain") "ls" else "ml,ls")
       .split(",").map(_.trim).toSet
+    // a typo'd algo filter must not record a vacuous empty run as a
+    // pass (same guard as BenchDedupScaling's op filter) — and it would
+    // also emit a trailing-comma invalid-JSON line
+    require(algos.nonEmpty && algos.subsetOf(Set("ml", "ls")),
+      s"unknown algo filter ${algos.mkString(",")}: expected ml,ls")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -106,8 +106,17 @@ object MediaOps {
     // exactly one whitespace byte separates maxval from the raster
     if (pos >= payload.length || !Set(' ', '\t', '\r', '\n')(payload(pos).toChar))
       fail("missing whitespace before raster")
+    val sep = payload(pos)
     pos += 1
     val n = w.toLong * h * channels
+    // CRLF-terminated header (text-mode writer): the spec's separator is
+    // ONE whitespace byte, so a bare '\r' skip would leave '\n' as the
+    // first "pixel" and silently shift the whole raster (round-5 review
+    // finding). Consume the '\n' only when doing so still leaves a full
+    // raster — a legal single-'\r' separator whose first pixel is 0x0A
+    // and whose raster fits EXACTLY is preserved.
+    if (sep == '\r' && pos < payload.length && payload(pos) == '\n' &&
+      payload.length - (pos + 1) >= n) pos += 1
     if (payload.length - pos < n)
       fail(s"truncated raster: need $n bytes, have ${payload.length - pos}")
     Some(PnmImage(w, h, channels, maxVal,
@@ -117,9 +126,24 @@ object MediaOps {
   /** decode: REAL for binary PNM payloads (pixels + header dims), stub
     * passthrough for everything else. Returns (samples, Some((w, h))
     * when a real header was decoded).
+    *
+    * SNIFFING CONTRACT (round-5 review finding): a 2-byte "P5"/"P6"
+    * prefix on an ARBITRARY binary corpus is not a format claim — with
+    * random payloads it occurs at ~2/65536 per row, so a corpus of 10⁵+
+    * binaries (raw PCM, ciphertext, the synthetic media table at
+    * scale) is statistically guaranteed to contain magic collisions.
+    * The auto path therefore commits to the PNM parser only when the
+    * ENTIRE payload validates (header parses AND the raster fits);
+    * anything else falls back to the stub instead of throwing. Corpora
+    * KNOWN to be PNM should call [[decodePnm]] directly — that path
+    * keeps the raise-loudly contract for genuinely corrupt files.
+    * Residual risk, documented: a random payload that happens to parse
+    * as a complete valid PNM (magic AND header grammar AND size match)
+    * silently takes the real path — p < 1e-10 per row.
     */
   private def decode(payload: Array[Byte]): (Array[Byte], Option[(Int, Int)]) =
-    decodePnm(payload) match {
+    (try decodePnm(payload)
+     catch { case _: IllegalArgumentException => None }) match {
       case Some(img) => (img.pixels, Some((img.width, img.height)))
       case None => (decodeStub(payload), None)
     }

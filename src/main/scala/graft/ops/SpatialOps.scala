@@ -277,10 +277,18 @@ object SpatialOps {
     // larger k
     require(k >= 1 && k <= 4,
       s"diskSafeKm: k=$k outside the validated range 1..4 (KnnSafeRadiusSpec)")
+    0.6 * (2.0 * k - 1.0) * hexInradiusKm(res)
+  }
+
+  /** hex inradius (km) at `res` — the ONE definition both the bound
+    * (above) and the measurement that validates it
+    * (graft.tools.KnnProbe) consume, so the published distortion
+    * factors and the enforced radius cannot use diverging cell models.
+    */
+  def hexInradiusKm(res: Int): Double = {
     val areaKm2 = 4.0 * math.Pi * Sphere.EarthRadiusKm * Sphere.EarthRadiusKm /
       (10.0 * math.pow(7.0, res))
-    val rIn = math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
-    0.6 * (2.0 * k - 1.0) * rIn
+    math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
   }
 
   /** k=1 disk coverage radius (kept as the published name). */

@@ -330,13 +330,13 @@ object TextOps {
       .withColumnRenamed("src", "doc_id")
       .cache()
     val obs0 = Observation()
-    var n = labelsCache.observe(obs0, decSum(col("lbl")).as("s")).count()
+    val n0 = labelsCache.observe(obs0, decSum(col("lbl")).as("s")).count()
     var labels = truncate(labelsCache)
     // labels only ever DECREASE under min-propagation, so the label sum
     // is strictly monotone while anything changes — equal consecutive
     // sums confirm the fixpoint
     var prevSum = obsDecimal(obs0, "s")
-    var converged = n == 0L
+    var converged = n0 == 0L
     var it = 0
     while (!converged && it < maxIters) {
       // each node's incoming neighbour-label minimum: edges(src-
@@ -352,7 +352,7 @@ object TextOps {
         .select(col("doc_id"), least(col("lbl"), col("nlbl")).as("lbl"))
         .cache()
       val o = Observation()
-      n = nextCache.observe(o, decSum(col("lbl")).as("s")).count()
+      nextCache.observe(o, decSum(col("lbl")).as("s")).count()
       // lineage truncation per round — see the edges note above; the
       // PREVIOUS round's cache is released once the new round is
       // materialized (its RDD lineage can still recompute through the
@@ -701,7 +701,7 @@ object TextOps {
     */
   def cleanCorpus(docs: DataFrame, minChars: Long = 50, minUniqTokens: Long = 10,
                   pairSource: DataFrame => DataFrame = minhashPairSource()): DataFrame =
-    cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource)._3
+    cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource, cacheStages = false)._3
 
   /** back-compat signature with explicit minhash parameters */
   def cleanCorpus(docs: DataFrame, minChars: Long, minUniqTokens: Long,
@@ -721,7 +721,13 @@ object TextOps {
   def cleanCorpusStaged(docs: DataFrame, minChars: Long = 50, minUniqTokens: Long = 10,
                         pairSource: DataFrame => DataFrame = minhashPairSource())
       : (DataFrame, DataFrame) = {
-    val (q, exq, survivors) = cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource)
+    // cacheStages: the per-stage counts would otherwise rescan the
+    // corpus once per count PLUS once per consumer of the uncached
+    // quality filter (~4-5 full passes, round-5 review finding); with q
+    // cached the whole accounting costs ~2 corpus scans (nIn + the
+    // cache materialization) and everything downstream reads the cache
+    val (q, exq, survivors) =
+      cleanCorpusPlan(docs, minChars, minUniqTokens, pairSource, cacheStages = true)
     val spark = docs.sparkSession
     import spark.implicits._
     val nIn = docs.count()
@@ -738,10 +744,16 @@ object TextOps {
   }
 
   private def cleanCorpusPlan(docs: DataFrame, minChars: Long, minUniqTokens: Long,
-                              pairSource: DataFrame => DataFrame)
+                              pairSource: DataFrame => DataFrame,
+                              cacheStages: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
-    val q = docs.where(length(col("text")) >= minChars &&
+    val q0 = docs.where(length(col("text")) >= minChars &&
       size(array_distinct(words(col("text")))) >= minUniqTokens)
+    // staged (observability) calls cache the quality filter — its count
+    // plus both exq consumers then share one materialization; the
+    // default path stays cache-free (exq below is the only relation
+    // consumed by multiple branches there)
+    val q = if (cacheStages) q0.cache() else q0
     val exKeep = q.groupBy(md5(col("text").cast("binary")).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .drop("h")

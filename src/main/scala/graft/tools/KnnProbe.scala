@@ -22,15 +22,6 @@ import Sphere.GeoRad
   */
 object KnnProbe {
 
-  /** hex inradius (km) at `res` — the same derivation as
-    * `SpatialOps.diskSafeKm` (shared so the formula cannot fork).
-    */
-  def hexInradiusKm(res: Int): Double = {
-    val areaKm2 = 4.0 * math.Pi * Sphere.EarthRadiusKm * Sphere.EarthRadiusKm /
-      (10.0 * math.pow(7.0, res))
-    math.sqrt(areaKm2 / (2.0 * math.sqrt(3.0)))
-  }
-
   /** worst-case exterior-distance lower bound (km) for the k-disk at
     * `res`, measured over the distortion-worst sample cells.
     */
@@ -70,7 +61,7 @@ object KnnProbe {
   def main(args: Array[String]): Unit = {
     val maxRes = if (args.nonEmpty) args(0).toInt else 7
     for (res <- 1 to maxRes) {
-      val rIn = hexInradiusKm(res)
+      val rIn = graft.ops.SpatialOps.hexInradiusKm(res)
       for (k <- 1 to 4) {
         val worst = measureExteriorBound(res, k)
         val naive = (2.0 * k - 1.0) * rIn

@@ -55,6 +55,37 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     boom(bytes("P5\n0 2\n255\n "), "non-positive")
   }
 
+  test("decodePnm: CRLF-terminated header decodes unshifted pixels") {
+    // text-mode writers end the maxval line with \r\n; a bare single-
+    // whitespace skip would leave '\n' as the first "pixel" and shift
+    // the whole raster (round-5 review finding)
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val img = MediaOps.decodePnm(bytes("P5\r\n4 2\r\n255\r\n") ++ px).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.pixels.sameElements(px),
+      s"raster shifted: ${img.pixels.mkString(",")}")
+    // a legal single-'\r' separator whose first pixel IS 0x0A and whose
+    // raster fits exactly is preserved (the unambiguous case)
+    val px2 = Array[Byte]('\n', 2, 3, 4, 5, 6, 7, 8)
+    val img2 = MediaOps.decodePnm(bytes("P5\n4 2\n255\r") ++ px2).get
+    assert(img2.pixels.sameElements(px2))
+  }
+
+  test("extractFeatures auto path: magic-only garbage falls back to the stub") {
+    import spark.implicits._
+    // a payload that merely STARTS with 'P5' (arbitrary binary corpora
+    // hit the 2-byte magic at ~2/65536 per row) must not throw — the
+    // auto path commits to PNM only when the whole payload validates
+    // (round-5 review finding); explicit decodePnm stays loud
+    val garbage = bytes("P5") ++ Array[Byte](0x7F, -2, -3, 0x11)
+    intercept[IllegalArgumentException](MediaOps.decodePnm(garbage))
+    val df = Seq(("d1", "m1", "image", garbage, 3, 4))
+      .toDF("doc_id", "media_ref", "media_type", "payload", "width", "height")
+    val f = MediaOps.extractFeatures(df).collect().head
+    assert(f.width == 3 && f.height == 4) // caller dims kept = stub path
+    assert(f.n_bytes == garbage.length)
+  }
+
   test("extractFeatures: real PNM pixels drive the histogram and dims") {
     import spark.implicits._
     // P6 2×2 with 12 known samples → hand-computed nibble histogram;
