@@ -86,6 +86,16 @@ object SparkEntry {
         .join(digest, "doc_id")
         .select(col("doc_id"), col("n_spans"), col("seq_md5"))
     }),
+    "pipeline_decontaminate" -> ((s, dir) => {
+      // train/eval overlap check (benchmark decontamination): docs with
+      // doc_id % 97 == 0 play the benchmark; every other doc sharing a
+      // word 3-shingle with any of them is reported with its distinct
+      // overlap count and lowest matching benchmark id
+      val all = Tables.tbl(s, dir, "documents")
+      TextOps.contaminationReport(
+        all.where(col("doc_id") % 97 =!= 0),
+        all.where(col("doc_id") % 97 === 0), k = 3)
+    }),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
@@ -808,6 +818,24 @@ object SparkEntry {
          |           FROM spans GROUP BY 1)
          |SELECT printf('doc-%012d', s.doc_id) AS doc_id, d.n_spans, d.seq_md5
          |FROM survivors s JOIN digest d ON d.i = s.doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      // corpus shingles (df-capped over the corpus subset, mirroring
+      // cappedShingles) joined against the DISTINCT benchmark shingles
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |        FROM words WHERE len(w) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM idx),
+        |corp0 AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+        |ckeep AS (SELECT s FROM corp0 GROUP BY s HAVING count(*) <= 1000),
+        |corp AS (SELECT corp0.doc_id, corp0.s FROM corp0
+        |         JOIN ckeep ON corp0.s = ckeep.s),
+        |bs AS (SELECT s, min(doc_id) AS bench_id FROM sh
+        |       WHERE doc_id % 97 = 0 GROUP BY s)
+        |SELECT corp.doc_id AS doc_id, count(*) AS n_hits,
+        |       min(bench_id) AS bench_id
+        |FROM corp JOIN bs USING (s)
+        |GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,

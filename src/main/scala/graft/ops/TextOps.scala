@@ -766,6 +766,49 @@ object TextOps {
     (q, exq, survivors)
   }
 
+  /** Benchmark DECONTAMINATION report — the train/eval overlap check a
+    * training-data pipeline runs before any model sees the corpus: for
+    * every training doc sharing at least one word `k`-shingle with any
+    * benchmark doc, emit (doc_id, n_hits = number of DISTINCT
+    * overlapping shingles, bench_id = lowest matching benchmark doc).
+    * Production uses long shingles (the customary 13-grams — default);
+    * the driver query runs k=3 against the short synthetic docs.
+    *
+    * Scale shape: benchmark shingles are deduped to one row per shingle
+    * (min bench id) and BROADCAST — eval sets are tiny next to a
+    * training corpus by construction — so the corpus shingle stream
+    * pays one broadcast-hash join + a partial-aggregated per-doc count;
+    * no shuffle of the corpus side, never all-pairs. The corpus-side
+    * hot-shingle DF cap stays on as the usual skew guard (a stop-phrase
+    * shingle carries no contamination signal at k=13 and would only
+    * fan out the join).
+    */
+  def contaminationReport(docs: DataFrame, bench: DataFrame, k: Int = 13,
+                          maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    // one row per DISTINCT benchmark shingle: the per-shingle min bench
+    // id makes the post-join per-doc min(bench_id) the global minimum
+    // over all matches, and guarantees each matching corpus shingle
+    // joins exactly once (count(*) == distinct overlapping shingles)
+    val bs = shingles(bench, k)
+      .groupBy("s").agg(min("doc_id").as("bench_id"))
+    cappedShingles(docs, k, maxDf)
+      .join(broadcast(bs), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("bench_id").as("bench_id"))
+  }
+
+  /** [[contaminationReport]]'s enforcement arm: the corpus with every
+    * doc overlapping ≥ `maxHits` benchmark shingles REMOVED (broadcast
+    * anti-join against the small contaminated-id set).
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, k: Int = 13,
+                    maxHits: Long = 1,
+                    maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    docs.join(
+      broadcast(contaminationReport(docs, bench, k, maxDf)
+        .where(col("n_hits") >= maxHits).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** Text quality scoring: integer-valued features a filtering pipeline
     * thresholds on (all exact → oracle-checkable).
     */

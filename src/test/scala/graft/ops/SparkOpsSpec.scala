@@ -303,6 +303,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("decontamination: report counts distinct overlaps; enforcement removes them") {
+    import spark.implicits._
+    // bench doc 100 = "a b c d e"; corpus doc 1 contains shingle "a b c"
+    // AND "b c d" (2 distinct overlaps), doc 2 contains "c d e" once,
+    // doc 3 shares nothing; doc 4 repeats its text, so the overlapping
+    // shingle "x y z" occurs twice in the doc but counts ONCE (the
+    // DISTINCT-shingle contract; its rotations y z x / z x y are not
+    // benchmark shingles)
+    val bench = Seq((100L, "a b c d e"), (200L, "x y z w")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d q"),
+      (2L, "p q c d e"),
+      (3L, "m n o p q"),
+      (4L, "x y z x y z")).toDF("doc_id", "text")
+    val rep = TextOps.contaminationReport(docs, bench, k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, b) => d -> ((n, b)) }.toMap
+    assert(rep == Map(1L -> ((2L, 100L)), 2L -> ((1L, 100L)), 4L -> ((1L, 200L))), rep)
+    val kept = TextOps.decontaminate(docs, bench, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L), kept)
+    // threshold: requiring >= 2 hits keeps the single-overlap docs
+    val kept2 = TextOps.decontaminate(docs, bench, k = 3, maxHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L, 3L, 4L), kept2)
+    spark.catalog.clearCache()
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
