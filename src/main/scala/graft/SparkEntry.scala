@@ -105,6 +105,10 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) => TextOps.langId(Tables.tbl(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprint(Tables.tbl(s, dir, "documents"))),
     "text_quality" -> ((s, dir) => TextOps.qualityScore(Tables.tbl(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      // Gopher/Dolma-style repetition signals (top-word / top-bigram
+      // concentration) — the quality-filter family next to text_quality
+      TextOps.repetitionStats(Tables.tbl(s, dir, "documents"))),
 
     // ---- similarity search over `embeddings` ----
     // brute-force cosine bounded to a fixed query subset (vec_id % 20,
@@ -857,6 +861,24 @@ object SparkEntry {
          |        FROM cand)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM ham WHERE hamming <= 3""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wt AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |wc AS (SELECT doc_id, t, count(*) AS n FROM wt GROUP BY 1, 2),
+        |wa AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+        |              CAST(max(n) AS BIGINT) AS top_word_n
+        |       FROM wc GROUP BY 1),
+        |idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+        |        FROM w WHERE len(w) >= 2),
+        |bt AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS t FROM idx),
+        |bc AS (SELECT doc_id, t, count(*) AS n FROM bt GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |              CAST(max(n) AS BIGINT) AS top_bigram_n
+        |       FROM bc GROUP BY 1)
+        |SELECT wa.doc_id, wa.n_words, wa.top_word_n,
+        |       COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(ba.top_bigram_n, 0) AS top_bigram_n
+        |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

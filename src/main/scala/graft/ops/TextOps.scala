@@ -809,6 +809,43 @@ object TextOps {
         .where(col("n_hits") >= maxHits).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
+  /** REPETITION quality signals (the Gopher/Dolma-style rules a
+    * training-data filter thresholds on): per doc, the total and
+    * most-frequent-occurrence counts for words and word bigrams —
+    * `top_word_n / n_words` and `top_bigram_n / n_bigrams` are the
+    * repetition fractions; boilerplate and degenerate generations score
+    * high. Integer outputs so the oracle is exact; ties need no
+    * breaking (only the max COUNT is reported, not the term).
+    *
+    * Scale shape: one explode + two partial-aggregated shuffles keyed
+    * by (doc_id, term) then doc_id — no content-wide keys, so no
+    * hot-term skew (a stop word is frequent WITHIN docs, but the
+    * aggregation key includes doc_id).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val wordTop = w
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_words"), max("n").as("top_word_n"))
+    val bigramTop = w
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+        .as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
+    // left join: a 1-word doc has words but no bigrams (0-count rows,
+    // not dropped rows)
+    wordTop.join(bigramTop, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("top_word_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
   /** Text quality scoring: integer-valued features a filtering pipeline
     * thresholds on (all exact → oracle-checkable).
     */
