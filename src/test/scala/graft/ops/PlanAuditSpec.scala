@@ -139,6 +139,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination joins broadcast the benchmark-shingle side") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"a$i b$i c$i d$i e$i")).toDF("doc_id", "text")
+    val bench = (0 until 5)
+      .map(i => (1000L + i, s"a$i b$i c$i x y")).toDF("doc_id", "text")
+    val plan = TextOps.contaminationReport(docs, bench, k = 3)
+      .queryExecution.executedPlan.toString
+    // the eval set is the small side by contract — a sort-merge join
+    // here would shuffle the whole corpus shingle relation on long
+    // string keys (the round-2 keep-join regression shape)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("parquet scan prunes columns: cell assign reads only what it needs") {
     val plan = graft.SparkEntry.queries("dggs_cell_assign")(spark, sfDir)
       .queryExecution.executedPlan.toString
