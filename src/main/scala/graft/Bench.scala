@@ -156,12 +156,19 @@ object Bench {
       s""""errors":$errJson,"n_failed":${errors.size},""" +
       s""""sf":"$sfDir","flagship_docs":$benchDocs,"flagship_geo_points":$nGeo,""" +
       s""""flagship_cells_per_sec":${(nGeo / wall).toLong}}"""
-    // file copy for the driver + the JSON as the final stdout line (after
-    // spark.stop() so no executor shutdown noise follows it)
+    // full per-query JSON goes to the file for humans/the judge; STDOUT
+    // gets one COMPACT final line (≤200 bytes, 3-decimal rounding). The
+    // driver parses the tail of stdout, and the full line outgrew its
+    // 2000-char tail window in r5 (head truncated mid-line → `parsed`
+    // null) — the compact line always fits, even with sbt's trailing
+    // "[success]" line in the window.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      f""""flagship_cells_per_sec":${(nGeo / wall).toLong}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
-    println(json)
+    println(compact)
   }
 }
 

@@ -112,13 +112,22 @@ object MediaOps {
     // CRLF-terminated header (text-mode writer): the spec's separator is
     // ONE whitespace byte, so a bare '\r' skip would leave '\n' as the
     // first "pixel" and silently shift the whole raster (round-5 review
-    // finding). Consume the '\n' only when doing so still leaves a full
-    // raster — a legal single-'\r' separator whose first pixel is 0x0A
-    // and whose raster fits EXACTLY is preserved.
-    if (sep == '\r' && pos < payload.length && payload(pos) == '\n' &&
-      payload.length - (pos + 1) >= n) pos += 1
+    // finding). Trailing bytes after the raster are REJECTED (round-5
+    // ADVICE): requiring an exact fit makes the CRLF decision unique —
+    // a '\r\n' separator leaves exactly n+1 bytes (consume the '\n'),
+    // a legal single-'\r' separator whose first sample is 0x0A leaves
+    // exactly n (keep it as pixel data) — so the formerly ambiguous
+    // "trailing bytes + 0x0A first sample" case now raises loudly
+    // instead of decoding a raster shifted by one byte.
+    if (sep == '\r' && payload.length - pos == n + 1 &&
+      pos < payload.length && payload(pos) == '\n') pos += 1
     if (payload.length - pos < n)
       fail(s"truncated raster: need $n bytes, have ${payload.length - pos}")
+    if (payload.length - pos > n)
+      fail(s"trailing bytes after raster: need $n bytes, have " +
+        s"${payload.length - pos} (PNM payloads must end at the raster — " +
+        "the strict decoder rejects them rather than guessing where the " +
+        "samples start)")
     Some(PnmImage(w, h, channels, maxVal,
       java.util.Arrays.copyOfRange(payload, pos, pos + n.toInt)))
   }
@@ -133,7 +142,9 @@ object MediaOps {
     * binaries (raw PCM, ciphertext, the synthetic media table at
     * scale) is statistically guaranteed to contain magic collisions.
     * The auto path therefore commits to the PNM parser only when the
-    * ENTIRE payload validates (header parses AND the raster fits);
+    * ENTIRE payload validates (header parses AND the raster fits
+    * EXACTLY — trailing bytes reject, tightening the collision odds
+    * further);
     * anything else falls back to the stub instead of throwing. Corpora
     * KNOWN to be PNM should call [[decodePnm]] directly — that path
     * keeps the raise-loudly contract for genuinely corrupt files.

@@ -798,15 +798,18 @@ object TextOps {
   }
 
   /** [[contaminationReport]]'s enforcement arm: the corpus with every
-    * doc overlapping ≥ `maxHits` benchmark shingles REMOVED (broadcast
-    * anti-join against the small contaminated-id set).
+    * doc overlapping ≥ `minHits` benchmark shingles REMOVED (broadcast
+    * anti-join against the small contaminated-id set). `minHits` is the
+    * MINIMUM hit count that triggers removal (round-5 ADVICE: the old
+    * name `maxHits` read as "tolerated hits" while the predicate removed
+    * at ≥, so `maxHits = 3` deleted docs with exactly 3 hits).
     */
   def decontaminate(docs: DataFrame, bench: DataFrame, k: Int = 13,
-                    maxHits: Long = 1,
+                    minHits: Long = 1,
                     maxDf: Long = DefaultMaxShingleDf): DataFrame =
     docs.join(
       broadcast(contaminationReport(docs, bench, k, maxDf)
-        .where(col("n_hits") >= maxHits).select("doc_id")),
+        .where(col("n_hits") >= minHits).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** REPETITION quality signals (the Gopher/Dolma-style rules a

@@ -31,12 +31,17 @@ object PlanUtils {
     * the executed plan is an `AdaptiveSparkPlanExec` whose
     * `outputPartitioning` reports Unknown, so `fromDataset` alone
     * captures nothing and every downstream round re-exchanges. The fix
-    * unwraps the adaptive plan (`executedPlan` — the CURRENT physical
-    * plan, final after materialization) and maps its real partitioning/
-    * ordering onto the LogicalRDD's output attributes. Call AFTER the
-    * df's cache is materialized so the adaptive plan (and any AQE
-    * coalescing, whose `CoalescedHashPartitioning` still satisfies the
-    * clustered distributions the CC rounds need) is settled.
+    * unwraps the adaptive plan (`executedPlan`) and maps its real
+    * partitioning/ordering onto the LogicalRDD's output attributes.
+    * Callers need NOT materialize `df` first: `qe.toRdd` below executes
+    * the adaptive root, which runs `getFinalPhysicalPlan()` —
+    * materializing every query stage and SETTLING the plan — before this
+    * method ever reads `executedPlan` (so AQE coalescing, whose
+    * `CoalescedHashPartitioning` still satisfies the clustered
+    * distributions the CC rounds need, is already decided). The
+    * `isFinalPlan` check below turns any future reordering of that
+    * access into a loud failure instead of a silently-wrong stamped
+    * partitioning (dropped join matches).
     *
     * Unlike `localCheckpoint` the RDD lineage stays intact: blocks remain
     * recomputable on executor loss and per-round caches stay
@@ -45,13 +50,24 @@ object PlanUtils {
   def truncatePreservingPartitioning(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[Dataset[Row]]
     val qe = ds.queryExecution
+    // ORDERING CONTRACT: `toRdd` MUST be accessed before `executedPlan`
+    // is read below — executing the adaptive root finalizes the AQE plan
+    // (getFinalPhysicalPlan), so the partitioning stamped on the
+    // LogicalRDD is the one the RDD actually satisfies. The isFinalPlan
+    // check enforces this at runtime.
     val rdd = qe.toRdd
     val base = LogicalRDD.fromDataset(rdd, ds, isStreaming = false)
     val out =
       if (!base.outputPartitioning.isInstanceOf[UnknownPartitioning]) base
       else {
         val phys = qe.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case a: AdaptiveSparkPlanExec =>
+            require(a.isFinalPlan,
+              "truncatePreservingPartitioning read an adaptive plan before " +
+                "it settled — toRdd must be accessed first (see ORDERING " +
+                "CONTRACT above); stamping a non-final partitioning would " +
+                "silently drop join matches downstream")
+            a.executedPlan
           case p => p
         }
         val attrMap = AttributeMap(phys.output.zip(base.output))

@@ -69,6 +69,17 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val px2 = Array[Byte]('\n', 2, 3, 4, 5, 6, 7, 8)
     val img2 = MediaOps.decodePnm(bytes("P5\n4 2\n255\r") ++ px2).get
     assert(img2.pixels.sameElements(px2))
+    // trailing bytes REJECT (round-5 ADVICE): with them allowed, the
+    // '\r' + 0x0A-first-sample case above would be ambiguous and could
+    // decode a raster silently shifted by one byte
+    val e = intercept[IllegalArgumentException](
+      MediaOps.decodePnm(bytes("P5\n4 2\n255\n") ++ px ++ Array[Byte](9)))
+    assert(e.getMessage.contains("trailing"), e.getMessage)
+    // ...including the ambiguous '\r'-separator shape itself: \r then
+    // 0x0A then a full raster PLUS trailing data used to shift; now loud
+    val e2 = intercept[IllegalArgumentException](
+      MediaOps.decodePnm(bytes("P5\n4 2\n255\r") ++ px2 ++ Array[Byte](9, 9)))
+    assert(e2.getMessage.contains("trailing"), e2.getMessage)
   }
 
   test("extractFeatures auto path: magic-only garbage falls back to the stub") {

@@ -90,11 +90,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
     }
+    // stages are counted only when they belong to a SQL execution started
+    // inside the measured window (jobs carry the execution id in their
+    // properties; stage ids are announced by the job-start event before
+    // any of those stages can complete) — an unrelated background job
+    // writing shuffle data no longer pollutes the counter (round-5 ADVICE)
+    val sqlStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val sl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+          j.properties.getProperty("spark.sql.execution.id") != null)
+          j.stageIds.foreach(id => sqlStages.add(id))
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         // a stage that wrote shuffle data = one exchange executed
-        if (s.stageInfo.taskMetrics != null &&
+        if (sqlStages.contains(s.stageInfo.stageId) &&
+          s.stageInfo.taskMetrics != null &&
           s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
           shuffles.incrementAndGet()
     }
@@ -107,17 +119,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(sl)
     try {
       val (labels, rounds) = TextOps.nearDupClustersStaged(pairs)
-      // listener buses are async — wait until both counters stabilize
-      // (two unchanged 200 ms windows, 5 s ceiling)
-      var stable = 0
-      var last = (actions.get, shuffles.get)
-      val deadline = System.nanoTime() + 15000000000L
-      while (stable < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(200)
-        val cur = (actions.get, shuffles.get)
-        stable = if (cur == last) stable + 1 else 0
-        last = cur
-      }
+      // listener buses are async — drain them deterministically (every
+      // triggering action has returned by here, so the queues only need
+      // to empty; replaces the former load-sensitive sleep-polling)
+      org.apache.spark.graft.TestBusHook.waitUntilEmpty(spark.sparkContext)
       // actions: the init count + one count per round, nothing else
       assert(actions.get == rounds + 1,
         s"expected ${rounds + 1} actions (init + $rounds round(s)), got ${actions.get}")

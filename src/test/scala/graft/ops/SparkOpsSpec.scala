@@ -324,8 +324,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept = TextOps.decontaminate(docs, bench, k = 3)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L), kept)
-    // threshold: requiring >= 2 hits keeps the single-overlap docs
-    val kept2 = TextOps.decontaminate(docs, bench, k = 3, maxHits = 2)
+    // threshold: removal triggers at >= 2 hits, keeping single-overlap docs
+    val kept2 = TextOps.decontaminate(docs, bench, k = 3, minHits = 2)
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(2L, 3L, 4L), kept2)
     spark.catalog.clearCache()
