@@ -99,6 +99,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
+    "dedup_substring" -> ((s, dir) =>
+      // exact-substring (paragraph-level) repeated spans — the Lee et al.
+      // modality whole-doc similarity cannot see; production anchors are
+      // k≈50 words, the short synthetic docs use k=5 / minWords=10
+      TextOps.repeatedSpans(Tables.tbl(s, dir, "documents"), 5, 10)),
+    "dedup_substring_strip" -> ((s, dir) =>
+      // the enforcement arm: repeated spans stripped from the higher-id
+      // doc of each match, text rebuilt (hash-compared, not shipped)
+      TextOps.stripRepeatedSpans(Tables.tbl(s, dir, "documents"), 5, 10)
+        .select(col("doc_id"), col("n_words_removed"),
+          md5(col("text").cast("binary")).as("text_md5"))),
 
     // ---- text analysis over `documents` ----
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.tbl(s, dir, "documents"))),
@@ -536,6 +547,32 @@ object SparkEntry {
     s"CAST(${half(1)} AS BIGINT) AS hi, CAST(${half(9)} AS BIGINT) AS lo"
   }
 
+  /** exact-substring repeated-span runs (TextOps.repeatedSpanRuns with
+    * k=5 / minWords=10 / maxDf=1000 — the driver-query parameters):
+    * positional 5-shingles, hot-occurrence cap, anchor self-join,
+    * consecutive-diagonal islands, maximal runs ≥ 10 words. Final
+    * relations: `runs(da, db, diag, a0, a1)` (a1 inclusive, 1-based)
+    * and `dw(doc_id, w)` (the word arrays, for slicing).
+    */
+  private val substringRunsCte =
+    """dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pp AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i
+      |       FROM dw WHERE len(w) >= 5),
+      |psh0 AS (SELECT doc_id, i,
+      |          w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS s
+      |        FROM pp),
+      |pkeep AS (SELECT s FROM psh0 GROUP BY s HAVING count(*) <= 1000),
+      |psh AS (SELECT psh0.doc_id, psh0.i, psh0.s FROM psh0 JOIN pkeep USING (s)),
+      |anch AS (SELECT a.doc_id AS da, a.i AS pa, b.doc_id AS db, b.i AS pb
+      |         FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |runs0 AS (SELECT da, db, pa - pb AS diag, pa,
+      |            pa - row_number() OVER (PARTITION BY da, db, pa - pb
+      |                                    ORDER BY pa) AS isl
+      |          FROM anch),
+      |runs AS (SELECT da, db, diag, min(pa) AS a0, max(pa) + 4 AS a1
+      |         FROM runs0 GROUP BY da, db, diag, isl
+      |         HAVING max(pa) - min(pa) + 5 >= 10)""".stripMargin
+
   /** random-hyperplane LSH bucket over a DOUBLE[] column `v` (the same
     * deterministic md5-derived hyperplanes as VectorOps.lshBuckets)
     */
@@ -861,6 +898,56 @@ object SparkEntry {
          |        FROM cand)
          |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
          |FROM ham WHERE hamming <= 3""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH $substringRunsCte,
+         |sp AS (SELECT da AS doc_id, a0 AS start_w, a1 AS end_w FROM runs
+         |       UNION
+         |       SELECT db, a0 - diag, a1 - diag FROM runs)
+         |SELECT sp.doc_id, CAST(sp.start_w AS BIGINT) AS start_w,
+         |       CAST(sp.end_w AS BIGINT) AS end_w,
+         |       CAST(sp.end_w - sp.start_w + 1 AS BIGINT) AS n_words,
+         |       md5(array_to_string((dw.w)[sp.start_w:sp.end_w], ' '))
+         |         AS passage_md5
+         |FROM sp JOIN dw ON sp.doc_id = dw.doc_id""".stripMargin,
+    "dedup_substring_strip" ->
+      // strip intervals = db-side runs, interval-merged per doc; text
+      // rebuilt from the uncovered word positions (string_agg skips the
+      // NULLed covered words; fully-stripped docs get '')
+      s"""WITH $substringRunsCte,
+         |strip0 AS (SELECT DISTINCT db AS doc_id, a0 - diag AS start_w,
+         |             a1 - diag AS end_w
+         |           FROM runs),
+         |mk AS (SELECT doc_id, start_w, end_w,
+         |         CASE WHEN max(end_w) OVER (PARTITION BY doc_id
+         |                ORDER BY start_w, end_w
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              IS NULL
+         |           OR start_w > max(end_w) OVER (PARTITION BY doc_id
+         |                ORDER BY start_w, end_w
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         |         THEN 1 ELSE 0 END AS nw
+         |       FROM strip0),
+         |mi AS (SELECT doc_id, start_w, end_w,
+         |         sum(nw) OVER (PARTITION BY doc_id ORDER BY start_w, end_w)
+         |           AS isl
+         |       FROM mk),
+         |merged AS (SELECT doc_id, min(start_w) AS start_w, max(end_w) AS end_w
+         |           FROM mi GROUP BY doc_id, isl),
+         |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+         |        FROM dw),
+         |keepw AS (SELECT p.doc_id, p.i,
+         |            CASE WHEN EXISTS (SELECT 1 FROM merged m
+         |                   WHERE m.doc_id = p.doc_id
+         |                     AND p.i BETWEEN m.start_w AND m.end_w)
+         |                 THEN NULL ELSE p.w[p.i] END AS kw
+         |          FROM pos p),
+         |rebuilt AS (SELECT doc_id,
+         |              COALESCE(string_agg(kw, ' ' ORDER BY i), '') AS new_text,
+         |              CAST(count(*) - count(kw) AS BIGINT) AS n_words_removed
+         |            FROM keepw GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(r.n_words_removed, 0) AS n_words_removed,
+         |       md5(COALESCE(r.new_text, d.text)) AS text_md5
+         |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wt AS (SELECT doc_id, unnest(w) AS t FROM w),

@@ -517,6 +517,170 @@ object TextOps {
     (labels, it)
   }
 
+  /** Positional word `k`-shingles — one row per position `pos` (1-based),
+    * NOT deduplicated within a doc (unlike [[shingles]]): the substring-
+    * dedup runs below need every occurrence's position.
+    */
+  private def positionalShingles(docs: DataFrame, k: Int): DataFrame = {
+    val w = col("w")
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(w) >= k)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(w) - (k - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", (0 until k).map(d => element_at(w, i + d)): _*).as("s"))))
+        .as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"), col("x.s").as("s"))
+  }
+
+  /** EXACT-SUBSTRING (paragraph-level) repeated spans — the dedup
+    * modality whole-document shingle similarity cannot see: a ≥
+    * `minWords`-word passage repeated verbatim across otherwise-distinct
+    * docs (boilerplate headers, licence blocks, templated paragraphs —
+    * the modality of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", whose suffix-array ExactSubstr this
+    * re-expresses relationally). Emits one row per maximal repeated
+    * span occurrence: `(doc_id, start_w, end_w, n_words, passage_md5)`
+    * with 1-based inclusive WORD offsets and the md5 of the passage
+    * text as the cluster id (identical passages in different docs share
+    * it).
+    *
+    * Algorithm — anchor shingles + diagonal-run extension, all
+    * content-keyed equi-joins and windows (never all-pairs):
+    *  1. positional `k`-shingles per doc, hot values (total occurrences
+    *     > `maxDf`) dropped by broadcast anti-join — the usual skew
+    *     guard: a boilerplate shingle occurring o times fans the anchor
+    *     join o² ways, and at k≈50 a hot shingle is pure template noise;
+    *  2. anchors: self-equi-join on the shingle VALUE (`doc_a < doc_b`)
+    *     → matching positions (pa, pb);
+    *  3. a shared passage of L words appears as L−k+1 anchors on one
+    *     DIAGONAL (pa − pb constant) at consecutive pa — per
+    *     (doc_a, doc_b, diagonal), consecutive runs are islands of
+    *     pa − row_number() (one window shuffle keyed by the pair, sized
+    *     by matches, not by the corpus);
+    *  4. a maximal run [p0, p1] covers words p0 .. p1+k−1 in doc_a (and
+    *     shifted by the diagonal in doc_b); runs shorter than `minWords`
+    *     are dropped; both sides are emitted in one explode pass and
+    *     deduplicated (the same span is found once per partner doc).
+    *
+    * Differences from suffix-array ExactSubstr, by construction: matches
+    * are word-aligned and only detectable at ≥ `k` words (`minWords ≥ k`
+    * enforced) — at the customary k≈50 both are the semantics a
+    * training pipeline wants anyway.
+    *
+    * Scale shape: shuffle keys are shingle value → (doc pair, diagonal)
+    * → doc_id; each relation is proportional to matches after the DF
+    * cap, never N². The passage hash joins spans (small) back to the
+    * doc words once, equi-keyed on doc_id.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = 50, minWords: Int = 50,
+                    maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val runs = repeatedSpanRuns(docs, k, minWords, maxDf)
+    val spans = runs.select(explode(array(
+        struct(col("da").as("doc_id"), col("a0").as("start_w"), col("a1").as("end_w")),
+        struct(col("db").as("doc_id"), (col("a0") - col("diag")).as("start_w"),
+          (col("a1") - col("diag")).as("end_w")))).as("sp"))
+      .select(col("sp.doc_id"), col("sp.start_w"), col("sp.end_w"))
+      .distinct()
+    spans.join(docs.select(col("doc_id"), words(col("text")).as("w")), "doc_id")
+      .select(col("doc_id"),
+        col("start_w").cast("long").as("start_w"),
+        col("end_w").cast("long").as("end_w"),
+        (col("end_w") - col("start_w") + 1).cast("long").as("n_words"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start_w"), col("end_w") - col("start_w") + 1))
+          .cast("binary")).as("passage_md5"))
+  }
+
+  /** maximal diagonal runs (da < db): one row per
+    * (da, db, diag, a0, a1) where words a0..a1 of da equal words
+    * a0−diag..a1−diag of db. Shared by [[repeatedSpans]] (both-side
+    * span table) and [[stripRepeatedSpans]] (db-side strips).
+    */
+  private def repeatedSpanRuns(docs: DataFrame, k: Int, minWords: Int,
+                               maxDf: Long): DataFrame = {
+    require(minWords >= k,
+      s"minWords ($minWords) must be >= the anchor shingle size k ($k): " +
+        "matches shorter than k produce no anchors and cannot be detected")
+    val sh0 = positionalShingles(docs, k)
+    // hot cap on TOTAL occurrences (not doc-frequency like cappedShingles):
+    // the anchor join fans out per occurrence pair, so occurrences are
+    // what the skew guard must bound
+    val hot = sh0.groupBy("s").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxDf).select("s")
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      // cached: both sides of the anchor self-join read it — without
+      // this the shingle pipeline (and its cap aggregate) runs twice
+      .cache()
+    val anch = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("a.pos").as("pa"),
+        col("b.doc_id").as("db"), col("b.pos").as("pb"))
+    val wDiag = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    anch.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wDiag))
+      .groupBy("da", "db", "diag", "isl")
+      .agg(min("pa").as("a0"), max("pa").as("a1m"))
+      .where(col("a1m") - col("a0") + k >= minWords)
+      .select(col("da"), col("db"), col("diag"),
+        col("a0"), (col("a1m") + (k - 1)).as("a1"))
+  }
+
+  /** merge overlapping-or-adjacent per-doc word intervals — classic
+    * window island detection (ordered by start, new island when start
+    * exceeds the running max end + 1). One window + one aggregate, both
+    * keyed by doc_id.
+    */
+  private def mergeWordIntervals(spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("start_w"), col("end_w"))
+    val prevMax = max(col("end_w")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("nw", when(prevMax.isNull || col("start_w") > prevMax + 1, 1)
+        .otherwise(0))
+      .withColumn("isl", sum(col("nw")).over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("start_w").as("start_w"), max("end_w").as("end_w"))
+      .select("doc_id", "start_w", "end_w")
+  }
+
+  /** [[repeatedSpans]]'s enforcement arm: every repeated span is
+    * STRIPPED from the higher-id doc of each matching pair (the lowest
+    * doc id keeps the canonical occurrence — same keep-the-minimum
+    * convention as every dedup operator here), overlapping strips
+    * merged per doc, and the doc re-emitted with the covered words
+    * removed (remaining words joined by single spaces, preserving the
+    * class-level text contract). All original columns are preserved
+    * with `text` replaced; `n_words_removed` is appended.
+    *
+    * Scale shape: [[repeatedSpanRuns]] (content-keyed, see there) + one
+    * doc_id-keyed interval merge + one equi-join of the (small) strip
+    * intervals back onto the corpus; the word filtering itself is a
+    * narrow per-row higher-order function — no word-level shuffle.
+    */
+  def stripRepeatedSpans(docs: DataFrame, k: Int = 50, minWords: Int = 50,
+                         maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val strips = mergeWordIntervals(
+      repeatedSpanRuns(docs, k, minWords, maxDf)
+        .select(col("db").as("doc_id"), (col("a0") - col("diag")).as("start_w"),
+          (col("a1") - col("diag")).as("end_w"))
+        .distinct())
+    val iv = strips.groupBy("doc_id")
+      .agg(collect_list(struct(col("start_w"), col("end_w"))).as("__iv"))
+    val wArr = words(col("text"))
+    // index lambda is 0-based; intervals are 1-based inclusive
+    val kept = filter(wArr, (x, i) =>
+      !exists(col("__iv"), v =>
+        i + 1 >= v.getField("start_w") && i + 1 <= v.getField("end_w")))
+    val outCols = docs.columns.map {
+      case "text" => concat_ws(" ", col("__kept")).as("text")
+      case c => col(c)
+    }
+    docs.join(iv, Seq("doc_id"), "left")
+      .withColumn("__kept", when(col("__iv").isNull, wArr).otherwise(kept))
+      .select(outCols.toIndexedSeq :+
+        (size(wArr) - size(col("__kept"))).cast("long").as("n_words_removed"): _*)
+  }
+
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex
     * digits of md5(word) (4 bits each); each word votes ±1 per bit,
     * majority (sum > 0) sets the bit. Pure conditional aggregation —
@@ -563,24 +727,36 @@ object TextOps {
   val DefaultMaxBandDf = 10000L
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   maxBandDf: Long = DefaultMaxBandDf): DataFrame = {
+                   maxBandDf: Long = DefaultMaxBandDf): DataFrame =
+    hamming64Pairs(simhash(docs), "doc_id", "simhash64", maxHamming, maxBandDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+
+  /** Generic banded near-dup pairing for ANY 16-hex-char (64-bit)
+    * signature relation `(idCol, hashCol)` — the machinery behind
+    * [[simhashPairs]] (text) and [[MediaOps.aHashPairs]] (image):
+    * 4-band pigeonhole candidate generation (complete for Hamming ≤ 3)
+    * refined with the exact integer XOR popcount. Returns
+    * `(id_a, id_b, hamming)` with `id_a < id_b`.
+    */
+  private[ops] def hamming64Pairs(sig0: DataFrame, idCol: String, hashCol: String,
+                                  maxHamming: Int, maxBandDf: Long): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole is complete only for maxHamming <= 3; add bands for more")
     // integer signature halves: the Hamming refine is then 2 XOR
     // popcounts per pair instead of 16 hex-char extractions (round-2
     // plan fix — band collisions make the candidate set large, so the
     // per-pair refine cost is what matters)
-    val sig = simhash(docs)
-      .select(col("doc_id"), col("simhash64"),
-        conv(substring(col("simhash64"), 1, 8), 16, 10).cast("long").as("hi"),
-        conv(substring(col("simhash64"), 9, 8), 16, 10).cast("long").as("lo"))
+    val sig = sig0
+      .select(col(idCol).as("__id"), col(hashCol).as("__h"),
+        conv(substring(col(hashCol), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col(hashCol), 9, 8), 16, 10).cast("long").as("lo"))
       .cache()
     val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("b"), substring(col("simhash64"), b * 4 + 1, 4).as("key")))
+      struct(lit(b).as("b"), substring(col("__h"), b * 4 + 1, 4).as("key")))
     val bands = sig
-      .select(col("doc_id"), col("hi"), col("lo"),
+      .select(col("__id"), col("hi"), col("lo"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("hi"), col("lo"),
+      .select(col("__id"), col("hi"), col("lo"),
         col("bk.b").as("b"), col("bk.key").as("key"))
     // hot-band anti-join (not a keep-join): same inversion as
     // cappedShingles — the hot set is tiny, broadcast it
@@ -590,15 +766,15 @@ object TextOps {
     val cand = capped.as("x")
       .join(capped.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
-        col("y.doc_id").as("doc_b"), col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
+        col("y.__id").as("id_b"), col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
       .distinct()
     val hamming = bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
       bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
     cand.withColumn("hamming", hamming.cast("long"))
       .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** BPE-ish subword segmentation regex: letter runs, digit runs, and

@@ -331,6 +331,48 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("repeatedSpans: planted passage found at word offsets; strip keeps lowest doc") {
+    import spark.implicits._
+    // a 12-word passage planted in docs 1, 5, 9 at different offsets and
+    // TWICE (adjacent) in doc 20; filler words are unique per doc so no
+    // accidental anchors exist. k=4, minWords=8.
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"f1a f1b $p f1c"),
+      (5L, s"$p f5a f5b f5c"),
+      (9L, s"f9a $p"),
+      (20L, s"$p $p"),
+      (30L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")).toDF("doc_id", "text")
+    val spans = TextOps.repeatedSpans(docs, k = 4, minWords = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = spans.map { case (d, s, e, n, h) => ((d, s, e), (n, h)) }.toMap
+    assert(byDoc.keySet == Set(
+      (1L, 3L, 14L), (5L, 1L, 12L), (9L, 2L, 13L), (20L, 1L, 12L), (20L, 13L, 24L)),
+      byDoc.keySet)
+    assert(spans.map(_._4).toSet == Set(12L)) // every span is the passage
+    assert(spans.map(_._5).toSet.size == 1,   // ...and hashes as ONE cluster
+      spans.map(_._5).toSet)
+    // strip: the LOWEST doc id of each match keeps its occurrence; doc
+    // 20's two adjacent strips merge into one interval (whole doc)
+    val stripped = TextOps.stripRepeatedSpans(docs, k = 4, minWords = 8)
+      .select("doc_id", "text", "n_words_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stripped(1L) == (("f1a f1b " + p + " f1c", 0L)), stripped(1L))
+    assert(stripped(5L) == (("f5a f5b f5c", 12L)))
+    assert(stripped(9L) == (("f9a", 12L)))
+    assert(stripped(20L) == (("", 24L)))
+    assert(stripped(30L)._2 == 0L)
+    // a doc shorter than k words passes through untouched (no shingles)
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val tinyOut = TextOps.stripRepeatedSpans(tiny, k = 4, minWords = 8)
+      .select("doc_id", "n_words_removed").as[(Long, Long)].collect().toMap
+    assert(tinyOut == Map(1L -> 0L, 2L -> 0L))
+    // minWords < k is a loud contract violation, not silent under-detection
+    intercept[IllegalArgumentException](
+      TextOps.repeatedSpans(docs, k = 8, minWords = 4).collect())
+    spark.catalog.clearCache()
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
