@@ -133,7 +133,8 @@ object BenchDedupScaling {
     // scaling inferred. Persist the pairs ONCE (untimed) and time
     // nearDupClusters alone over the parquet edges — the shape a real
     // pipeline uses when pairs are already on the lake.
-    if (only.isEmpty || only.exists(_.startsWith("dedup_cc"))) {
+    if (only.isEmpty || only.exists(_.startsWith("dedup_cc")) ||
+      only.contains("pipeline_clean_from_pairs")) {
       val pairsDir = java.nio.file.Files.createTempDirectory("graft_cc_pairs")
       try {
         TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
@@ -167,6 +168,19 @@ object BenchDedupScaling {
         if (lsRounds >= 0)
           println(s"dedup_cc_ls_only: $nEdges input pairs, " +
             s"$lsRounds rounds to confirm fixpoint")
+        // clean-corpus with the pairs ALREADY on the lake (round-5
+        // verdict #4): quality filter + exact dedup + CC tail, no pair
+        // regeneration — the wall should approach dedup_cc_only plus
+        // the two cheap corpus stages, evidencing that the composition
+        // premium in dedup_clusters/pipeline_clean_corpus was ~all
+        // pair recompute
+        run("pipeline_clean_from_pairs",
+          TextOps.cleanCorpus(docsWarm,
+            pairSource = TextOps.precomputedPairSource(
+              TextOps.minhashLshPairs(docsWarm, 3, 8, 2, 0.5))).count()) {
+          TextOps.cleanCorpus(docs,
+            pairSource = TextOps.precomputedPairSource(pairsPq)).count()
+        }
       } finally {
         // GBs at soak scale on a shared VM — never leave them behind
         // (and close the walk stream: its directory handles otherwise
@@ -182,6 +196,20 @@ object BenchDedupScaling {
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {
       TextOps.simhashPairs(docs).count()
+    }
+    // decontamination at scale (round-5 verdict #6): ~1% of the corpus
+    // doubles as the benchmark (1M docs → ~10k bench docs, the eval ≪
+    // train shape) at the customary k=13; contaminated docs = the bench
+    // docs themselves + their near-dup family members (a 1-word mutation
+    // leaves ~5 clean 13-windows in a 30-word doc). The bench-shingle
+    // broadcast is ~(nBench × 18 windows × ~100 B) ≈ 20 MB per 1M-doc
+    // corpus — far under the 8 GB broadcast ceiling; the shuffle tally
+    // shows the corpus side never shuffles for the join
+    run("pipeline_decontaminate",
+      TextOps.decontaminate(docsWarm,
+        docsWarm.where(col("doc_id") % 101 === 0), k = 13).count()) {
+      TextOps.decontaminate(docs,
+        docs.where(col("doc_id") % 101 === 0), k = 13).count()
     }
     // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF with
     // TRAINED k-means centroids (the production path — balanced buckets;

@@ -96,6 +96,17 @@ object SparkEntry {
         all.where(col("doc_id") % 97 =!= 0),
         all.where(col("doc_id") % 97 === 0), k = 3)
     }),
+    "pipeline_decontaminate_redact" -> ((s, dir) => {
+      // span-level decontamination: the same train/eval split as
+      // pipeline_decontaminate, but only the overlapping k-shingle
+      // spans are removed and the doc re-emitted (text hash-compared)
+      val all = Tables.tbl(s, dir, "documents")
+      TextOps.decontaminateRedact(
+        all.where(col("doc_id") % 97 =!= 0),
+        all.where(col("doc_id") % 97 === 0), k = 3)
+        .select(col("doc_id"), col("n_words_removed"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
     "dedup_simhash" -> ((s, dir) => TextOps.simhash(Tables.tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) =>
       TextOps.simhashPairs(Tables.tbl(s, dir, "documents"), 3)),
@@ -178,6 +189,14 @@ object SparkEntry {
           conv(substring(hex(col("frame_payload")), 1, 2), 16, 10)
             .cast("long").as("frame_head"))
     }),
+    "media_near_dup" -> ((s, dir) =>
+      // perceptual image near-dup: synthetic P5 images (one per doc,
+      // family doc_id/5, variant doc_id%5) → REAL decodePnm pixels →
+      // 8×8 average-hash → shared 4-band + XOR-popcount pairing. The
+      // oracle recomputes the hash from the block formula in SQL,
+      // independent of the byte-level PNM path exercised here
+      MediaOps.aHashPairs(MediaOps.syntheticPnmImages(
+        Tables.tbl(s, dir, "documents")))),
     "raster_points" -> ((s, _) => {
       val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
       RasterOps.pixelsToPoints(RasterOps.syntheticRaster(s, 256, 256, 64), t)
@@ -538,14 +557,15 @@ object SparkEntry {
   /** 32-bit halves of the 16-hex-char simhash as BIGINTs (the Hamming
     * refine is then integer XOR popcount — mirrors TextOps.simhashPairs)
     */
-  private val simhashHalvesSql: String = {
+  private def hash64HalvesSql(c: String): String = {
     def half(lo: Int): String = (0 until 8).map { i =>
       val p = lo + i
       val shift = 1L << (4 * (7 - i))
-      s"(strpos('0123456789abcdef', substr(simhash64, $p, 1)) - 1) * $shift"
+      s"(strpos('0123456789abcdef', substr($c, $p, 1)) - 1) * $shift"
     }.mkString(" + ")
     s"CAST(${half(1)} AS BIGINT) AS hi, CAST(${half(9)} AS BIGINT) AS lo"
   }
+  private val simhashHalvesSql: String = hash64HalvesSql("simhash64")
 
   /** exact-substring repeated-span runs (TextOps.repeatedSpanRuns with
     * k=5 / minWords=10 / maxDf=1000 — the driver-query parameters):
@@ -572,6 +592,37 @@ object SparkEntry {
       |runs AS (SELECT da, db, diag, min(pa) AS a0, max(pa) + 4 AS a1
       |         FROM runs0 GROUP BY da, db, diag, isl
       |         HAVING max(pa) - min(pa) + 5 >= 10)""".stripMargin
+
+  /** aHash of the synthetic P5 image corpus, recomputed from the BLOCK
+    * formula (MediaOps.syntheticPnmImages: block b of family f on iff
+    * md5("f:b")[0] ≥ '8', variant v flips blocks < v; on = 200, off =
+    * 10, 2×2 flat blocks) — deliberately independent of the engine's
+    * byte path (PNM encode → decodePnm → pixel sums). Bit b set iff
+    * blockSum×64 > total; hex char b/4, weight 8>>(b%4). Final
+    * relation: `mh(media_id, ahash64)`.
+    */
+  private val mediaAHashCte =
+    """imgs AS (SELECT doc_id AS media_id, doc_id // 5 AS f, doc_id % 5 AS v
+      |         FROM documents),
+      |blk AS (SELECT media_id, b,
+      |          CASE WHEN (strpos('0123456789abcdef',
+      |                      substr(md5(CAST(f AS VARCHAR) || ':' ||
+      |                                 CAST(b AS VARCHAR)), 1, 1)) - 1 >= 8)
+      |                    <> (b < v)
+      |               THEN 200 ELSE 10 END AS val
+      |        FROM imgs, (SELECT unnest(generate_series(0, 63)) AS b)),
+      |tot AS (SELECT media_id, sum(val * 4) AS ts FROM blk GROUP BY 1),
+      |bits AS (SELECT blk.media_id, b,
+      |           CASE WHEN val * 4 * 64 > ts THEN 1 ELSE 0 END AS bit
+      |         FROM blk JOIN tot ON blk.media_id = tot.media_id),
+      |nib AS (SELECT media_id, b // 4 AS p,
+      |          sum(bit * (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |                     WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      |        FROM bits GROUP BY 1, 2),
+      |mh AS (SELECT media_id,
+      |         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+      |                    '' ORDER BY p) AS ahash64
+      |       FROM nib GROUP BY 1)""".stripMargin
 
   /** random-hyperplane LSH bucket over a DOUBLE[] column `v` (the same
     * deterministic md5-derived hyperplanes as VectorOps.lshBuckets)
@@ -877,6 +928,56 @@ object SparkEntry {
         |       min(bench_id) AS bench_id
         |FROM corp JOIN bs USING (s)
         |GROUP BY 1""".stripMargin,
+    "pipeline_decontaminate_redact" ->
+      // positional corpus 3-shingles ∩ distinct benchmark shingles →
+      // covered word intervals, merged per doc, text rebuilt from the
+      // surviving positions (same rebuild shape as dedup_substring_strip)
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp),
+        |cp AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |       FROM cw WHERE len(w) >= 3),
+        |csh AS (SELECT doc_id, i, w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM cp),
+        |hot AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM csh)
+        |        GROUP BY s HAVING count(*) > 1000),
+        |bw AS (SELECT string_split(text, ' ') AS w FROM bench),
+        |bp AS (SELECT w, unnest(generate_series(1, len(w)-2)) AS i
+        |       FROM bw WHERE len(w) >= 3),
+        |bs AS (SELECT DISTINCT w[i]||' '||w[i+1]||' '||w[i+2] AS s FROM bp),
+        |strip0 AS (SELECT csh.doc_id, csh.i AS start_w, csh.i + 2 AS end_w
+        |           FROM csh JOIN bs USING (s)
+        |           WHERE csh.s NOT IN (SELECT s FROM hot)),
+        |mk AS (SELECT doc_id, start_w, end_w,
+        |         CASE WHEN max(end_w) OVER (PARTITION BY doc_id
+        |                ORDER BY start_w, end_w
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              IS NULL
+        |           OR start_w > max(end_w) OVER (PARTITION BY doc_id
+        |                ORDER BY start_w, end_w
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |         THEN 1 ELSE 0 END AS nw
+        |       FROM strip0),
+        |mi AS (SELECT doc_id, start_w, end_w,
+        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY start_w, end_w)
+        |           AS isl
+        |       FROM mk),
+        |merged AS (SELECT doc_id, min(start_w) AS start_w, max(end_w) AS end_w
+        |           FROM mi GROUP BY doc_id, isl),
+        |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        |        FROM cw),
+        |keepw AS (SELECT p.doc_id, p.i,
+        |            CASE WHEN EXISTS (SELECT 1 FROM merged m
+        |                   WHERE m.doc_id = p.doc_id
+        |                     AND p.i BETWEEN m.start_w AND m.end_w)
+        |                 THEN NULL ELSE p.w[p.i] END AS kw
+        |          FROM pos p),
+        |rebuilt AS (SELECT doc_id,
+        |              COALESCE(string_agg(kw, ' ' ORDER BY i), '') AS new_text,
+        |              CAST(count(*) - count(kw) AS BIGINT) AS n_words_removed
+        |            FROM keepw GROUP BY doc_id)
+        |SELECT c.doc_id, COALESCE(r.n_words_removed, 0) AS n_words_removed,
+        |       md5(COALESCE(r.new_text, c.text)) AS text_md5
+        |FROM corp c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash64 FROM sh""".stripMargin,
@@ -1084,6 +1185,26 @@ object SparkEntry {
           |     + (strpos('0123456789abcdef', substr(px, fi*flen*2 + 2, 1)) - 1)
           |    AS BIGINT) AS frame_head
           |FROM frames""".stripMargin),
+    "media_near_dup" ->
+      s"""WITH $mediaAHashCte,
+         |ih AS (SELECT media_id, ahash64, ${hash64HalvesSql("ahash64")} FROM mh),
+         |bands0 AS (SELECT media_id, hi, lo, b, substr(ahash64, b*4 + 1, 4) AS key
+         |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
+         |          HAVING count(*) <= 10000),
+         |bands AS (SELECT bands0.* FROM bands0
+         |          JOIN bkeep ON bands0.b = bkeep.b AND bands0.key = bkeep.key),
+         |cand AS (SELECT DISTINCT x.media_id AS media_a, x.hi AS hi_a,
+         |                x.lo AS lo_a, y.media_id AS media_b, y.hi AS hi_b,
+         |                y.lo AS lo_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id),
+         |ham AS (SELECT media_a, media_b,
+         |          bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |            AS hamming
+         |        FROM cand)
+         |SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 3""".stripMargin,
     "raster_points" ->
       """WITH px AS (
         |  SELECT (r // 64) * 4 + (c // 64) AS tile_id, r AS px_row, c AS px_col,

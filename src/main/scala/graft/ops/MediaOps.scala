@@ -246,4 +246,133 @@ object MediaOps {
   def featureVectors(features: Dataset[MediaFeature]): DataFrame =
     features.toDF().select(col("doc_id"), col("media_ref"),
       transform(col("nibble_hist"), x => x.cast("float")).as("embedding"))
+
+  // ---- PERCEPTUAL IMAGE NEAR-DUP (round-5 verdict #3) -----------------
+  // Real pixels (decodePnm) → 8×8 average-hash → the same 4-band
+  // pigeonhole + XOR-popcount machinery text simhash uses. Makes the
+  // media column a first-class dedup axis: two images whose DOWNSAMPLED
+  // luminance pattern differs in ≤ maxHamming of 64 blocks pair up, no
+  // matter how their payload bytes differ.
+
+  final case class PnmMedia(media_id: Long, payload: Array[Byte])
+  final case class MediaHash(media_id: Long, ahash64: String)
+
+  /** Deterministic synthetic P5 corpus for tests/benchmarks: one 16×16
+    * grayscale image per input doc_id, family `doc_id / 5`, variant
+    * `doc_id % 5`. Pixel blocks (2×2) are flat 200 ("on") or 10 ("off"):
+    * block `b` of family `f` is on iff the first hex digit of
+    * md5("f:b") ≥ '8', and variant `v` FLIPS blocks 0..v−1 — so within
+    * a family aHash Hamming distance is exactly |v₁−v₂| (variants 0 vs 4
+    * = 4, beyond the pairing threshold: the refine has something real to
+    * reject) while cross-family distance is ~Binomial(64, ½) ≈ 32. The
+    * same block formula is recomputable in SQL (the driver oracle
+    * derives the hash from it independently of the byte path here).
+    */
+  def syntheticPnmImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val (f, v) = (id / 5, id % 5)
+        val header = s"P5 16 16 255\n".getBytes("US-ASCII")
+        val px = new Array[Byte](256)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val b = (y / 2) * 8 + (x / 2)
+            val d = md.digest(s"$f:$b".getBytes("US-ASCII"))
+            val on0 = ((d(0) >> 4) & 0xF) >= 8
+            val on = on0 ^ (b < v)
+            px(y * 16 + x) = if (on) 200.toByte else 10.toByte
+            x += 1
+          }
+          y += 1
+        }
+        PnmMedia(id, header ++ px)
+      }
+    }.toDF()
+  }
+
+  /** 64-bit average-hash (aHash) over REAL decoded PNM pixels, as a
+    * 16-hex-char string (same shape as TextOps.simhash, so the banding
+    * machinery is shared): the image is box-downsampled to 8×8 blocks
+    * and bit `b` (row-major; hex char b/4, weight 8>>(b%4)) is set iff
+    * block b's sample sum × 64 exceeds the image total — integer-exact
+    * "block mean above global mean", no float thresholds. P6 payloads
+    * sum all three channels per block (luminance ∝ R+G+B under equal
+    * weights — exact, unlike a /3 mean). Width and height must be
+    * multiples of 8 (loud error otherwise: silently ragged blocks would
+    * make the hash depend on rounding direction). Strict [[decodePnm]]
+    * inside — a corpus handed to the image-dedup path is CLAIMED to be
+    * PNM, so malformed payloads raise rather than hash garbage.
+    */
+  def aHash(media: DataFrame, idCol: String = "media_id",
+            payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = decodePnm(payload).getOrElse(throw new IllegalArgumentException(
+            s"aHash: payload of media_id=$id is not binary PNM (P5/P6) — " +
+              "the image near-dup path requires decodable pixels"))
+          MediaHash(id, aHash64Hex(img))
+        }
+      }.toDF()
+  }
+
+  /** the hash kernel, exposed for byte-exact unit tests */
+  private[ops] def aHash64Hex(img: PnmImage): String = {
+    require(img.width % 8 == 0 && img.height % 8 == 0,
+      s"aHash needs dimensions divisible by 8, got ${img.width}x${img.height}")
+    val (bw, bh) = (img.width / 8, img.height / 8)
+    val sums = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val b = (y / bh) * 8 + (x / bw)
+        var c = 0
+        while (c < img.channels) {
+          val s = img.pixels((y * img.width + x) * img.channels + c) & 0xFF
+          sums(b) += s
+          total += s
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val hex = "0123456789abcdef"
+    val sb = new StringBuilder(16)
+    var p = 0
+    while (p < 16) {
+      var nib = 0
+      var i = 0
+      while (i < 4) {
+        if (sums(p * 4 + i) * 64 > total) nib |= 8 >> i
+        i += 1
+      }
+      sb.append(hex.charAt(nib))
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** perceptual near-dup image pairs: aHash over real pixels, then the
+    * shared 4-band pigeonhole + exact XOR-popcount refine
+    * (TextOps.hamming64Pairs — complete for Hamming ≤ 3). Returns
+    * `(media_a, media_b, hamming)`. Scale shape: one narrow decode+hash
+    * pass, then band equi-joins over 16-bit keys with the hot-band DF
+    * cap as skew guard — never all-pairs over images.
+    */
+  def aHashPairs(media: DataFrame, maxHamming: Int = 3,
+                 maxBandDf: Long = TextOps.DefaultMaxBandDf): DataFrame =
+    TextOps.hamming64Pairs(aHash(media), "media_id", "ahash64",
+        maxHamming, maxBandDf)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
 }

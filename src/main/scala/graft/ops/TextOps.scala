@@ -658,13 +658,26 @@ object TextOps {
     * narrow per-row higher-order function — no word-level shuffle.
     */
   def stripRepeatedSpans(docs: DataFrame, k: Int = 50, minWords: Int = 50,
-                         maxDf: Long = DefaultMaxShingleDf): DataFrame = {
-    val strips = mergeWordIntervals(
+                         maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    applyWordStrips(docs,
       repeatedSpanRuns(docs, k, minWords, maxDf)
         .select(col("db").as("doc_id"), (col("a0") - col("diag")).as("start_w"),
           (col("a1") - col("diag")).as("end_w"))
         .distinct())
-    val iv = strips.groupBy("doc_id")
+
+  /** remove the words covered by `strips` (`(doc_id, start_w, end_w)`,
+    * 1-based inclusive, overlaps allowed — they are interval-merged
+    * here) from each doc, rebuilding `text` from the surviving words
+    * (single-space joined, preserving the class text contract). All
+    * original columns are kept with `text` replaced; `n_words_removed`
+    * is appended. The filtering is a narrow per-row higher-order
+    * function over the (few) merged intervals of that doc — no
+    * word-level shuffle; the only shuffles are the doc_id-keyed
+    * interval merge and the equi-join of the (small) strip set onto
+    * the corpus.
+    */
+  private def applyWordStrips(docs: DataFrame, strips: DataFrame): DataFrame = {
+    val iv = mergeWordIntervals(strips).groupBy("doc_id")
       .agg(collect_list(struct(col("start_w"), col("end_w"))).as("__iv"))
     val wArr = words(col("text"))
     // index lambda is 0-based; intervals are 1-based inclusive
@@ -679,6 +692,33 @@ object TextOps {
       .withColumn("__kept", when(col("__iv").isNull, wArr).otherwise(kept))
       .select(outCols.toIndexedSeq :+
         (size(wArr) - size(col("__kept"))).cast("long").as("n_words_removed"): _*)
+  }
+
+  /** Span-level decontamination — the REDACT arm of [[decontaminate]]:
+    * instead of dropping a contaminated doc whole, only the words
+    * covered by a benchmark-overlapping `k`-shingle are removed
+    * (positions pos..pos+k−1 per overlapping occurrence, merged per
+    * doc) and the doc is re-emitted with `text` rebuilt — the right
+    * tool when contamination is a quoted benchmark question inside an
+    * otherwise-fine document. Same hot-shingle DF cap as
+    * [[contaminationReport]] (doc-frequency over the corpus side).
+    *
+    * Scale shape: benchmark shingles deduped + BROADCAST (eval ≪
+    * train, as in contaminationReport), one broadcast join over the
+    * positional corpus shingles, then the [[applyWordStrips]] shapes
+    * (doc_id-keyed merge + one equi-join + narrow rebuild).
+    */
+  def decontaminateRedact(docs: DataFrame, bench: DataFrame, k: Int = 13,
+                          maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val hot = shingles(docs, k).groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("s")
+    val bs = shingles(bench, k).select("s").distinct()
+    val strips = positionalShingles(docs, k)
+      .join(broadcast(hot), Seq("s"), "left_anti")
+      .join(broadcast(bs), "s")
+      .select(col("doc_id"), col("pos").as("start_w"),
+        (col("pos") + (k - 1)).as("end_w"))
+    applyWordStrips(docs, strips)
   }
 
   /** 64-bit SimHash as a 16-char hex string. Bit source: the 16 hex
@@ -845,6 +885,25 @@ object TextOps {
 
   def simhashPairSource(maxHamming: Int = 3): DataFrame => DataFrame =
     docs => simhashPairs(docs, maxHamming)
+
+  /** PRECOMPUTED near-dup pairs as a cleanCorpus source (round-5 verdict
+    * #4): a real pipeline materializes its pair table on the lake once
+    * and reuses it across compositions — regenerating the minhash
+    * pipeline inside every job made the driver's `dedup_clusters*` /
+    * `pipeline_clean_spans` walls ~80–90% pair recompute. `pairs` is any
+    * `(doc_a, doc_b, …)` relation (the shape every pair operator here
+    * emits and `dedup_cc_only` benches). Pairs are restricted to docs
+    * that SURVIVED the upstream stages (left-semi on both endpoints), so
+    * a stale lake pair over a quality- or exact-dropped doc cannot
+    * resurrect it into a cluster.
+    */
+  def precomputedPairSource(pairs: DataFrame): DataFrame => DataFrame =
+    docs => {
+      val ids = docs.select(col("doc_id"))
+      pairs
+        .join(ids.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    }
 
   /** embedding-cosine near-dup pairs as a cleanCorpus source: `embs` is
     * the `(vec_id, embedding)` relation keyed by doc_id; only vectors of

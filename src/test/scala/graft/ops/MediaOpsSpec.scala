@@ -97,6 +97,51 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.n_bytes == garbage.length)
   }
 
+  test("aHash: byte-exact kernel on P5 and P6; dimension contract") {
+    // 16×16 P5, block 0 bright (200), everything else 10: exactly bit 0
+    // set → "8" + fifteen "0"s (block sums 800 vs 40; total 3320)
+    val px = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      if (y < 2 && x < 2) 200.toByte else 10.toByte
+    }
+    val img = MediaOps.decodePnm(bytes("P5 16 16 255\n") ++ px).get
+    assert(MediaOps.aHash64Hex(img) == "8000000000000000")
+    // 8×8 P6 (1-px blocks, 3 channels summed): make blocks 0 and 63
+    // bright → bits 0 and 63 → "8000000000000001"
+    val px6 = Array.tabulate(192) { i =>
+      val b = i / 3
+      if (b == 0 || b == 63) 250.toByte else 5.toByte
+    }
+    val img6 = MediaOps.decodePnm(bytes("P6 8 8 255\n") ++ px6).get
+    assert(MediaOps.aHash64Hex(img6) == "8000000000000001")
+    // dimensions not divisible by 8 raise loudly (ragged blocks would
+    // make the hash rounding-dependent)
+    val bad = MediaOps.decodePnm(
+      bytes("P5 12 8 255\n") ++ new Array[Byte](96)).get
+    intercept[IllegalArgumentException](MediaOps.aHash64Hex(bad))
+  }
+
+  test("aHashPairs: within-family Hamming = |variant delta|, pairs complete") {
+    import spark.implicits._
+    // 5 families × 5 variants (doc_ids 0..24): the synthetic generator
+    // guarantees within-family aHash Hamming = |v1-v2| and cross-family
+    // ~32, so the expected pair set is exactly the within-family pairs
+    // with |v1-v2| <= 3 (variant 0 vs 4 = Hamming 4 must be REJECTED by
+    // the refine even though bands overlap elsewhere)
+    val docs = (0L until 25L).toDF("doc_id")
+    val media = MediaOps.syntheticPnmImages(docs)
+    val got = MediaOps.aHashPairs(media)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    val expected = (for {
+      fam <- 0 until 5; va <- 0 until 5; vb <- va + 1 until 5
+      if vb - va <= 3
+    } yield ((fam * 5L + va, fam * 5L + vb), (vb - va).toLong)).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    spark.catalog.clearCache()
+  }
+
   test("extractFeatures: real PNM pixels drive the histogram and dims") {
     import spark.implicits._
     // P6 2×2 with 12 known samples → hand-computed nibble histogram;

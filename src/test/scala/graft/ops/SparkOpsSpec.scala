@@ -301,6 +301,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet
     assert(keptEmb == Set(1L, 3L), keptEmb)
     spark.catalog.clearCache()
+
+    // PRECOMPUTED pair source (lake-resident pairs): pairs generated
+    // over the raw corpus, restricted by the source to stage survivors —
+    // same survivors as the in-job minhash path (per-doc signatures
+    // don't depend on the corpus, so the restricted pair set is
+    // identical), and a stale pair naming a dropped doc (5 is an exact
+    // dup, 6 fails quality) neither resurrects it nor drags 3 out
+    val lakePairs = TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5)
+      .unionByName(Seq((5L, 3L, 1.0), (6L, 3L, 1.0))
+        .toDF("doc_a", "doc_b", "jaccard"))
+    val keptPre = TextOps.cleanCorpus(docs,
+      pairSource = TextOps.precomputedPairSource(lakePairs))
+      .as[Long].collect().toSet
+    assert(keptPre == Set(1L, 3L), keptPre)
+    spark.catalog.clearCache()
   }
 
   test("decontamination: report counts distinct overlaps; enforcement removes them") {
@@ -328,6 +343,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kept2 = TextOps.decontaminate(docs, bench, k = 3, minHits = 2)
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(2L, 3L, 4L), kept2)
+    // REDACT arm: only the covered 3-word spans go, docs survive.
+    // doc 1: overlaps at pos 1,2 → merged [1,4] → "q" left; doc 2:
+    // "c d e" at pos 3 → [3,5] → "p q"; doc 3 untouched; doc 4: "x y z"
+    // at pos 1 AND 4 → [1,3]+[4,6] merge → whole doc redacted
+    val red = TextOps.decontaminateRedact(docs, bench, k = 3)
+      .select("doc_id", "text", "n_words_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(red == Map(
+      1L -> (("q", 4L)), 2L -> (("p q", 3L)),
+      3L -> (("m n o p q", 0L)), 4L -> (("", 6L))), red)
     spark.catalog.clearCache()
   }
 
