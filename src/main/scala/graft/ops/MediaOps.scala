@@ -324,8 +324,10 @@ object MediaOps {
       }.toDF()
   }
 
-  /** the hash kernel, exposed for byte-exact unit tests */
-  private[ops] def aHash64Hex(img: PnmImage): String = {
+  /** the hash kernel, exposed for byte-exact unit tests and the
+    * `ahash64_pnm` SQL registration
+    */
+  private[graft] def aHash64Hex(img: PnmImage): String = {
     require(img.width % 8 == 0 && img.height % 8 == 0,
       s"aHash needs dimensions divisible by 8, got ${img.width}x${img.height}")
     val (bw, bh) = (img.width / 8, img.height / 8)

@@ -104,7 +104,38 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(one(s"z7_vertex2dd($z)") != null)),
       "z7_projtri" -> (() => assert(one(s"z7_projtri($z)") != null)),
       "z7_q2dd" -> (() => assert(one(s"z7_q2dd($z)") != null)),
-      "z7_plane" -> (() => assert(one(s"z7_plane($z)") != null)))
+      "z7_plane" -> (() => assert(one(s"z7_plane($z)") != null)),
+      // LLM-pipeline building blocks (round-6): shingle overlap is the
+      // contamination-count kernel; top_*_n the repetition kernels;
+      // ahash64_pnm runs the REAL codec on an in-SQL P5 payload
+      "word_shingles" -> (() => {
+        assert(one("size(word_shingles('a b c d', 3))") == 2)
+        // distinct contract + the contamination-count composition shape
+        assert(one("size(word_shingles('x y x y x y', 2))") == 2)
+        assert(one(
+          "size(array_intersect(word_shingles('a b c d e', 3), " +
+            "word_shingles('q b c d q', 3)))") == 1)
+      }),
+      "top_word_n" -> (() => assert(one("top_word_n('a b a b a')") == 3L)),
+      "top_bigram_n" -> (() => {
+        assert(one("top_bigram_n('a b a b a')") == 2L)
+        assert(one("top_bigram_n('solo')") == 0L)
+      }),
+      "ahash64_pnm" -> (() => {
+        // the MediaOpsSpec block-0 image: exactly bit 0 set
+        val px = Array.tabulate(256) { i =>
+          val (y, x) = (i / 16, i % 16)
+          if (y < 2 && x < 2) 200.toByte else 10.toByte
+        }
+        val hex = ("P5 16 16 255\n".getBytes("US-ASCII") ++ px)
+          .map(b => f"${b & 0xFF}%02x").mkString
+        assert(one(s"ahash64_pnm(unhex('$hex'))") == "8000000000000000")
+      }),
+      "hamming64" -> (() => {
+        assert(one("hamming64('8000000000000000', '8000000000000001')") == 1)
+        assert(one("hamming64('ffffffffffffffff', 'ffffffffffffffff')") == 0)
+        assert(one("hamming64('0000000000000000', 'ffffffffffffffff')") == 64)
+      }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>
       withClue(s"sweep of $name: ")(check())
