@@ -157,6 +157,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // string keys (the round-2 keep-join regression shape)
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // the REDACT arm (round 6) must keep the same shape: bench shingles
+    // and the hot set broadcast; the positional corpus shingle stream
+    // must never be the build/shuffle side of a sort-merge join
+    val redactPlan = TextOps.decontaminateRedact(docs, bench, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(redactPlan.contains("BroadcastHashJoin"), redactPlan.take(2000))
+    assert(!redactPlan.contains("SortMergeJoin"), redactPlan.take(2000))
   }
 
   test("parquet scan prunes columns: cell assign reads only what it needs") {
