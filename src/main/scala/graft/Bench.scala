@@ -162,9 +162,14 @@ object Bench {
     // 2000-char tail window in r5 (head truncated mid-line → `parsed`
     // null) — the compact line always fits, even with sbt's trailing
     // "[success]" line in the window.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""n_queries":${results.size},"n_failed":${errors.size},""" +
-      f""""flagship_cells_per_sec":${(nGeo / wall).toLong}}"""
+    // locale-proof rounding: the f-interpolator goes through
+    // String.format(defaultLocale) and would print a comma decimal
+    // separator on de/fr/tr hosts — invalid JSON, the exact parse
+    // failure this line exists to fix
+    val total3 = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val compact = s"""{"metric":"total","value":$total3,"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${errors.size},""" +
+      s""""flagship_cells_per_sec":${(nGeo / wall).toLong}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
       (json + "\n").getBytes("UTF-8"))
     spark.stop()

@@ -276,16 +276,18 @@ object MediaOps {
       it.map { id =>
         val (f, v) = (id / 5, id % 5)
         val header = s"P5 16 16 255\n".getBytes("US-ASCII")
+        // one digest per BLOCK (the 4 pixels of a 2×2 block share it —
+        // hashing inside the pixel loops cost 4× the digests)
+        val on = Array.tabulate(64) { b =>
+          val d = md.digest(s"$f:$b".getBytes("US-ASCII"))
+          (((d(0) >> 4) & 0xF) >= 8) ^ (b < v)
+        }
         val px = new Array[Byte](256)
         var y = 0
         while (y < 16) {
           var x = 0
           while (x < 16) {
-            val b = (y / 2) * 8 + (x / 2)
-            val d = md.digest(s"$f:$b".getBytes("US-ASCII"))
-            val on0 = ((d(0) >> 4) & 0xF) >= 8
-            val on = on0 ^ (b < v)
-            px(y * 16 + x) = if (on) 200.toByte else 10.toByte
+            px(y * 16 + x) = if (on((y / 2) * 8 + (x / 2))) 200.toByte else 10.toByte
             x += 1
           }
           y += 1

@@ -72,32 +72,60 @@ object GraftSql {
     // kernels of the text/media operators, so a SQL-only user can
     // compose shingle overlap (contamination counts), repetition
     // signals, and perceptual image hashing without the Scala API.
-    // Single-space tokenization, matching graft.ops.TextOps.
-    r.register("word_shingles", (text: String, k: Int) => {
-      val w = text.split(" ")
-      if (w.length < k) Seq.empty[String]
-      else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" ")).distinct
-    })
-    r.register("top_word_n", (text: String) => {
-      val w = text.split(" ")
-      w.groupBy(identity).valuesIterator.map(_.length).max.toLong
-    })
-    r.register("top_bigram_n", (text: String) => {
-      val w = text.split(" ")
-      if (w.length < 2) 0L
-      else w.sliding(2).map(_.mkString(" ")).toSeq
-        .groupBy(identity).valuesIterator.map(_.length).max.toLong
-    })
+    // Single-space tokenization with limit -1 (trailing empty tokens
+    // KEPT) — byte-identical to TextOps' Spark `split(text, " ")` and
+    // the DuckDB oracles' string_split; Java's default split drops
+    // trailing empties and would silently diverge. NULL text → NULL
+    // result (SQL convention), not an NPE: String-typed UDF params
+    // receive nulls, unlike the primitive-typed cell-math functions
+    // above which Spark auto-null-guards.
+    r.register("word_shingles", (text: String, k: Int) =>
+      if (text == null) null
+      else {
+        val w = text.split(" ", -1)
+        if (w.length < k) Seq.empty[String]
+        else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" ")).distinct
+      })
+    r.register("top_word_n", (text: String) =>
+      if (text == null) None
+      else {
+        // split(-1) yields at least [""] for any non-null text, so the
+        // iterator is never empty (a whitespace-only doc counts its
+        // empty tokens, exactly as TextOps.repetitionStats does)
+        val w = text.split(" ", -1)
+        Some(w.groupBy(identity).valuesIterator.map(_.length).max.toLong)
+      })
+    r.register("top_bigram_n", (text: String) =>
+      if (text == null) None
+      else {
+        val w = text.split(" ", -1)
+        if (w.length < 2) Some(0L)
+        else Some(w.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).valuesIterator.map(_.length).max.toLong)
+      })
     r.register("ahash64_pnm", (payload: Array[Byte]) =>
-      graft.ops.MediaOps.aHash64Hex(
+      if (payload == null) null
+      else graft.ops.MediaOps.aHash64Hex(
         graft.ops.MediaOps.decodePnm(payload).getOrElse(
           throw new IllegalArgumentException(
             "ahash64_pnm: payload is not binary PNM (P5/P6)"))))
-    r.register("hamming64", (a: String, b: String) => {
-      def half(s: String, from: Int) = java.lang.Long.parseLong(s.substring(from, from + 8), 16)
-      java.lang.Long.bitCount(half(a, 0) ^ half(b, 0)) +
-        java.lang.Long.bitCount(half(a, 8) ^ half(b, 8))
-    })
+    r.register("hamming64", (a: String, b: String) =>
+      if (a == null || b == null) None
+      else {
+        def half(s: String, from: Int): Long = {
+          if (s.length != 16)
+            throw new IllegalArgumentException(
+              s"hamming64 expects 16-hex-char signatures, got ${s.length} chars")
+          try java.lang.Long.parseLong(s.substring(from, from + 8), 16)
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"hamming64: '$s' is not a hex signature")
+          }
+        }
+        Some(java.lang.Long.bitCount(half(a, 0) ^ half(b, 0)) +
+          java.lang.Long.bitCount(half(a, 8) ^ half(b, 8)))
+      })
     ()
   }
 }

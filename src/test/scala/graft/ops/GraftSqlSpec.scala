@@ -116,10 +116,18 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           "size(array_intersect(word_shingles('a b c d e', 3), " +
             "word_shingles('q b c d q', 3)))") == 1)
       }),
-      "top_word_n" -> (() => assert(one("top_word_n('a b a b a')") == 3L)),
+      "top_word_n" -> (() => {
+        assert(one("top_word_n('a b a b a')") == 3L)
+        // limit -1 split keeps trailing empties (TextOps/oracle parity)
+        // and a whitespace-only doc counts empty tokens, not crashes
+        assert(one("top_word_n('a a ')") == 2L)
+        assert(one("top_word_n(' ')") == 2L)
+        assert(one("top_word_n(CAST(NULL AS STRING))") == null)
+      }),
       "top_bigram_n" -> (() => {
         assert(one("top_bigram_n('a b a b a')") == 2L)
         assert(one("top_bigram_n('solo')") == 0L)
+        assert(one("top_bigram_n(CAST(NULL AS STRING))") == null)
       }),
       "ahash64_pnm" -> (() => {
         // the MediaOpsSpec block-0 image: exactly bit 0 set
@@ -135,6 +143,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(one("hamming64('8000000000000000', '8000000000000001')") == 1)
         assert(one("hamming64('ffffffffffffffff', 'ffffffffffffffff')") == 0)
         assert(one("hamming64('0000000000000000', 'ffffffffffffffff')") == 64)
+        assert(one("hamming64(CAST(NULL AS STRING), 'ffffffffffffffff')") == null)
+        // contract violations raise descriptively, not with a raw
+        // StringIndexOutOfBounds/NumberFormat from the internals
+        val e = intercept[Exception](one("hamming64('abc', 'abcd')"))
+        assert(e.getMessage.contains("16-hex"), e.getMessage)
+        val e2 = intercept[Exception](one("hamming64('zzzzzzzzzzzzzzzz', 'ffffffffffffffff')"))
+        assert(e2.getMessage.contains("not a hex"), e2.getMessage)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>
