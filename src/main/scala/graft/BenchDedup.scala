@@ -211,6 +211,28 @@ object BenchDedupScaling {
       TextOps.decontaminate(docs,
         docs.where(col("doc_id") % 101 === 0), k = 13).count()
     }
+    // exact-substring dedup at scale (round 6): family members of the
+    // near-dup corpus share ≥10-word verbatim segments between their
+    // single-word mutations, so the anchor→diagonal-run pipeline has
+    // real repeated passages to find at every scale; k=5 keeps no
+    // shingle hot (the 3-value shared vocab spans only positions 5-7,
+    // shorter than a 5-shingle)
+    run("dedup_substring",
+      TextOps.repeatedSpans(docsWarm, 5, 10).count()) {
+      TextOps.repeatedSpans(docs, 5, 10).count()
+    }
+    // count() alone is VACUOUS here: a left join against a per-doc
+    // aggregate (unique keys) with no right-side column referenced is
+    // eliminated by the optimizer, so the whole strip pipeline would be
+    // pruned away (measured: 0.5 s / 0 shuffle). Summing the rebuilt
+    // text length + removed-word count forces the real computation.
+    def forceStrip(df: DataFrame): Long =
+      df.agg(sum(length(col("text"))) + sum(col("n_words_removed")))
+        .first().getLong(0)
+    run("dedup_substring_strip",
+      forceStrip(TextOps.stripRepeatedSpans(docsWarm, 5, 10))) {
+      forceStrip(TextOps.stripRepeatedSpans(docs, 5, 10))
+    }
     // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF with
     // TRAINED k-means centroids (the production path — balanced buckets;
     // training time on the bounded driver sample is measured inside the

@@ -601,19 +601,29 @@ object TextOps {
     require(minWords >= k,
       s"minWords ($minWords) must be >= the anchor shingle size k ($k): " +
         "matches shorter than k produce no anchors and cannot be detected")
+    // anchors are keyed by the 16-BYTE md5 of the shingle, not the raw
+    // string: at the production k≈50 a shingle is ~350 chars, so the
+    // fixed-width digest shrinks the shuffled/sorted/cached relation
+    // ~20× and turns the self-join sort into cheap binary comparisons
+    // (measured at k=5/1M docs: the raw-string form was allocation-
+    // bound — 32c no faster than 8c with 1.7× run variance). Equality
+    // of md5 ⟺ equality of the shingle up to md5 collisions, absent in
+    // practice (2⁻¹²⁸-scale, no adversary); the DuckDB oracle joins the
+    // raw strings, so a collision would surface as a hash mismatch.
     val sh0 = positionalShingles(docs, k)
+      .select(col("doc_id"), col("pos"), unhex(md5(col("s").cast("binary"))).as("h"))
     // hot cap on TOTAL occurrences (not doc-frequency like cappedShingles):
     // the anchor join fans out per occurrence pair, so occurrences are
     // what the skew guard must bound
-    val hot = sh0.groupBy("s").agg(count(lit(1)).as("n"))
-      .where(col("n") > maxDf).select("s")
-    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxDf).select("h")
+    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
       // cached: both sides of the anchor self-join read it — without
       // this the shingle pipeline (and its cap aggregate) runs twice
       .cache()
     val anch = sh.as("a")
       .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("a.pos").as("pa"),
         col("b.doc_id").as("db"), col("b.pos").as("pb"))
     val wDiag = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
@@ -676,22 +686,54 @@ object TextOps {
     * interval merge and the equi-join of the (small) strip set onto
     * the corpus.
     */
+  /** tight-loop word stripper: walks the words once against the SORTED
+    * disjoint intervals with a moving pointer — O(words + intervals)
+    * per doc. A Scala UDF on purpose: the declarative form
+    * (`filter(w, (x,i) => !exists(iv, …))`) evaluates an interpreted
+    * lambda per word × interval and measured ~40 s of a 77 s wall at
+    * 1M docs (the round-3 primitive-loop-vs-higher-order lesson, same
+    * ~20× ratio). Output text joins survivors with single spaces —
+    * byte-identical to the `concat_ws` form and the oracle's
+    * `string_agg`.
+    */
+  private val stripWordsUdf = udf((w: Seq[String], iv: Seq[org.apache.spark.sql.Row]) => {
+    val sorted = iv.map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    val sb = new java.lang.StringBuilder
+    var removed = 0
+    var j = 0
+    var i = 0
+    while (i < w.length) {
+      val pos = i + 1
+      while (j < sorted.length && sorted(j)._2 < pos) j += 1
+      if (j < sorted.length && sorted(j)._1 <= pos && pos <= sorted(j)._2) removed += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(w(i))
+      }
+      i += 1
+    }
+    (sb.toString, removed)
+  })
+
   private def applyWordStrips(docs: DataFrame, strips: DataFrame): DataFrame = {
     val iv = mergeWordIntervals(strips).groupBy("doc_id")
-      .agg(collect_list(struct(col("start_w"), col("end_w"))).as("__iv"))
+      .agg(collect_list(
+        struct(col("start_w").cast("int").as("start_w"),
+          col("end_w").cast("int").as("end_w"))).as("__iv"))
     val wArr = words(col("text"))
-    // index lambda is 0-based; intervals are 1-based inclusive
-    val kept = filter(wArr, (x, i) =>
-      !exists(col("__iv"), v =>
-        i + 1 >= v.getField("start_w") && i + 1 <= v.getField("end_w")))
+    // docs with no strip interval keep their text untouched (left join
+    // miss) — the UDF runs only where something is actually stripped
     val outCols = docs.columns.map {
-      case "text" => concat_ws(" ", col("__kept")).as("text")
+      case "text" => col("__s._1").as("text")
       case c => col(c)
     }
     docs.join(iv, Seq("doc_id"), "left")
-      .withColumn("__kept", when(col("__iv").isNull, wArr).otherwise(kept))
+      .withColumn("__s",
+        when(col("__iv").isNull,
+          struct(col("text").as("_1"), lit(0).as("_2")))
+          .otherwise(stripWordsUdf(wArr, col("__iv"))))
       .select(outCols.toIndexedSeq :+
-        (size(wArr) - size(col("__kept"))).cast("long").as("n_words_removed"): _*)
+        col("__s._2").cast("long").as("n_words_removed"): _*)
   }
 
   /** Span-level decontamination — the REDACT arm of [[decontaminate]]:
