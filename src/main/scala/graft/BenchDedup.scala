@@ -233,6 +233,51 @@ object BenchDedupScaling {
       forceStrip(TextOps.stripRepeatedSpans(docsWarm, 5, 10))) {
       forceStrip(TextOps.stripRepeatedSpans(docs, 5, 10))
     }
+    // the lake-resident strip path (round 6): span table persisted ONCE
+    // (untimed), then stripRepeatedSpansFromSpans over the parquet spans
+    // — the strip wall should collapse to ~the applyWordStrips tail,
+    // evidencing that dedup_substring_strip's wall is ~all run-table
+    // recompute (the precomputed-pairs economics, substring edition)
+    if (only.isEmpty || only.contains("dedup_substring_strip_spans")) {
+      val spansDir = java.nio.file.Files.createTempDirectory("graft_spans")
+      try {
+        TextOps.repeatedSpans(docs, 5, 10)
+          .write.mode("overwrite").parquet(spansDir.toString)
+        spark.catalog.clearCache()
+        val spansPq = spark.read.parquet(spansDir.toString)
+        run("dedup_substring_strip_spans",
+          forceStrip(TextOps.stripRepeatedSpansFromSpans(docsWarm,
+            TextOps.repeatedSpans(docsWarm, 5, 10)))) {
+          forceStrip(TextOps.stripRepeatedSpansFromSpans(docs, spansPq))
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(spansDir)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    // deterministic mixture sampling (round 6): 20 synthetic sources,
+    // half sampled at varied rates — a pure narrow projection + filter,
+    // so the leg's evidence IS the ~zero shuffle-byte tally (the op's
+    // 100 TB story: no exchange at any scale) plus linear-in-N wall
+    val mixRates = (0 until 10).map(i => s"src${2 * i}" -> (0.1 * (i % 5) + 0.1)).toMap
+    def withSource(df: DataFrame): DataFrame =
+      df.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+    run("pipeline_sample_mix",
+      TextOps.sampleMix(withSource(docsWarm), mixRates).count()) {
+      TextOps.sampleMix(withSource(docs), mixRates).count()
+    }
+    // GPT-style sequence packing (round 6): 1024-token sequences over
+    // 1024 independent bucket streams (≫ cores — the per-bucket prefix
+    // sum is the operator's semantics; buckets are the parallelism
+    // unit). ONE shuffle: the per-bucket window
+    run("pipeline_pack_sequences",
+      TextOps.packSequences(docsWarm, 1024, 64).count()) {
+      TextOps.packSequences(docs, 1024, 1024).count()
+    }
     // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF with
     // TRAINED k-means centroids (the production path — balanced buckets;
     // training time on the bounded driver sample is measured inside the

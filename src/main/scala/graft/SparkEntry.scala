@@ -121,6 +121,29 @@ object SparkEntry {
       TextOps.stripRepeatedSpans(Tables.tbl(s, dir, "documents"), 5, 10)
         .select(col("doc_id"), col("n_words_removed"),
           md5(col("text").cast("binary")).as("text_md5"))),
+    "dedup_substring_strip_spans" -> ((s, dir) => {
+      // the lake-resident composition: the SAME strip result produced
+      // from a precomputed repeatedSpans table (keep-the-minimum per
+      // passage_md5) instead of the pairwise run recompute — the oracle
+      // independently recomputes the pairwise semantics, so a green hash
+      // here is an oracle-level proof of the two paths' equivalence
+      val docs = Tables.tbl(s, dir, "documents")
+      TextOps.stripRepeatedSpansFromSpans(docs, TextOps.repeatedSpans(docs, 5, 10))
+        .select(col("doc_id"), col("n_words_removed"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+    "pipeline_sample_mix" -> ((s, dir) =>
+      // deterministic weighted source mixing: md5-bucket Bernoulli per
+      // source (portable hash — the oracle reproduces every draw
+      // bit-for-bit); sources outside the mixture are dropped
+      TextOps.sampleMix(Tables.tbl(s, dir, "documents"),
+        Map("src1" -> 0.25, "src3" -> 0.5, "src5" -> 0.75,
+            "src7" -> 1.0, "src9" -> 0.1))
+        .select(col("doc_id"), col("source"), col("mix_bucket"))),
+    "pipeline_pack_sequences" -> ((s, dir) =>
+      // GPT-style concat-and-chop packing into 64-token sequences over
+      // 8 independent bucket streams; one row per (doc, pack) segment
+      TextOps.packSequences(Tables.tbl(s, dir, "documents"), 64, 8)),
 
     // ---- text analysis over `documents` ----
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.tbl(s, dir, "documents"))),
@@ -593,6 +616,53 @@ object SparkEntry {
       |         FROM runs0 GROUP BY da, db, diag, isl
       |         HAVING max(pa) - min(pa) + 5 >= 10)""".stripMargin
 
+  /** the full strip oracle (pairwise db-side semantics): shared verbatim
+    * by `dedup_substring_strip` (the in-job recompute path) and
+    * `dedup_substring_strip_spans` (the precomputed-span-table path) —
+    * one oracle, two engine paths, so a green hash on both IS the
+    * oracle-level equivalence proof of the keep-the-minimum-per-passage
+    * rule vs the pairwise rule.
+    */
+  private val substringStripOracle =
+    // strip intervals = db-side runs, interval-merged per doc; text
+    // rebuilt from the uncovered word positions (string_agg skips the
+    // NULLed covered words; fully-stripped docs get '')
+    s"""WITH $substringRunsCte,
+       |strip0 AS (SELECT DISTINCT db AS doc_id, a0 - diag AS start_w,
+       |             a1 - diag AS end_w
+       |           FROM runs),
+       |mk AS (SELECT doc_id, start_w, end_w,
+       |         CASE WHEN max(end_w) OVER (PARTITION BY doc_id
+       |                ORDER BY start_w, end_w
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              IS NULL
+       |           OR start_w > max(end_w) OVER (PARTITION BY doc_id
+       |                ORDER BY start_w, end_w
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+       |         THEN 1 ELSE 0 END AS nw
+       |       FROM strip0),
+       |mi AS (SELECT doc_id, start_w, end_w,
+       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY start_w, end_w)
+       |           AS isl
+       |       FROM mk),
+       |merged AS (SELECT doc_id, min(start_w) AS start_w, max(end_w) AS end_w
+       |           FROM mi GROUP BY doc_id, isl),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+       |        FROM dw),
+       |keepw AS (SELECT p.doc_id, p.i,
+       |            CASE WHEN EXISTS (SELECT 1 FROM merged m
+       |                   WHERE m.doc_id = p.doc_id
+       |                     AND p.i BETWEEN m.start_w AND m.end_w)
+       |                 THEN NULL ELSE p.w[p.i] END AS kw
+       |          FROM pos p),
+       |rebuilt AS (SELECT doc_id,
+       |              COALESCE(string_agg(kw, ' ' ORDER BY i), '') AS new_text,
+       |              CAST(count(*) - count(kw) AS BIGINT) AS n_words_removed
+       |            FROM keepw GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(r.n_words_removed, 0) AS n_words_removed,
+       |       md5(COALESCE(r.new_text, d.text)) AS text_md5
+       |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin
+
   /** aHash of the synthetic P5 image corpus, recomputed from the BLOCK
     * formula (MediaOps.syntheticPnmImages: block b of family f on iff
     * md5("f:b")[0] ≥ '8', variant v flips blocks < v; on = 200, off =
@@ -1010,45 +1080,41 @@ object SparkEntry {
          |       md5(array_to_string((dw.w)[sp.start_w:sp.end_w], ' '))
          |         AS passage_md5
          |FROM sp JOIN dw ON sp.doc_id = dw.doc_id""".stripMargin,
-    "dedup_substring_strip" ->
-      // strip intervals = db-side runs, interval-merged per doc; text
-      // rebuilt from the uncovered word positions (string_agg skips the
-      // NULLed covered words; fully-stripped docs get '')
-      s"""WITH $substringRunsCte,
-         |strip0 AS (SELECT DISTINCT db AS doc_id, a0 - diag AS start_w,
-         |             a1 - diag AS end_w
-         |           FROM runs),
-         |mk AS (SELECT doc_id, start_w, end_w,
-         |         CASE WHEN max(end_w) OVER (PARTITION BY doc_id
-         |                ORDER BY start_w, end_w
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |              IS NULL
-         |           OR start_w > max(end_w) OVER (PARTITION BY doc_id
-         |                ORDER BY start_w, end_w
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-         |         THEN 1 ELSE 0 END AS nw
-         |       FROM strip0),
-         |mi AS (SELECT doc_id, start_w, end_w,
-         |         sum(nw) OVER (PARTITION BY doc_id ORDER BY start_w, end_w)
-         |           AS isl
-         |       FROM mk),
-         |merged AS (SELECT doc_id, min(start_w) AS start_w, max(end_w) AS end_w
-         |           FROM mi GROUP BY doc_id, isl),
-         |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
-         |        FROM dw),
-         |keepw AS (SELECT p.doc_id, p.i,
-         |            CASE WHEN EXISTS (SELECT 1 FROM merged m
-         |                   WHERE m.doc_id = p.doc_id
-         |                     AND p.i BETWEEN m.start_w AND m.end_w)
-         |                 THEN NULL ELSE p.w[p.i] END AS kw
-         |          FROM pos p),
-         |rebuilt AS (SELECT doc_id,
-         |              COALESCE(string_agg(kw, ' ' ORDER BY i), '') AS new_text,
-         |              CAST(count(*) - count(kw) AS BIGINT) AS n_words_removed
-         |            FROM keepw GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(r.n_words_removed, 0) AS n_words_removed,
-         |       md5(COALESCE(r.new_text, d.text)) AS text_md5
-         |FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+    "dedup_substring_strip" -> substringStripOracle,
+    "dedup_substring_strip_spans" -> substringStripOracle,
+    "pipeline_sample_mix" ->
+      // every draw reproduced exactly: first 6 md5 hex digits of
+      // 'doc_id:mix' as an integer, thresholds = floor(rate · 16^6)
+      // (0.25/0.5/0.75/1.0/0.1 → the literals below)
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(doc_id || ':mix'), 1, 6)) AS BIGINT)
+        |    AS mix_bucket
+        |  FROM documents)
+        |SELECT doc_id, source, mix_bucket FROM b
+        |WHERE (source = 'src1' AND mix_bucket < 4194304)
+        |   OR (source = 'src3' AND mix_bucket < 8388608)
+        |   OR (source = 'src5' AND mix_bucket < 12582912)
+        |   OR (source = 'src7' AND mix_bucket < 16777216)
+        |   OR (source = 'src9' AND mix_bucket < 1677721)""".stripMargin,
+    "pipeline_pack_sequences" ->
+      // concat-and-chop: per-bucket running token offset, each doc
+      // exploded over the pack range it straddles; integer division
+      // everywhere (values nonnegative, so // == Spark's div)
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS bucket,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+        |          - n_tokens AS BIGINT) AS stream_off FROM t),
+        |e AS (SELECT bucket, doc_id, n_tokens, stream_off,
+        |        unnest(generate_series(stream_off // 64,
+        |                               (stream_off + n_tokens - 1) // 64))
+        |          AS pack_id
+        |      FROM c)
+        |SELECT bucket, doc_id, n_tokens, pack_id,
+        |  greatest(1, pack_id * 64 - stream_off + 1) AS seg_start_w,
+        |  least(n_tokens, (pack_id + 1) * 64 - stream_off) AS seg_end_w
+        |FROM e""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wt AS (SELECT doc_id, unnest(w) AS t FROM w),

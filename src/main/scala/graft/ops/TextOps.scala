@@ -1141,4 +1141,126 @@ object TextOps {
       length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_spaces"),
       size(array_distinct(w)).cast("long").as("n_uniq_tokens"))
   }
+
+  /** Size of the [[mixBucket]] hash domain: 16^6 (6 md5 hex digits). */
+  val MixBucketDomain: Long = 1L << 24
+
+  /** Deterministic uniform bucket in [0, 16^6) from the doc id and a
+    * salt: the first 6 hex digits of `md5(id || ':' || salt)`. Portable
+    * by construction — DuckDB computes the identical value as
+    * `cast(('0x' || substr(md5(id || ':salt'), 1, 6)) as bigint)`, so
+    * sampling decisions are oracle-checkable bit-for-bit (Spark's
+    * `hash()`/`rand()` are engine-specific and would not be).
+    */
+  private[ops] def mixBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 6), 16, 10)
+      .cast("long")
+
+  /** Deterministic weighted corpus sampling / source mixing — the "data
+    * mixture" step of a training pipeline (sample web at 30%, books at
+    * 100%, …). Each doc draws a uniform bucket from [[mixBucket]]
+    * (doc_id + salt — changing the salt redraws the whole sample) and
+    * survives iff `bucket < floor(rate(source) · 16^6)`; sources absent
+    * from `rates` are dropped entirely (an explicit mixture, not a
+    * passthrough). Thresholding on the integer floor makes the kept set
+    * exact and reproducible on any engine; the realized rate differs
+    * from the request by < 16^−6.
+    *
+    * All original columns are preserved; `mix_bucket` is appended so
+    * downstream stages (and audits) can see each doc's draw.
+    *
+    * Scale shape: a narrow projection + filter — ZERO shuffles, no
+    * joins (the rate map rides along as a literal map column, never a
+    * relation). Fully deterministic under any partitioning, so a resume
+    * or re-run selects the identical sample — unlike `rand()`-based
+    * sampling, which draws per-task.
+    */
+  def sampleMix(docs: DataFrame, rates: Map[String, Double],
+                salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "sampleMix: rates must name at least one source")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      s"sampleMix: every rate must be in [0, 1], got $rates")
+    val thresholds: Map[String, Long] =
+      rates.map { case (s, r) => s -> math.floor(r * MixBucketDomain).toLong }
+    val thr = element_at(typedLit(thresholds), col("source"))
+    docs
+      .withColumn("mix_bucket", mixBucket(col("doc_id"), salt))
+      .where(thr.isNotNull && col("mix_bucket") < thr)
+  }
+
+  /** GPT-style sequence packing (concatenate-and-chop): docs are
+    * assigned to `nBuckets` independent token streams by
+    * `doc_id % nBuckets`, concatenated within each bucket in doc_id
+    * order, and the stream chopped into fixed `seqLen`-token training
+    * sequences. A doc that straddles a boundary is SPLIT (the standard
+    * pretraining convention — no padding waste), so the output is one
+    * row per (doc, pack) segment:
+    * `(bucket, doc_id, n_tokens, pack_id, seg_start_w, seg_end_w)` with
+    * word offsets 1-based inclusive within the doc and `pack_id` local
+    * to the bucket. Every token of every doc lands in exactly one
+    * segment; `sum(seg_end_w − seg_start_w + 1) = sum(n_tokens)`.
+    *
+    * Scale shape: ONE shuffle (the per-bucket window: partition by
+    * bucket, order by doc_id for the running token offset), then a
+    * narrow explode over each doc's pack range (⌈n/seqLen⌉+1 rows max).
+    * Pack ids are per-bucket, so no global sequence/coordination is
+    * needed — buckets are embarrassingly parallel, and at cluster scale
+    * `nBuckets` is sized ≫ executor count (each bucket's stream is
+    * packed sequentially by construction: that per-bucket order IS the
+    * operator's semantics, not an implementation accident). The running
+    * offset is a simple prefix sum per bucket — deterministic because
+    * doc_id is unique.
+    */
+  def packSequences(docs: DataFrame, seqLen: Int, nBuckets: Int): DataFrame = {
+    require(seqLen >= 1, s"packSequences: seqLen must be >= 1, got $seqLen")
+    require(nBuckets >= 1, s"packSequences: nBuckets must be >= 1, got $nBuckets")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val L = lit(seqLen.toLong)
+    docs
+      .select(col("doc_id"), (col("doc_id") % nBuckets).as("bucket"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      // running token offset of this doc within its bucket's stream
+      .withColumn("stream_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // integer div via `div` (long `/` is double division in Spark and
+      // would lose exactness past 2^53 stream offsets)
+      .withColumn("pack_id",
+        explode(sequence(expr(s"stream_off div ${seqLen}L"),
+          expr(s"(stream_off + n_tokens - 1) div ${seqLen}L"))))
+      .select(col("bucket"), col("doc_id"), col("n_tokens"), col("pack_id"),
+        greatest(lit(1L), col("pack_id") * L - col("stream_off") + 1L)
+          .as("seg_start_w"),
+        least(col("n_tokens"), (col("pack_id") + 1L) * L - col("stream_off"))
+          .as("seg_end_w"))
+  }
+
+  /** [[stripRepeatedSpans]] fed from a PRECOMPUTED [[repeatedSpans]]
+    * table instead of recomputing the run pipeline — the lake-resident
+    * shape (compute the span table once, persist it, feed both the
+    * report and the enforcement arm), mirroring
+    * [[precomputedPairSource]] for the pair operators.
+    *
+    * Equivalent to [[stripRepeatedSpans]] by the keep-the-minimum
+    * convention (pinned by SparkOpsSpec on planted + corpus data): for
+    * each `passage_md5`, the lowest doc_id holding that exact passage
+    * keeps it; every other doc's occurrence is stripped. The pairwise
+    * db-side strip set and this per-passage rule produce identical
+    * MERGED interval coverage — any span this rule keeps that some
+    * pair would strip is subsumed by a longer passage's strip from that
+    * same pair, and vice versa (both directions ride on: two docs
+    * sharing passage X produce a maximal run ⊇ X's interval).
+    *
+    * Scale shape: one window keyed by passage_md5 over the (small,
+    * matches-proportional) span table, then [[applyWordStrips]]'s
+    * doc_id-keyed merge + one equi-join + narrow rebuild — the
+    * content-keyed anchor pipeline (the expensive 80–90% of the full
+    * recompute, see BENCH/BASELINE.md) is skipped entirely.
+    */
+  def stripRepeatedSpansFromSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("passage_md5"))
+    applyWordStrips(docs,
+      spans
+        .withColumn("__keep", min(col("doc_id")).over(w))
+        .where(col("doc_id") > col("__keep"))
+        .select(col("doc_id"), col("start_w"), col("end_w")))
+  }
 }

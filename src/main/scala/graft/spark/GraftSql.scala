@@ -24,7 +24,8 @@ object GraftSql {
     "t4_cell", "t4_string", "t4_ancestor", "d4_cell", "d4_string", "d4_ancestor",
     "to_authalic_lat", "to_geodetic_lat",
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
-    "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm", "hamming64")
+    "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm", "hamming64",
+    "mix_bucket6")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -125,6 +126,19 @@ object GraftSql {
         }
         Some(java.lang.Long.bitCount(half(a, 0) ^ half(b, 0)) +
           java.lang.Long.bitCount(half(a, 8) ^ half(b, 8)))
+      })
+    // TextOps.sampleMix's draw kernel: deterministic uniform bucket in
+    // [0, 16^6) = the first 3 md5 bytes of "id:salt" — a SQL-only user
+    // reproduces any mixture decision with
+    // `WHERE mix_bucket6(doc_id, 'mix') < floor(rate * 16777216)`.
+    // Portable: equals DuckDB's
+    // cast(('0x' || substr(md5(id || ':' || salt), 1, 6)) as bigint).
+    r.register("mix_bucket6", (id: String, salt: String) =>
+      if (id == null || salt == null) None
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest((id + ":" + salt).getBytes("UTF-8"))
+        Some(((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL))
       })
     ()
   }

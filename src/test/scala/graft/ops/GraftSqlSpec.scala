@@ -150,6 +150,15 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(e.getMessage.contains("16-hex"), e.getMessage)
         val e2 = intercept[Exception](one("hamming64('zzzzzzzzzzzzzzzz', 'ffffffffffffffff')"))
         assert(e2.getMessage.contains("not a hex"), e2.getMessage)
+      }),
+      "mix_bucket6" -> (() => {
+        // pinned to the portable md5 formula: md5("42:mix") starts
+        // "c54b3b" → 0xc54b3b = 12929851 — the same value the DuckDB
+        // oracle (and TextOps.sampleMix) computes for doc 42
+        assert(one("mix_bucket6('42', 'mix')") == 12929851L)
+        assert(one("mix_bucket6('42', 'mix') = " +
+          "conv(substr(md5('42:mix'), 1, 6), 16, 10)") == true)
+        assert(one("mix_bucket6(CAST(NULL AS STRING), 'mix')") == null)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>

@@ -399,6 +399,122 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("stripRepeatedSpansFromSpans equals the pairwise recompute path") {
+    import spark.implicits._
+    def stripSig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_words_removed"),
+          md5(col("text").cast("binary")).as("h"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    // adversarial shape for the per-passage keep-the-minimum rule: docs
+    // 4 and 6 share a LONGER passage (X + y-context) than either shares
+    // with doc 2 (X alone), so the span table holds two distinct
+    // passage_md5 groups whose intervals nest — the equivalence relies
+    // on merged-coverage subsumption, which this corpus exercises
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val y = (1 to 8).map(i => s"y$i").mkString(" ")
+    val planted = Seq(
+      (2L, s"f2a $p f2b"),
+      (4L, s"$p $y f4a"),
+      (6L, s"f6a f6b $p $y"),
+      (9L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")).toDF("doc_id", "text")
+    val direct = stripSig(TextOps.stripRepeatedSpans(planted, k = 4, minWords = 8))
+    val viaSpans = stripSig(TextOps.stripRepeatedSpansFromSpans(
+      planted, TextOps.repeatedSpans(planted, k = 4, minWords = 8)))
+    assert(direct == viaSpans, s"$direct vs $viaSpans")
+    // doc 2 keeps X (minimum of X's group); doc 4 loses X (to doc 2)
+    // but KEEPS the y-context (minimum of the X+y group); doc 6 loses
+    // the whole X+y passage
+    assert(direct.find(_._1 == 2L).get._2 == 0L)
+    assert(direct.find(_._1 == 4L).get._2 == 12L)
+    assert(direct.find(_._1 == 6L).get._2 == 20L)
+    // and on the real sf0.001 corpus with the driver-query parameters
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d2 = stripSig(TextOps.stripRepeatedSpans(docs, k = 5, minWords = 10))
+    val v2 = stripSig(TextOps.stripRepeatedSpansFromSpans(
+      docs, TextOps.repeatedSpans(docs, k = 5, minWords = 10)))
+    assert(d2 == v2)
+    spark.catalog.clearCache()
+  }
+
+  test("sampleMix: deterministic portable draws, exact thresholds") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, s"w$i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sampleMix(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), salt = "mix")
+      .select("doc_id", "source", "mix_bucket")
+      .as[(Long, String, Long)].collect()
+    // rate 1.0 keeps every doc, rate 0.0 and absent sources keep none
+    assert(out.count(_._2 == "src0") == 100)
+    assert(out.count(_._2 == "src2") == 0)
+    assert(out.count(_._2 == "src3") == 0)
+    // every surviving src1 draw is under floor(0.5 · 16^6)
+    val kept1 = out.filter(_._2 == "src1")
+    assert(kept1.forall(_._3 < (TextOps.MixBucketDomain / 2)))
+    assert(kept1.nonEmpty && kept1.length < 100) // a real subsample
+    // the draw is pinned to the md5 formula: first 6 hex digits of
+    // md5("40:mix") = 5904215 (doc 40 is src0, rate 1.0 — always kept;
+    // portable to the oracle's cast('0x…' as bigint) form)
+    val b40 = out.find(_._1 == 40L)
+    assert(b40.exists(_._3 == 5904215L), b40)
+    // redraw under a different salt is a different (still valid) sample
+    val salted = TextOps.sampleMix(docs, Map("src1" -> 0.5), salt = "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(salted != kept1.map(_._1).toSet)
+    // deterministic under any partitioning: same rows from a repartition
+    val rep = TextOps.sampleMix(docs.repartition(7), Map("src1" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rep == kept1.map(_._1).toSet)
+    intercept[IllegalArgumentException](TextOps.sampleMix(docs, Map.empty))
+    intercept[IllegalArgumentException](
+      TextOps.sampleMix(docs, Map("src0" -> 1.5)))
+  }
+
+  test("packSequences: segments partition each doc; boundary chop exact") {
+    import spark.implicits._
+    def txt(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // bucket 0 stream: 3 + 7 + 5 tokens; bucket 1 stream: 12 tokens
+    val docs = Seq(
+      (0L, txt(3, "a")), (2L, txt(7, "b")), (4L, txt(5, "c")),
+      (1L, txt(12, "d"))).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, seqLen = 5, nBuckets = 2)
+      .select("bucket", "doc_id", "n_tokens", "pack_id", "seg_start_w", "seg_end_w")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 3L, 0L, 1L, 3L),   // off 0: fills pack 0 to token 3
+      (0L, 2L, 7L, 0L, 1L, 2L),   // off 3: words 1-2 finish pack 0...
+      (0L, 2L, 7L, 1L, 3L, 7L),   // ...words 3-7 open pack 1
+      (0L, 4L, 5L, 2L, 1L, 5L),   // off 10: exactly pack 2
+      (1L, 1L, 12L, 0L, 1L, 5L), (1L, 1L, 12L, 1L, 6L, 10L),
+      (1L, 1L, 12L, 2L, 11L, 12L)), out)
+    // every pack except the last of each bucket holds exactly seqLen
+    // tokens — the no-padding-waste invariant
+    val packTok = out.groupBy(r => (r._1, r._4)).view
+      .mapValues(_.map(r => r._6 - r._5 + 1).sum).toMap
+    val lastPack = out.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+    packTok.foreach { case ((b, p), n) =>
+      if (p < lastPack(b)) assert(n == 5L, s"bucket $b pack $p has $n tokens")
+    }
+    // token conservation on the real corpus: every token lands in
+    // exactly one segment, and within-doc segments are contiguous
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextOps.packSequences(corpus, seqLen = 64, nBuckets = 8)
+    val tok = packed.agg(
+      sum(col("seg_end_w") - col("seg_start_w") + 1).as("seg"),
+      sum(when(col("seg_start_w") === 1, col("n_tokens")).otherwise(0L)).as("n"))
+      .as[(Long, Long)].head()
+    assert(tok._1 == tok._2, tok) // seg lengths sum to doc token total
+    val gaps = packed
+      .withColumn("prev_end", lag(col("seg_end_w"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pack_id")))
+      .where(col("prev_end").isNotNull && col("seg_start_w") =!= col("prev_end") + 1)
+      .count()
+    assert(gaps == 0)
+    intercept[IllegalArgumentException](TextOps.packSequences(docs, 0, 2))
+    intercept[IllegalArgumentException](TextOps.packSequences(docs, 5, 0))
+  }
+
   test("knnJoin equals brute force exactly (ring + escalation, 2k×8k points)") {
     import spark.implicits._
     // deterministic world-wide target set dense enough that most queries
