@@ -256,6 +256,79 @@ object BenchGen {
   }
 }
 
+/** Broadcast-vs-shuffle PIP join (north_rule axis, measured): the same
+  * point-in-polygon join driven through both physical strategies of
+  * [[graft.ops.SpatialOps.pointInPolygonJoinDf]] over a deterministic
+  * world-wide box-polygon relation. Reports the distributed cover-build
+  * wall separately (it is strategy-independent and cacheable), then the
+  * join wall per strategy. At local scale the broadcast side wins, as
+  * it must — the leg's value is (a) both paths produce the identical
+  * row count and (b) the crossover arithmetic is made concrete: the
+  * cover relation is `rows × ~60 B`; past the broadcast ceiling
+  * (cover ≫ 8 GB ⇔ ~10⁸ cover rows ⇔ ~10⁶–10⁷ polygons at res 4-5)
+  * ONLY the shuffle-hash path survives, and its wall here bounds the
+  * per-row premium paid for that survival.
+  *
+  *   sbt "runMain graft.BenchSpatialJoin <cpus> [nPts] [nPolys] [res]"
+  */
+object BenchSpatialJoin {
+  import graft.ops.SpatialOps
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nPts = if (args.length > 1) args(1).toLong else 4000000L
+    val nPolys = if (args.length > 2) args(2).toInt else 2000
+    val res = if (args.length > 3) args(3).toInt else 4
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic world-wide points (same congruences as the flagship)
+    val pts = spark.range(nPts).select(col("id"),
+      ((pmod(col("id") * 9973L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+      ((pmod(col("id") * 6271L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+    // deterministic 3°×2° boxes, centers spread by the same congruences,
+    // |lat| ≤ 60 to keep the envelope pruning honest near the poles
+    val polys = spark.range(nPolys).select(
+      concat(lit("p"), col("id")).as("poly_id"),
+      ((pmod(col("id") * 7919L, lit(354000L)) / lit(1000.0)) - 177.0).as("cx"),
+      ((pmod(col("id") * 4409L, lit(116000L)) / lit(1000.0)) - 58.0).as("cy"))
+      .select(col("poly_id"), format_string(
+        "POLYGON ((%.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f))",
+        col("cx") - 1.5, col("cy") - 1.0, col("cx") + 1.5, col("cy") - 1.0,
+        col("cx") + 1.5, col("cy") + 1.0, col("cx") - 1.5, col("cy") + 1.0,
+        col("cx") - 1.5, col("cy") - 1.0).as("wkt"))
+
+    // cover build is strategy-independent: time it once, cache it, and
+    // reuse for every strategy leg (a real pipeline persists it anyway)
+    val t0 = System.nanoTime()
+    val cover = SpatialOps.coverCellsDf(polys, res).cache()
+    val nCover = cover.count()
+    val coverWall = (System.nanoTime() - t0) / 1e9
+
+    def leg(label: String, bc: Option[Boolean]): Unit = {
+      // warmup on a small point slice (JIT + codegen), then timed
+      SpatialOps.pointInPolygonJoinCover(
+        pts.limit(20000), "lon", "lat", cover, res, bc).count()
+      val t = System.nanoTime()
+      val n = SpatialOps.pointInPolygonJoinCover(pts, "lon", "lat", cover, res, bc)
+        .count()
+      val wall = (System.nanoTime() - t) / 1e9
+      println(f"""{"bench":"pip","strategy":"$label","cpus":$cpus,""" +
+        f""""pts":$nPts,"polys":$nPolys,"res":$res,"cover_rows":$nCover,""" +
+        f""""cover_wall_sec":$coverWall%.2f,"join_wall_sec":$wall%.2f,"rows":$n}""")
+    }
+    leg("broadcast", Some(true))
+    leg("shuffle_hash", Some(false))
+    leg("auto", None)
+    spark.stop()
+  }
+}
+
 /** Skew demonstration (north_rule: explicit salt-based mitigation,
   * measured): a Zipfian-style corpus with a configurable fraction of
   * points in ONE res-6 cell, joined (shuffle join, broadcast disabled)

@@ -144,6 +144,14 @@ object SparkEntry {
       // GPT-style concat-and-chop packing into 64-token sequences over
       // 8 independent bucket streams; one row per (doc, pack) segment
       TextOps.packSequences(Tables.tbl(s, dir, "documents"), 64, 8)),
+    "pipeline_sample_budget" -> ((s, dir) =>
+      // data-dependent mixture: rate = min(1, budget/total_tokens) per
+      // source, then the same portable draw — budgets chosen so the
+      // sf0.01 corpus exercises rate 1.0, partial rates, and near-zero
+      TextOps.sampleToBudget(Tables.tbl(s, dir, "documents"),
+        Map("src2" -> 1000L, "src4" -> 1000000L, "src6" -> 500L,
+            "src8" -> 40L))
+        .select(col("doc_id"), col("source"), col("mix_bucket"))),
 
     // ---- text analysis over `documents` ----
     "text_token_stats" -> ((s, dir) => TextOps.tokenStats(Tables.tbl(s, dir, "documents"))),
@@ -329,6 +337,22 @@ object SparkEntry {
         ("oregon", "POLYGON ((-124.6 42.0, -116.5 42.0, -116.5 46.3, -124.6 46.3, -124.6 42.0))"),
         ("tropics", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"))
       SpatialOps.pointInPolygonJoin(geo, "lon", "lat", polys, 4)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    "dggs_spatial_join_df" -> ((s, dir) => {
+      // the SHUFFLE path of the broadcast-vs-shuffle axis: same three
+      // polygons as dggs_spatial_join but as a DataFrame relation with
+      // the cover built distributed and the join forced off broadcast
+      // (shuffle-hash on cell_id) — one oracle pins both paths
+      import s.implicits._
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val polys = Seq(
+        ("estonia", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"),
+        ("oregon", "POLYGON ((-124.6 42.0, -116.5 42.0, -116.5 46.3, -124.6 46.3, -124.6 42.0))"),
+        ("tropics", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"))
+        .toDF("poly_id", "wkt")
+      SpatialOps.pointInPolygonJoinDf(geo, "lon", "lat", polys, 4,
+        broadcastCovers = Some(false))
         .select(col("doc_id"), col("offset"), col("poly_id"))
     }),
     "dggs_knn" -> ((s, dir) => {
@@ -541,6 +565,23 @@ object SparkEntry {
        |  (i*9973 + off*7919) % 360000 - 180000 AS lon_mdeg,
        |  (i*6271 + off*4409) % 180000 - 90000  AS lat_mdeg
        |  FROM spans WHERE kind = 'geo')""".stripMargin
+
+  /** point-in-polygon oracle (the polygons are axis-aligned boxes, so
+    * DuckDB needs only range predicates) — shared verbatim by
+    * `dggs_spatial_join` (broadcast path) and `dggs_spatial_join_df`
+    * (distributed-cover shuffle path): one relation, two physical
+    * strategies.
+    */
+  private val spatialJoinOracle =
+    s"""WITH $geoCte,
+       |polys(poly_id, lon_min, lat_min, lon_max, lat_max) AS (VALUES
+       |  ('estonia', 20.2, 57.0, 28.4, 60.0),
+       |  ('oregon', -124.6, 42.0, -116.5, 46.3),
+       |  ('tropics', -30.0, -23.4, 60.0, 23.4))
+       |SELECT doc_id, "offset", poly_id
+       |FROM geo JOIN polys
+       |  ON lon > lon_min AND lon < lon_max AND lat > lat_min AND lat < lat_max"""
+      .stripMargin
 
   /** geo CTE joined against the frozen kernel point→cell mapping
     * (OracleFixtures.geoCellCte — the only frozen piece; every relational
@@ -867,16 +908,10 @@ object SparkEntry {
          |      AS BIGINT) AS rnk
          |  FROM p)
          |WHERE rnk <= 3""".stripMargin,
-    "dggs_spatial_join" ->
-      s"""WITH $geoCte,
-         |polys(poly_id, lon_min, lat_min, lon_max, lat_max) AS (VALUES
-         |  ('estonia', 20.2, 57.0, 28.4, 60.0),
-         |  ('oregon', -124.6, 42.0, -116.5, 46.3),
-         |  ('tropics', -30.0, -23.4, 60.0, 23.4))
-         |SELECT doc_id, "offset", poly_id
-         |FROM geo JOIN polys
-         |  ON lon > lon_min AND lon < lon_max AND lat > lat_min AND lat < lat_max"""
-        .stripMargin,
+    "dggs_spatial_join" -> spatialJoinOracle,
+    // the shuffle path must produce the identical relation — one oracle,
+    // two physical strategies (broadcast vs shuffle-hash on cell_id)
+    "dggs_spatial_join_df" -> spatialJoinOracle,
     "emb_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, $lshBucketSqlExpr AS bucket FROM e),
@@ -1096,6 +1131,28 @@ object SparkEntry {
         |   OR (source = 'src5' AND mix_bucket < 12582912)
         |   OR (source = 'src7' AND mix_bucket < 16777216)
         |   OR (source = 'src9' AND mix_bucket < 1677721)""".stripMargin,
+    "pipeline_sample_budget" ->
+      // rate = ONE division, threshold = ONE multiply + floor — IEEE-
+      // identical across engines; floor() first makes the BIGINT cast
+      // round-vs-truncate question moot (the value is already integral)
+      """WITH tok AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(doc_id || ':mix'), 1, 6)) AS BIGINT)
+        |    AS mix_bucket
+        |  FROM documents),
+        |b(source, budget) AS (VALUES
+        |  ('src2', 1000), ('src4', 1000000), ('src6', 500), ('src8', 40)),
+        |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS total
+        |        FROM tok JOIN b USING (source) GROUP BY source),
+        |thr AS (SELECT tot.source,
+        |          CASE WHEN total <= budget THEN 16777216
+        |               ELSE CAST(floor(CAST(budget AS DOUBLE) /
+        |                      CAST(total AS DOUBLE) * 16777216.0) AS BIGINT)
+        |          END AS t
+        |        FROM tot JOIN b ON tot.source = b.source)
+        |SELECT doc_id, tok.source, mix_bucket
+        |FROM tok JOIN thr ON tok.source = thr.source
+        |WHERE mix_bucket < t""".stripMargin,
     "pipeline_pack_sequences" ->
       // concat-and-chop: per-bucket running token offset, each doc
       // exploded over the pack range it straddles; integer division

@@ -147,6 +147,68 @@ object SpatialOps {
       .drop("poly_wkt")
   }
 
+  /** The DataFrame×DataFrame point-in-polygon join — the broadcast-VS-
+    * shuffle axis (north_rule): [[pointInPolygonJoin]] hard-codes the
+    * broadcast shape for a driver-side dim-table polygon list; this
+    * variant takes the polygon relation as a DataFrame (lake-resident,
+    * GeoJSON-sourced, …), builds its cell cover DISTRIBUTED
+    * ([[coverCellsDf]] — never on the driver), and picks the join
+    * strategy per `broadcastCovers`:
+    *
+    *  - `None` (default): no hint — Catalyst/AQE chooses from the cover
+    *    relation's runtime stats (small cover → broadcast, big → shuffle),
+    *    which is the right default on a cluster with AQE on.
+    *  - `Some(true)`: force-broadcast the cover (the dim-table case when
+    *    stats mislead, e.g. a freshly-exploded cover with no estimate).
+    *  - `Some(false)`: force the shuffle path via a shuffle-hash hint —
+    *    both sides exchange on `cell_id` (high-cardinality, near-uniform
+    *    after the res-choice spreads polygons over many cells); no sort
+    *    of the (huge) point side, unlike SMJ. The million-polygon case.
+    *
+    * Same equi-join + exact JTS refine semantics as the broadcast op —
+    * `dggs_spatial_join_df` pins both paths to ONE oracle. Skew note: a
+    * cover cell shared by many polygons concentrates its points' rows;
+    * if a profile shows such a hot cell, [[saltedJoin]] applies to the
+    * (points × covers) equi-key exactly as for any key join.
+    */
+  def pointInPolygonJoinDf(points: DataFrame, lonCol: String, latCol: String,
+                           polygons: DataFrame, res: Int,
+                           broadcastCovers: Option[Boolean] = None,
+                           lat0: Double = Grids.DefaultLat,
+                           lon0: Double = Grids.DefaultLon,
+                           az: Double = Grids.DefaultAz): DataFrame =
+    pointInPolygonJoinCover(points, lonCol, latCol,
+      coverCellsDf(polygons, res, lat0, lon0, az), res, broadcastCovers,
+      lat0, lon0, az)
+
+  /** [[pointInPolygonJoinDf]] from a PRECOMPUTED cover relation
+    * (`(poly_id, wkt, cell_id)` — [[coverCellsDf]]'s output, typically
+    * cached or lake-resident: the cover is strategy-independent and a
+    * pipeline joining the same polygon set repeatedly should build it
+    * once). `res` must be the resolution the cover was built at (it
+    * keys the point-side cell assignment).
+    */
+  def pointInPolygonJoinCover(points: DataFrame, lonCol: String, latCol: String,
+                              covers: DataFrame, res: Int,
+                              broadcastCovers: Option[Boolean] = None,
+                              lat0: Double = Grids.DefaultLat,
+                              lon0: Double = Grids.DefaultLon,
+                              az: Double = Grids.DefaultAz): DataFrame = {
+    val covers0 = covers.withColumnRenamed("wkt", "poly_wkt")
+    val hinted = broadcastCovers match {
+      case Some(true)  => broadcast(covers0)
+      case Some(false) => covers0.hint("shuffle_hash")
+      case None        => covers0
+    }
+    val pts = GridOps.cellsForGeoPoints(points, lonCol, latCol, res, lat0, lon0, az)
+    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
+      JtsCache.contains(wkt, lon, lat)
+    }
+    pts.join(hinted, Seq("cell_id"))
+      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .drop("poly_wkt")
+  }
+
   /** Exact kNN: for each query row, the k nearest target points by
     * great-circle distance. ONE equi-join probe of the query's Z7
     * `probeDisk`-disk (default 2 → 19 cells — cheap index arithmetic)

@@ -1188,6 +1188,50 @@ object TextOps {
       .where(thr.isNotNull && col("mix_bucket") < thr)
   }
 
+  /** [[sampleMix]] with DATA-DEPENDENT rates — "sample each source down
+    * to a token budget", the standard mixing formulation (give me ≤50 B
+    * web tokens, ≤20 B books tokens, …). Per source,
+    * `rate = min(1, budget / total_tokens)`; each doc then survives the
+    * same portable [[mixBucket]] Bernoulli draw at
+    * `threshold = floor(rate · 16^6)`. The realized token count
+    * concentrates near `rate · total` (a per-doc draw cannot hit the
+    * budget exactly; the expected overshoot/undershoot is one doc's
+    * tokens per 16^6 of threshold granularity). Sources without a budget
+    * are dropped, as in [[sampleMix]].
+    *
+    * Determinism is oracle-grade despite the double rate: the rate is
+    * ONE IEEE division, the threshold ONE multiply + floor — every
+    * engine computes the identical int64 threshold (the oracle-
+    * portability rule: doubles only from single divisions).
+    *
+    * Scale shape: one partial-aggregated per-source token count (output
+    * = #sources rows), broadcast back onto the corpus (explicit hint —
+    * the relation is tiny by construction), then the narrow draw +
+    * filter. Two corpus passes total — inherent to data-dependent
+    * rates (the budget cannot be applied before the totals exist).
+    */
+  def sampleToBudget(docs: DataFrame, budgets: Map[String, Long],
+                     salt: String = "mix"): DataFrame = {
+    require(budgets.nonEmpty, "sampleToBudget: budgets must name at least one source")
+    require(budgets.values.forall(_ >= 0L),
+      s"sampleToBudget: budgets must be >= 0, got $budgets")
+    val budget = element_at(typedLit(budgets), col("source"))
+    val thresholds = docs
+      .where(budget.isNotNull)
+      .groupBy("source")
+      .agg(sum(size(words(col("text"))).cast("long")).as("__total"))
+      .select(col("source"),
+        when(col("__total") <= budget, lit(MixBucketDomain))
+          .otherwise(floor(budget.cast("double") / col("__total").cast("double")
+            * MixBucketDomain.toDouble))
+          .as("__thr"))
+    docs
+      .withColumn("mix_bucket", mixBucket(col("doc_id"), salt))
+      .join(broadcast(thresholds), "source")
+      .where(col("mix_bucket") < col("__thr"))
+      .drop("__thr")
+  }
+
   /** GPT-style sequence packing (concatenate-and-chop): docs are
     * assigned to `nBuckets` independent token streams by
     * `doc_id % nBuckets`, concatenated within each bucket in doc_id

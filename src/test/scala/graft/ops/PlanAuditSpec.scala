@@ -69,6 +69,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("PIP join df-variant: broadcastCovers flag selects the physical strategy") {
+    import spark.implicits._
+    val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(spark, sfDir, "documents")))
+    val polys = Seq(
+      ("e", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"))
+      .toDF("poly_id", "wkt")
+    val shufPlan = SpatialOps.pointInPolygonJoinDf(geo, "lon", "lat", polys, 4,
+      broadcastCovers = Some(false)).queryExecution.executedPlan.toString
+    assert(shufPlan.contains("ShuffledHashJoin"), shufPlan.take(2000))
+    assert(!shufPlan.contains("BroadcastHashJoin"), shufPlan.take(2000))
+    val bcPlan = SpatialOps.pointInPolygonJoinDf(geo, "lon", "lat", polys, 4,
+      broadcastCovers = Some(true)).queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"), bcPlan.take(2000))
+  }
+
+  test("sampleMix plans with ZERO exchanges; packSequences with exactly one") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"t$i u$i v$i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    // the mixture op's whole 100 TB story is that it is a narrow
+    // projection + filter — a join or exchange appearing here means the
+    // rate map stopped being a literal and the claim is void
+    val mixPlan = TextOps.sampleMix(docs, Map("src0" -> 0.5, "src1" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"), mixPlan.take(2000))
+    assert(!mixPlan.contains("Join"), mixPlan.take(2000))
+    // packing pays exactly its one declared shuffle: the per-bucket
+    // window (hash partition on bucket), nothing else
+    val packPlan = TextOps.packSequences(docs, 64, 8)
+      .queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(packPlan).size
+    assert(nEx == 1, s"expected 1 exchange, got $nEx:\n${packPlan.take(2000)}")
+    assert(!packPlan.contains("Join"), packPlan.take(2000))
+  }
+
   test("min-label CC: one action per round, bounded exchanges (round-5 barrier cut)") {
     // the round-5 contract: per round, the convergence metric rides the
     // materializing count() via Observation — so the WHOLE loop issues

@@ -470,6 +470,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.sampleMix(docs, Map("src0" -> 1.5)))
   }
 
+  test("sampleToBudget: data-dependent rates equal the explicit-rate draw") {
+    import spark.implicits._
+    // srcA: 100 docs × 4 tokens = 400 total; srcB same; srcC unbudgeted
+    val docs = (0L until 300L).map(i => (i, "t u v w", s"src${('A' + (i % 3).toInt).toChar}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sampleToBudget(docs,
+      Map("srcA" -> 10000L, "srcB" -> 200L))
+      .select("doc_id", "source", "mix_bucket")
+      .as[(Long, String, Long)].collect()
+    // budget ≥ total → rate 1.0 → every doc kept
+    assert(out.count(_._2 == "srcA") == 100)
+    // unbudgeted source dropped
+    assert(out.count(_._2 == "srcC") == 0)
+    // budget/total = 0.5 → the kept set IS sampleMix's at rate 0.5
+    // (identical threshold arithmetic — the data-dependent path must
+    // not drift from the explicit-rate path by even one bucket)
+    val viaRate = TextOps.sampleMix(docs, Map("srcB" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "srcB").map(_._1).toSet == viaRate)
+    // realized tokens land near the budget (4 tokens/doc × kept docs)
+    val gotTok = out.count(_._2 == "srcB") * 4
+    assert(math.abs(gotTok - 200) <= 40, s"realized $gotTok vs budget 200")
+    // budget 0 → threshold 0 → nothing survives
+    val zero = TextOps.sampleToBudget(docs, Map("srcA" -> 0L)).count()
+    assert(zero == 0)
+    intercept[IllegalArgumentException](TextOps.sampleToBudget(docs, Map.empty))
+    intercept[IllegalArgumentException](
+      TextOps.sampleToBudget(docs, Map("srcA" -> -1L)))
+  }
+
   test("packSequences: segments partition each doc; boundary chop exact") {
     import spark.implicits._
     def txt(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
