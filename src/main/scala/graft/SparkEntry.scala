@@ -144,6 +144,11 @@ object SparkEntry {
       // GPT-style concat-and-chop packing into 64-token sequences over
       // 8 independent bucket streams; one row per (doc, pack) segment
       TextOps.packSequences(Tables.tbl(s, dir, "documents"), 64, 8)),
+    "pipeline_pack_shuffled" -> ((s, dir) =>
+      // pre-packing shuffle: bucket + within-bucket order follow the
+      // portable md5 draw (salt "shuf") — the decorrelated-epoch layout
+      TextOps.packSequences(Tables.tbl(s, dir, "documents"), 64, 8,
+        shuffleSalt = Some("shuf"))),
     "pipeline_sample_budget" -> ((s, dir) =>
       // data-dependent mixture: rate = min(1, budget/total_tokens) per
       // source, then the same portable draw — budgets chosen so the
@@ -1153,6 +1158,28 @@ object SparkEntry {
         |SELECT doc_id, tok.source, mix_bucket
         |FROM tok JOIN thr ON tok.source = thr.source
         |WHERE mix_bucket < t""".stripMargin,
+    "pipeline_pack_shuffled" ->
+      // the shuffled-epoch layout: same chop arithmetic, but bucket and
+      // within-bucket order ride the portable md5 draw (salt "shuf")
+      """WITH t AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(doc_id || ':shuf'), 1, 6)) AS BIGINT)
+        |    AS draw,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, draw, draw % 8 AS bucket, n_tokens FROM t),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY bucket
+        |               ORDER BY draw, doc_id)
+        |          - n_tokens AS BIGINT) AS stream_off FROM t2),
+        |e AS (SELECT bucket, doc_id, n_tokens, stream_off,
+        |        unnest(generate_series(stream_off // 64,
+        |                               (stream_off + n_tokens - 1) // 64))
+        |          AS pack_id
+        |      FROM c)
+        |SELECT bucket, doc_id, n_tokens, pack_id,
+        |  greatest(1, pack_id * 64 - stream_off + 1) AS seg_start_w,
+        |  least(n_tokens, (pack_id + 1) * 64 - stream_off) AS seg_end_w
+        |FROM e""".stripMargin,
     "pipeline_pack_sequences" ->
       // concat-and-chop: per-bucket running token offset, each doc
       // exploded over the pack range it straddles; integer division

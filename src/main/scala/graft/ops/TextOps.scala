@@ -1254,14 +1254,37 @@ object TextOps {
     * operator's semantics, not an implementation accident). The running
     * offset is a simple prefix sum per bucket — deterministic because
     * doc_id is unique.
+    *
+    * `shuffleSalt`: when set, bucket assignment and within-bucket order
+    * follow the portable [[mixBucket]] draw instead of doc_id — the
+    * pre-packing shuffle a production pipeline runs so adjacent docs in
+    * a training sequence are decorrelated; a different salt yields a
+    * fresh epoch permutation, still bit-reproducible on any engine.
     */
-  def packSequences(docs: DataFrame, seqLen: Int, nBuckets: Int): DataFrame = {
+  def packSequences(docs: DataFrame, seqLen: Int, nBuckets: Int,
+                    shuffleSalt: Option[String] = None): DataFrame = {
     require(seqLen >= 1, s"packSequences: seqLen must be >= 1, got $seqLen")
     require(nBuckets >= 1, s"packSequences: nBuckets must be >= 1, got $nBuckets")
-    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    // production pipelines SHUFFLE before packing so adjacent docs in a
+    // training sequence are decorrelated: with a salt, the bucket and
+    // the within-bucket order both follow the portable md5 draw (change
+    // the salt → a fresh epoch permutation, still fully deterministic
+    // and oracle-checkable); without, doc_id order (the stable layout)
+    val (bucketCol, orderCols) = shuffleSalt match {
+      case Some(salt) =>
+        val draw = mixBucket(col("doc_id"), salt)
+        (pmod(draw, lit(nBuckets.toLong)),
+          Seq(col("__draw"), col("doc_id")))
+      case None =>
+        (col("doc_id") % nBuckets, Seq(col("doc_id")))
+    }
+    val w = Window.partitionBy(col("bucket")).orderBy(orderCols: _*)
     val L = lit(seqLen.toLong)
     docs
-      .select(col("doc_id"), (col("doc_id") % nBuckets).as("bucket"),
+      .select(col("doc_id"),
+        shuffleSalt.map(s => mixBucket(col("doc_id"), s))
+          .getOrElse(lit(0L)).as("__draw"),
+        bucketCol.as("bucket"),
         size(words(col("text"))).cast("long").as("n_tokens"))
       // running token offset of this doc within its bucket's stream
       .withColumn("stream_off", sum(col("n_tokens")).over(w) - col("n_tokens"))

@@ -541,6 +541,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("prev_end").isNotNull && col("seg_start_w") =!= col("prev_end") + 1)
       .count()
     assert(gaps == 0)
+    // shuffled-epoch variant: identical conservation, but bucket and
+    // order ride the md5 draw — bucket must equal draw % n for every
+    // row, and the layout must actually differ from the doc_id order
+    val shuf = TextOps.packSequences(corpus, 64, 8, shuffleSalt = Some("s1"))
+    val tokS = shuf.agg(
+      sum(col("seg_end_w") - col("seg_start_w") + 1).as("seg"),
+      sum(when(col("seg_start_w") === 1, col("n_tokens")).otherwise(0L)).as("n"))
+      .as[(Long, Long)].head()
+    assert(tokS._1 == tokS._2, tokS)
+    val badBucket = shuf.where(col("bucket") =!=
+      expr("cast(conv(substr(md5(concat(cast(doc_id as string), ':s1')), 1, 6), 16, 10) as bigint) % 8"))
+      .count()
+    assert(badBucket == 0)
+    val plain = TextOps.packSequences(corpus, 64, 8)
+      .select("doc_id", "bucket", "pack_id", "seg_start_w").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val shufSet = shuf
+      .select("doc_id", "bucket", "pack_id", "seg_start_w").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    assert(plain != shufSet)
     intercept[IllegalArgumentException](TextOps.packSequences(docs, 0, 2))
     intercept[IllegalArgumentException](TextOps.packSequences(docs, 5, 0))
   }
