@@ -73,6 +73,11 @@ object SparkEntry {
       // the full cleaning pipeline a training-data run composes: quality
       // filter → exact dedup → keep-one-per-near-dup-cluster
       TextOps.cleanCorpus(Tables.tbl(s, dir, "documents"))),
+    "pipeline_clean_keep_longest" -> ((s, dir) =>
+      // same pipeline, KEEP-LONGEST representative per near-dup cluster
+      // (length-as-quality; ties → lowest doc_id) — near-dups often
+      // differ by truncation and min-id keeps the truncated copy
+      TextOps.cleanCorpusKeepLongest(Tables.tbl(s, dir, "documents"))),
     "pipeline_clean_spans" -> ((s, dir) => {
       // the two graft axes COMPOSED: corpus cleaning (quality → exact →
       // near-dup keep-one) with the interleaved span-sequence invariant
@@ -993,6 +998,31 @@ object SparkEntry {
          |         FROM reach GROUP BY node)
          |SELECT e.doc_id FROM exq e LEFT JOIN keep k ON e.doc_id = k.doc_id
          |WHERE k.keep_id IS NULL OR k.keep_id = e.doc_id""".stripMargin,
+    "pipeline_clean_keep_longest" ->
+      // same closure; the representative is the longest text per
+      // cluster (ties → lowest doc_id), singletons own their cluster
+      s"""WITH RECURSIVE
+         |qdocs AS (SELECT doc_id, text FROM documents
+         |          WHERE len(text) >= 50
+         |            AND len(list_distinct(string_split(text, ' '))) >= 10),
+         |exkeep AS (SELECT min(doc_id) AS doc_id FROM qdocs GROUP BY md5(text)),
+         |exq AS (SELECT q.doc_id, q.text FROM qdocs q JOIN exkeep USING (doc_id)),
+         |${minhashPairsCteOver("exq")},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mhpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM mhpairs),
+         |reach AS (SELECT src AS node, dst AS r FROM edges
+         |          UNION
+         |          SELECT e.src AS node, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+         |keep AS (SELECT node AS doc_id, least(node, min(r)) AS keep_id
+         |         FROM reach GROUP BY node),
+         |lab AS (SELECT e.doc_id, len(e.text) AS ln,
+         |          COALESCE(k.keep_id, e.doc_id) AS c
+         |        FROM exq e LEFT JOIN keep k ON e.doc_id = k.doc_id)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY c
+         |           ORDER BY ln DESC, doc_id ASC) AS rn
+         |  FROM lab)
+         |WHERE rn = 1""".stripMargin,
     "pipeline_clean_spans" ->
       // the clean-corpus survivor chain joined with the span-sequence
       // digest (axes composed: dedup must not disturb the per-row span

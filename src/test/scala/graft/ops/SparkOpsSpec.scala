@@ -470,6 +470,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.sampleMix(docs, Map("src0" -> 1.5)))
   }
 
+  test("cleanCorpusKeepLongest keeps the longest doc per cluster, ties to min id") {
+    import spark.implicits._
+    def t(d: Long, n: Int) = (d, (1 to n).map(i => s"w${d}x$i").mkString(" "))
+    val docs = Seq(t(1, 12), t(2, 20), t(3, 12), t(10, 12), t(11, 12), t(20, 12))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = TextOps.cleanCorpusKeepLongest(docs, 10, 5,
+      TextOps.precomputedPairSource(pairs))
+      .as[Long].collect().toSet
+    // cluster {1,2,3}: doc 2 is longest → kept; {10,11}: equal lengths
+    // → lowest id; doc 20 is a singleton → kept
+    assert(kept == Set(2L, 10L, 20L), kept)
+    // the min-id policy on the same input keeps doc 1 instead — the
+    // policies genuinely diverge on this corpus
+    val minKept = TextOps.cleanCorpus(docs, 10, 5,
+      TextOps.precomputedPairSource(pairs)).as[Long].collect().toSet
+    assert(minKept == Set(1L, 10L, 20L), minKept)
+    spark.catalog.clearCache()
+  }
+
   test("sampleToBudget: data-dependent rates equal the explicit-rate draw") {
     import spark.implicits._
     // srcA: 100 docs × 4 tokens = 400 total; srcB same; srcC unbudgeted
