@@ -172,6 +172,18 @@ object SparkEntry {
       // Gopher/Dolma-style repetition signals (top-word / top-bigram
       // concentration) — the quality-filter family next to text_quality
       TextOps.repetitionStats(Tables.tbl(s, dir, "documents"))),
+    "text_redact_pii" -> ((s, dir) =>
+      // PII scrub over deterministically injected contact lines (the
+      // synthetic corpus carries no natural PII — the injection makes
+      // the regexes bite on every row; the oracle injects identically)
+      TextOps.redactPii(
+        Tables.tbl(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or +1 (555) 01"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit("-4321"))))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("text").cast("binary")).as("text_md5"))),
 
     // ---- similarity search over `embeddings` ----
     // brute-force cosine bounded to a fixed query subset (vec_id % 20,
@@ -1228,6 +1240,27 @@ object SparkEntry {
         |SELECT bucket, doc_id, n_tokens, pack_id,
         |  greatest(1, pack_id * 64 - stream_off + 1) AS seg_start_w,
         |  least(n_tokens, (pack_id + 1) * 64 - stream_off) AS seg_end_w
+        |FROM e""".stripMargin,
+    "text_redact_pii" ->
+      // identical injection, then email-first redaction (phones counted
+      // on the email-redacted text, exactly as the engine does); 'g'
+      // flag — DuckDB replaces only the first match without it
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 01'
+        |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4321' AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id, t,
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |                       '<EMAIL>', 'g') AS t1
+        |      FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]',
+        |      '<PHONE>', 'g')) AS text_md5
         |FROM e""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1184,6 +1184,46 @@ object TextOps {
       size(array_distinct(w)).cast("long").as("n_uniq_tokens"))
   }
 
+  /** Email pattern shared by [[redactPii]] and its oracle — plain
+    * character classes + bounded quantifiers only, so Java regex
+    * (Spark) and RE2 (DuckDB) agree on every match.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone pattern: optional +, then ≥8 chars of digits/space/()/- with
+    * digits at both ends. Same portability contract as [[EmailPattern]].
+    */
+  val PhonePattern: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction — the scrub step a training pipeline runs before
+    * anything else sees the text: emails → `<EMAIL>`, then phone-shaped
+    * digit runs → `<PHONE>` (emails first ON PURPOSE: a digit-bearing
+    * local part must not be half-eaten by the phone pattern; phones are
+    * counted on the email-redacted text for the same reason). All
+    * original columns preserved with `text` replaced; `n_emails` /
+    * `n_phones` appended (match counts BEFORE each replacement).
+    *
+    * Pattern scope is deliberately conservative (the two
+    * unambiguous-by-shape PII classes); real deployments add
+    * jurisdiction-specific patterns — each added pattern must keep the
+    * Java/RE2 portability contract if oracle parity is wanted.
+    *
+    * Scale shape: a narrow per-row projection — ZERO shuffles, plan-
+    * audited alongside [[sampleMix]].
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), EmailPattern, "<EMAIL>")
+    val outCols = docs.columns.map {
+      case "text" => regexp_replace(afterEmail, PhonePattern, "<PHONE>").as("text")
+      case c => col(c)
+    }
+    docs.select(outCols.toIndexedSeq :+
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails") :+
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"): _*)
+  }
+
   /** Size of the [[mixBucket]] hash domain: 16^6 (6 md5 hex digits). */
   val MixBucketDomain: Long = 1L << 24
 

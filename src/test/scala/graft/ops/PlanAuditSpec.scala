@@ -95,6 +95,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!mixPlan.contains("Exchange"), mixPlan.take(2000))
     assert(!mixPlan.contains("Join"), mixPlan.take(2000))
+    // PII redaction shares the narrow-projection claim
+    val piiPlan = TextOps.redactPii(docs)
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), piiPlan.take(2000))
     // packing pays exactly its one declared shuffle: the per-bucket
     // window (hash partition on bucket), nothing else
     val packPlan = TextOps.packSequences(docs, 64, 8)

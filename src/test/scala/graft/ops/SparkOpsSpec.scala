@@ -470,6 +470,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.sampleMix(docs, Map("src0" -> 1.5)))
   }
 
+  test("redactPii: emails then phones, counts exact, non-PII untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jo.do+1@ex.co and JANE_99@sub.domain.org now"),
+      (2L, "call +1 (555) 010-9999 ok"),
+      (3L, "mixed u5@a.io then +44 20 7946 0958 done"),
+      (4L, "no pii here just words"),
+      (5L, "a@b and 12345 are too short to match")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(docs)
+      .select("doc_id", "text", "n_emails", "n_phones")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> and <EMAIL> now", 2L, 0L)), out(1L))
+    assert(out(2L) == (("call <PHONE> ok", 0L, 1L)), out(2L))
+    assert(out(3L) == (("mixed <EMAIL> then <PHONE> done", 1L, 1L)), out(3L))
+    assert(out(4L) == (("no pii here just words", 0L, 0L)))
+    // sub-threshold shapes (no TLD / too few digits) must NOT match
+    assert(out(5L) == (("a@b and 12345 are too short to match", 0L, 0L)), out(5L))
+  }
+
   test("cleanCorpusKeepLongest keeps the longest doc per cluster, ties to min id") {
     import spark.implicits._
     def t(d: Long, n: Int) = (d, (1 to n).map(i => s"w${d}x$i").mkString(" "))
