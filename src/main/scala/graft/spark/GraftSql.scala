@@ -25,7 +25,7 @@ object GraftSql {
     "to_authalic_lat", "to_geodetic_lat",
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm", "hamming64",
-    "mix_bucket6")
+    "mix_bucket6", "redact_pii")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -140,6 +140,14 @@ object GraftSql {
           .digest((id + ":" + salt).getBytes("UTF-8"))
         Some(((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL))
       })
+    // TextOps.redactPii's per-row kernel: emails then phone-shaped
+    // digit runs, same order and patterns as the DataFrame op (emails
+    // FIRST so a digit-bearing local part is not half-eaten)
+    r.register("redact_pii", (text: String) =>
+      if (text == null) null
+      else text
+        .replaceAll(graft.ops.TextOps.EmailPattern, "<EMAIL>")
+        .replaceAll(graft.ops.TextOps.PhonePattern, "<PHONE>"))
     ()
   }
 }

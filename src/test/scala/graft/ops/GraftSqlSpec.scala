@@ -159,6 +159,13 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(one("mix_bucket6('42', 'mix') = " +
           "conv(substr(md5('42:mix'), 1, 6), 16, 10)") == true)
         assert(one("mix_bucket6(CAST(NULL AS STRING), 'mix')") == null)
+      }),
+      "redact_pii" -> (() => {
+        assert(one("redact_pii('mail a9@ex.org and +1 (555) 010-9999 end')") ==
+          "mail <EMAIL> and <PHONE> end")
+        // sub-threshold shapes survive untouched
+        assert(one("redact_pii('a@b plus 12345 stay')") == "a@b plus 12345 stay")
+        assert(one("redact_pii(CAST(NULL AS STRING))") == null)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>

@@ -969,6 +969,39 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.contains(("d9", true, "")))
   }
 
+  test("stateless pipeline stages (sampleMix + redactPii) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the mixture draw and the PII scrub are narrow projections with no
+    // state — the SAME operator code must work under readStream without
+    // modification, and select the IDENTICAL sample (the md5 draw is
+    // deterministic, unlike rand()-sampling which would diverge per
+    // micro-batch)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "text", "source")
+    val out = TextOps.redactPii(
+      TextOps.sampleMix(stream, Map("a" -> 1.0, "b" -> 0.4)))
+    val q = out.writeStream.format("memory").queryName("mixstream")
+      .outputMode("append").start()
+    val data = (0L until 200L).map(i =>
+      (i, s"w$i mail u$i@x.io", if (i % 2 == 0) "a" else "b"))
+    // two batches — the second must keep drawing the same per-doc buckets
+    mem.addData(data.take(120): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(120): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, text, n_emails FROM mixstream")
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    val batch = TextOps.redactPii(
+      TextOps.sampleMix(data.toDF("doc_id", "text", "source"),
+        Map("a" -> 1.0, "b" -> 0.4)))
+      .select("doc_id", "text", "n_emails")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall(_._2.endsWith("<EMAIL>")))
+  }
+
   test("Q2DI round trip over res-3 cells") {
     import spark.implicits._
     import graft.spark.Q2diFunctions
