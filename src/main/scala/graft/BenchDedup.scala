@@ -278,6 +278,14 @@ object BenchDedupScaling {
       TextOps.packSequences(docsWarm, 1024, 64).count()) {
       TextOps.packSequences(docs, 1024, 1024).count()
     }
+    // exact top-fraction selection (round 6): range-repartition + prefix
+    // offsets, NO single-partition global window — the leg's evidence
+    // is the wall scaling with cores at all (the naive form cannot)
+    val topScore = size(array_distinct(split(col("text"), " "))).cast("long")
+    run("pipeline_select_top",
+      TextOps.selectTopFraction(docsWarm, topScore, 0.25).count()) {
+      TextOps.selectTopFraction(docs, topScore, 0.25).count()
+    }
     // THE end-to-end training-data pipeline (round 6): every stage the
     // engine provides, composed in ONE job over the 1M-doc corpus —
     // deterministic 50% mixture → PII scrub → quality filter + exact

@@ -154,6 +154,13 @@ object SparkEntry {
       // portable md5 draw (salt "shuf") — the decorrelated-epoch layout
       TextOps.packSequences(Tables.tbl(s, dir, "documents"), 64, 8,
         shuffleSalt = Some("shuf"))),
+    "pipeline_select_top" -> ((s, dir) =>
+      // exact top-30%-by-score selection (score = distinct tokens, ties
+      // common → the doc_id tiebreak is genuinely exercised) via the
+      // scale-safe ranked path — no single-partition global window
+      TextOps.selectTopFraction(Tables.tbl(s, dir, "documents"),
+        size(array_distinct(split(col("text"), " "))).cast("long"), 0.3)
+        .select(col("doc_id"), col("score"), col("global_rank"))),
     "pipeline_sample_budget" -> ((s, dir) =>
       // data-dependent mixture: rate = min(1, budget/total_tokens) per
       // source, then the same portable draw — budgets chosen so the
@@ -1178,6 +1185,19 @@ object SparkEntry {
         |   OR (source = 'src5' AND mix_bucket < 12582912)
         |   OR (source = 'src7' AND mix_bucket < 16777216)
         |   OR (source = 'src9' AND mix_bucket < 1677721)""".stripMargin,
+    "pipeline_select_top" ->
+      // the oracle USES the naive global window (fine at oracle scale);
+      // k = ceil(0.3 · n) with the same IEEE double product both sides
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, score,
+        |        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |          AS BIGINT) AS global_rank,
+        |        count(*) OVER () AS n
+        |      FROM s)
+        |SELECT doc_id, score, global_rank FROM r
+        |WHERE global_rank <= CAST(ceil(0.3 * n) AS BIGINT)""".stripMargin,
     "pipeline_sample_budget" ->
       // rate = ONE division, threshold = ONE multiply + floor — IEEE-
       // identical across engines; floor() first makes the BIGINT cast

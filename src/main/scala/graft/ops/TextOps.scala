@@ -1184,6 +1184,61 @@ object TextOps {
       size(array_distinct(w)).cast("long").as("n_uniq_tokens"))
   }
 
+  /** EXACT top-fraction selection by score — "keep the top 30% of docs
+    * by quality score", the selection step after [[qualityScore]]-style
+    * models, with the ordering made total by the doc_id tiebreak so the
+    * kept set is unique and oracle-checkable.
+    *
+    * The naive form (`row_number().over(Window.orderBy(...))` with no
+    * partition key) funnels the ENTIRE relation through one partition —
+    * the classic global-sort antipattern. This is the scale-safe exact
+    * equivalent: range-repartition on the sort key (each partition owns
+    * a contiguous score range), count rows per partition (a #partitions-
+    * sized driver collect), broadcast the prefix offsets back as a
+    * literal map, and compute global rank = partition offset + local
+    * row_number — every step parallel, no single-partition stage.
+    *
+    * The ranged relation is CACHED inside the operator: the range
+    * exchange's sampled boundaries can differ between independent jobs,
+    * and the partition counts and the rank pass must see the SAME
+    * physical partitioning (the cache pins it; the count that sizes `k`
+    * doubles as the materializing action). Callers release via
+    * `spark.catalog.clearCache()` per the class cache-lifecycle note.
+    *
+    * Returns the kept rows with `score` and `global_rank` (1-based)
+    * appended. Output is deterministic under any input partitioning:
+    * (score, doc_id) is a total order, so rank — and therefore the kept
+    * set — does not depend on where the range boundaries land.
+    */
+  def selectTopFraction(docs: DataFrame, score: Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"selectTopFraction: frac must be in (0, 1], got $frac")
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ranged = docs
+      .withColumn("score", score.cast("long"))
+      .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val k = math.ceil(frac * n).toLong
+    val offsets: Map[Int, Long] = counts.keys.toSeq.sorted
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), pid) =>
+        (pid, acc + counts(pid))
+      }
+      .sliding(2).collect { case Seq((_, acc), (pid, _)) => pid -> acc }.toMap
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    ranged
+      .withColumn("global_rank",
+        row_number().over(w).cast("long") +
+          element_at(typedLit(offsets), col("__pid")))
+      .where(col("global_rank") <= k)
+      .drop("__pid")
+  }
+
   /** Email pattern shared by [[redactPii]] and its oracle — plain
     * character classes + bounded quantifiers only, so Java regex
     * (Spark) and RE2 (DuckDB) agree on every match.

