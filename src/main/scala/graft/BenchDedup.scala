@@ -278,13 +278,67 @@ object BenchDedupScaling {
       TextOps.packSequences(docsWarm, 1024, 64).count()) {
       TextOps.packSequences(docs, 1024, 1024).count()
     }
-    // exact top-fraction selection (round 6): range-repartition + prefix
-    // offsets, NO single-partition global window — the leg's evidence
-    // is the wall scaling with cores at all (the naive form cannot)
-    val topScore = size(array_distinct(split(col("text"), " "))).cast("long")
-    run("pipeline_select_top",
-      TextOps.selectTopFraction(docsWarm, topScore, 0.25).count()) {
-      TextOps.selectTopFraction(docs, topScore, 0.25).count()
+    // per-key cap under adversarial skew: 70% of all rows share ONE key
+    // (the shape the cap exists for — a naive per-key window would push
+    // 0.7·n rows through one task); cap 100 per key via the salted
+    // two-stage top-k. Wall scaling with cores IS the evidence the hot
+    // key's rows really split across subgroup tasks
+    val capKey = when(pmod(col("doc_id"), lit(10)) < 7, lit("hot"))
+      .otherwise(concat(lit("k"), pmod(col("doc_id"), lit(10000))))
+    run("pipeline_cap_per_key",
+      TextOps.sampleCapPerKey(docsWarm, capKey, col("doc_id"), 100).count()) {
+      TextOps.sampleCapPerKey(docs, capKey, col("doc_id"), 100).count()
+    }
+    // exact top-fraction selection (round 6), measured over a PARQUET
+    // corpus (persisted once, untimed): selection is scan-bound, and a
+    // generated relation recomputes the whole corpus per pass — the
+    // production input is a lake table whose narrow re-scan reads two
+    // columns. Three forms over the SAME files:
+    //  - pipeline_select_top: exact ranks via range-repartition +
+    //    prefix offsets (one full-row exchange, no single-partition
+    //    stage)
+    //  - pipeline_select_top_filter: the kept SET via the exact k-th
+    //    cutoff — only the narrow (doc_id, score) projection is ever
+    //    shuffled; full rows never leave their partitions
+    //  - pipeline_select_top_naive (opt-in): the single-partition
+    //    global window, full rows through one task — the antipattern
+    //    the two operators replace; its serial term is the flat floor
+    if (only.isEmpty || only.exists(_.startsWith("pipeline_select_top"))) {
+      val topScore = size(array_distinct(split(col("text"), " "))).cast("long")
+      val docsDir = java.nio.file.Files.createTempDirectory("graft_seltop")
+      try {
+        docs.write.mode("overwrite").parquet(docsDir.toString)
+        spark.catalog.clearCache()
+        val pq = spark.read.parquet(docsDir.toString)
+        run("pipeline_select_top",
+          TextOps.selectTopFraction(docsWarm, topScore, 0.25).count()) {
+          TextOps.selectTopFraction(pq, topScore, 0.25).count()
+        }
+        run("pipeline_select_top_filter",
+          TextOps.selectTopFractionFilter(docsWarm, topScore, 0.25).count()) {
+          TextOps.selectTopFractionFilter(pq, topScore, 0.25).count()
+        }
+        if (only.contains("pipeline_select_top_naive")) {
+          import org.apache.spark.sql.expressions.Window
+          // same contract as the operators (full rows ranked, text
+          // included in the exchange) — projecting to (id, score)
+          // first would hide the funnel behind a narrow row
+          def naive(d: DataFrame): Long = {
+            val scored = d.withColumn("score", topScore)
+            val n = scored.count()
+            val k = math.ceil(0.25 * n).toLong
+            scored.withColumn("global_rank", row_number()
+                .over(Window.orderBy(col("score").desc, col("doc_id").asc))
+                .cast("long"))
+              .where(col("global_rank") <= k).count()
+          }
+          run("pipeline_select_top_naive", naive(docsWarm)) { naive(pq) }
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(docsDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     // THE end-to-end training-data pipeline (round 6): every stage the
     // engine provides, composed in ONE job over the 1M-doc corpus —

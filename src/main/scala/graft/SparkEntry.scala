@@ -161,6 +161,14 @@ object SparkEntry {
       TextOps.selectTopFraction(Tables.tbl(s, dir, "documents"),
         size(array_distinct(split(col("text"), " "))).cast("long"), 0.3)
         .select(col("doc_id"), col("score"), col("global_rank"))),
+    "pipeline_select_top_filter" -> ((s, dir) =>
+      // same top-30% selection via the cutoff-filter path: the kept SET
+      // (no ranks) computed with only a narrow (doc_id, score) shuffle —
+      // the form that survives 100 TB; oracle shares the kept-set
+      // semantics with pipeline_select_top minus the rank column
+      TextOps.selectTopFractionFilter(Tables.tbl(s, dir, "documents"),
+        size(array_distinct(split(col("text"), " "))).cast("long"), 0.3)
+        .select(col("doc_id"), col("score"), col("source"))),
     "pipeline_sample_budget" -> ((s, dir) =>
       // data-dependent mixture: rate = min(1, budget/total_tokens) per
       // source, then the same portable draw — budgets chosen so the
@@ -295,6 +303,22 @@ object SparkEntry {
       GridOps.cellsForGeoPoints(geo, "lon", "lat", 6)
         .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(3))).as("name3"))
         .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_cap_per_cell" -> ((s, dir) => {
+      // geo-stratified corpus thinning: at most 4 spans kept per res-1
+      // cell (~72 cells over 664 sf0.01 spans — the cap genuinely
+      // bites), selection by the portable md5 draw so the oracle
+      // reproduces every kept row and rank; row key = i·8+offset over
+      // the numeric id parsed from "doc-%012d" (offset < 8 by corpus
+      // construction, so the key is unique)
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      import graft.spark.{DggsFunctions => F}
+      val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 3)
+        .withColumn("name1", F.z7String(F.z7AncestorAt(col("cell_id"), lit(1))))
+      TextOps.sampleCapPerKey(cells, col("name1"),
+          substring(col("doc_id"), 5, 12).cast("long") * 8 + col("offset"), 4)
+        .select(col("doc_id"), col("offset"), col("name1"),
+          col("cap_bucket"), col("cap_rank"))
     }),
     "dggs_bin_values" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
@@ -788,6 +812,25 @@ object SparkEntry {
       s"""WITH $geoCellsCte
          |SELECT substr(c6, 1, 5) AS name3, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_cap_per_cell" ->
+      // Z7 ancestry = string-prefix truncation (res-1 name = 3 chars);
+      // the draw is the portable md5 bucket over the unique row key,
+      // the cap the same rank-≤-4 predicate the engine applies
+      s"""WITH $geoCellsCte,
+         |b AS (SELECT doc_id, "offset", substr(c3, 1, 3) AS name1,
+         |  CAST(substr(doc_id, 5, 12) AS BIGINT) * 8 + "offset" AS rk
+         |  FROM gc),
+         |bb AS (SELECT doc_id, "offset", name1, rk,
+         |  CAST(('0x' || substr(md5(CAST(rk AS VARCHAR) || ':cap'), 1, 6))
+         |    AS BIGINT) AS cap_bucket
+         |  FROM b),
+         |r AS (SELECT doc_id, "offset", name1, cap_bucket,
+         |        CAST(row_number() OVER (PARTITION BY name1
+         |          ORDER BY cap_bucket ASC, rk ASC)
+         |          AS BIGINT) AS cap_rank
+         |      FROM bb)
+         |SELECT doc_id, "offset", name1, cap_bucket, cap_rank
+         |FROM r WHERE cap_rank <= 4""".stripMargin,
     "dggs_bin_values" ->
       s"""WITH $geoCellsCte
          |SELECT c4 AS name,
@@ -1198,6 +1241,16 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, score, global_rank FROM r
         |WHERE global_rank <= CAST(ceil(0.3 * n) AS BIGINT)""".stripMargin,
+    "pipeline_select_top_filter" ->
+      """WITH s AS (SELECT doc_id, source,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk,
+        |        count(*) OVER () AS n
+        |      FROM s)
+        |SELECT doc_id, score, source FROM r
+        |WHERE rk <= CAST(ceil(0.3 * n) AS BIGINT)""".stripMargin,
     "pipeline_sample_budget" ->
       // rate = ONE division, threshold = ONE multiply + floor — IEEE-
       // identical across engines; floor() first makes the BIGINT cast

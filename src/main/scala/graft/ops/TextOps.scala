@@ -1239,6 +1239,63 @@ object TextOps {
       .drop("__pid")
   }
 
+  /** [[selectTopFraction]] without the rank column — the common "keep
+    * the top 30%" form, exact, at a fraction of the shuffle. Ranks
+    * force the full rows through one exchange (every row must meet its
+    * ordered neighbors); the kept SET only needs the k-th largest
+    * `(score, doc_id)` pair — a single cutoff value — so this path:
+    * range-partitions only the narrow `(doc_id, score)` projection,
+    * finds the partition holding global rank k from the per-partition
+    * counts (driver sees #partitions longs), sorts ONLY that partition
+    * to read the cutoff pair, then filters the original relation with a
+    * lexicographic comparison against the broadcast-free literal
+    * cutoff. The corpus is scanned twice but its full rows are never
+    * shuffled — at 100 TB a second parquet scan is cheap, a 100 TB
+    * exchange is not. Output = input rows (+ `score`), exactly the
+    * [[selectTopFraction]] kept set (spec-pinned equality).
+    */
+  def selectTopFractionFilter(docs: DataFrame, score: Column, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"selectTopFractionFilter: frac must be in (0, 1], got $frac")
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // the narrow projection is cached BEFORE range partitioning: the
+    // range sampler's boundary pass would otherwise be a third full
+    // scan of the input (score is recomputed per pass on a computed
+    // relation) — cached, both the sampler and the exchange read ~16
+    // bytes/row. The ranged relation is cached too so the count pass
+    // and the cutoff pass see one physical partitioning (not a
+    // recompute that merely happens to re-sample the same boundaries).
+    val narrow = docs
+      .select(col("doc_id"), score.cast("long").as("score")).cache()
+    val ranged = narrow
+      .repartitionByRange(parts, col("score").desc, col("doc_id").asc)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val scored = docs.withColumn("score", score.cast("long"))
+    if (n == 0) return scored.where(lit(false))
+    val k = math.ceil(frac * n).toLong
+    // partition owning global rank k, and the ranks before it
+    var acc = 0L; var cutPid = -1
+    for (pid <- counts.keys.toSeq.sorted if cutPid < 0) {
+      if (acc + counts(pid) >= k) cutPid = pid else acc += counts(pid)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val cut = ranged.where(col("__pid") === cutPid)
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === k - acc)
+      .select("score", "doc_id").collect().head
+    ranged.unpersist(false)
+    narrow.unpersist(false)
+    val (cs, cd) = (cut.getLong(0), cut.getLong(1))
+    scored.where(col("score") > cs ||
+      (col("score") === cs && col("doc_id") <= cd))
+  }
+
   /** Email pattern shared by [[redactPii]] and its oracle — plain
     * character classes + bounded quantifiers only, so Java regex
     * (Spark) and RE2 (DuckDB) agree on every match.
@@ -1367,6 +1424,54 @@ object TextOps {
       .join(broadcast(thresholds), "source")
       .where(col("mix_bucket") < col("__thr"))
       .drop("__thr")
+  }
+
+  /** Deterministic per-key downsampling cap — "keep at most k docs per
+    * DGGS cell" (geo-stratified corpus thinning against geographic
+    * skew: a web corpus has 10^6× more docs over cities than oceans),
+    * or per-domain / per-source caps with any key expression. The kept
+    * k are a uniform random subset per key, but drawn through the
+    * portable [[mixBucket]] hash (ordered by `(cap_bucket, id)` — a
+    * total order since `id` is unique by caller contract), so the
+    * selection is reproducible bit-for-bit on any engine and stable
+    * under re-runs and resumes, unlike `rand()`-ranked sampling.
+    *
+    * Scale shape — the naive form (`row_number` over a window per key)
+    * is one shuffle + one sort per key, which is fine until a hot key
+    * arrives: the whole point of applying a cap is that SOME keys hold
+    * a huge share of the corpus, and that key's full row set would
+    * funnel through one task. This is the exact two-stage form: stage 1
+    * windows over `(key, cap_bucket % subgroups)` — the hot key's rows
+    * split across `subgroups` tasks — and keeps k per subgroup (the
+    * global per-key top-k by `(cap_bucket, id)` is a subset of the
+    * union of subgroup top-k's, the standard salted top-k bound);
+    * stage 2 re-ranks the ≤ k·subgroups survivors per key, a relation
+    * bounded per key regardless of input skew. Both stages are plain
+    * shuffles on content keys; nothing touches the driver.
+    *
+    * Appends `cap_bucket` (the draw) and `cap_rank` (1-based rank among
+    * the key's kept rows). `subgroups` trades stage-1 fan-out against
+    * stage-2 size; correctness does not depend on it (spec-pinned).
+    */
+  def sampleCapPerKey(df: DataFrame, key: Column, id: Column, maxPerKey: Int,
+                      salt: String = "cap", subgroups: Int = 16): DataFrame = {
+    require(maxPerKey >= 1, s"sampleCapPerKey: maxPerKey must be >= 1, got $maxPerKey")
+    require(subgroups >= 1, s"sampleCapPerKey: subgroups must be >= 1, got $subgroups")
+    val drawn = df
+      .withColumn("cap_bucket", mixBucket(id, salt))
+      .withColumn("__cap_id", id)
+      .withColumn("__cap_key", key)
+    val w1 = Window
+      .partitionBy(col("__cap_key"), pmod(col("cap_bucket"), lit(subgroups)))
+      .orderBy(col("cap_bucket").asc, col("__cap_id").asc)
+    val w2 = Window.partitionBy(col("__cap_key"))
+      .orderBy(col("cap_bucket").asc, col("__cap_id").asc)
+    drawn
+      .withColumn("__r1", row_number().over(w1))
+      .where(col("__r1") <= maxPerKey)
+      .withColumn("cap_rank", row_number().over(w2).cast("long"))
+      .where(col("cap_rank") <= maxPerKey)
+      .drop("__r1", "__cap_id", "__cap_key")
   }
 
   /** GPT-style sequence packing (concatenate-and-chop): docs are

@@ -500,6 +500,68 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("selectTopFractionFilter: kept set == ranked path's, no ranks") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, (1 to (3 + (i % 7).toInt))
+      .map(j => s"t${i % 13}x$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(9)
+    val score = size(array_distinct(split(col("text"), " "))).cast("long")
+    val viaRank = TextOps.selectTopFraction(docs, score, 0.25)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    val viaFilter = TextOps.selectTopFractionFilter(docs, score, 0.25)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSet
+    assert(viaFilter == viaRank)
+    // full-row columns survive the filter path untouched
+    val cols = TextOps.selectTopFractionFilter(docs, score, 0.25).columns.toSeq
+    assert(cols == Seq("doc_id", "text", "score"))
+    // frac = 1.0 keeps everything
+    assert(TextOps.selectTopFractionFilter(docs, score, 1.0).count() == 1000L)
+    // empty input → empty output, no crash on the cutoff lookup
+    assert(TextOps.selectTopFractionFilter(
+      docs.where(lit(false)), score, 0.5).count() == 0L)
+    intercept[IllegalArgumentException](
+      TextOps.selectTopFractionFilter(docs, score, 1.5))
+  }
+
+  test("sampleCapPerKey: exact salted top-k per key, subgroup-invariant") {
+    import spark.implicits._
+    // one hot key (700 rows), some medium keys, some below-cap keys
+    val rows = (0L until 1000L).map { i =>
+      val key = if (i < 700) "hot" else if (i < 940) s"k${i % 6}" else s"solo$i"
+      (i, key)
+    }
+    val df = rows.toDF("id", "key").repartition(7)
+    val got = TextOps.sampleCapPerKey(df, col("key"), col("id"), 5)
+      .select("id", "key", "cap_bucket", "cap_rank")
+      .as[(Long, String, Long, Long)].collect()
+    // driver-side reference: md5 draw + per-key sort + cap
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:cap".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (k, rs) =>
+      rs.map { case (i, _) => (i, k, bucket(i)) }
+        .sortBy { case (i, _, b) => (b, i) }.take(5).zipWithIndex
+        .map { case ((i, k2, b), r) => (i, k2, b, (r + 1).toLong) }
+    }
+    assert(got.toSeq.sortBy(r => (r._2, r._4)) == want.sortBy(r => (r._2, r._4)))
+    // every key capped at 5; below-cap keys keep all their rows
+    val perKey = got.groupBy(_._2).view.mapValues(_.length)
+    assert(perKey("hot") == 5)
+    assert(rows.count(_._2.startsWith("solo")) ==
+      got.count(_._2.startsWith("solo")))
+    // correctness is subgroup-count-invariant (1 disables stage-1 split)
+    val g1 = TextOps.sampleCapPerKey(df, col("key"), col("id"), 5, subgroups = 1)
+      .select("id", "key", "cap_bucket", "cap_rank")
+      .as[(Long, String, Long, Long)].collect()
+    assert(g1.toSeq.sortBy(r => (r._2, r._4)) == got.toSeq.sortBy(r => (r._2, r._4)))
+    intercept[IllegalArgumentException](
+      TextOps.sampleCapPerKey(df, col("key"), col("id"), 0))
+  }
+
   test("redactPii: emails then phones, counts exact, non-PII untouched") {
     import spark.implicits._
     val docs = Seq(
