@@ -305,38 +305,94 @@ object BenchDedupScaling {
     //    the two operators replace; its serial term is the flat floor
     if (only.isEmpty || only.exists(_.startsWith("pipeline_select_top"))) {
       val topScore = size(array_distinct(split(col("text"), " "))).cast("long")
+      // the measured action must CONSUME text: a bare count() lets
+      // column pruning strip the text column before every exchange,
+      // so all three forms would shuffle identical narrow rows and the
+      // comparison would measure nothing (observed: "naive" at 4 MB
+      // shuffle). Summing text lengths over the kept set forces each
+      // path to carry full rows exactly where its plan says it does
+      def consume(d: DataFrame): Long = {
+        val r = d.agg(count(lit(1)), sum(length(col("text")))).collect()(0)
+        r.getLong(0) // out_rows stays a row count; the sum forces text
+      }
       val docsDir = java.nio.file.Files.createTempDirectory("graft_seltop")
       try {
         docs.write.mode("overwrite").parquet(docsDir.toString)
         spark.catalog.clearCache()
         val pq = spark.read.parquet(docsDir.toString)
         run("pipeline_select_top",
-          TextOps.selectTopFraction(docsWarm, topScore, 0.25).count()) {
-          TextOps.selectTopFraction(pq, topScore, 0.25).count()
+          consume(TextOps.selectTopFraction(docsWarm, topScore, 0.25))) {
+          consume(TextOps.selectTopFraction(pq, topScore, 0.25))
         }
         run("pipeline_select_top_filter",
-          TextOps.selectTopFractionFilter(docsWarm, topScore, 0.25).count()) {
-          TextOps.selectTopFractionFilter(pq, topScore, 0.25).count()
+          consume(TextOps.selectTopFractionFilter(docsWarm, topScore, 0.25))) {
+          consume(TextOps.selectTopFractionFilter(pq, topScore, 0.25))
         }
         if (only.contains("pipeline_select_top_naive")) {
           import org.apache.spark.sql.expressions.Window
           // same contract as the operators (full rows ranked, text
-          // included in the exchange) — projecting to (id, score)
-          // first would hide the funnel behind a narrow row
+          // included in the exchange) — the global window forces every
+          // full row through the single ordering task
           def naive(d: DataFrame): Long = {
             val scored = d.withColumn("score", topScore)
             val n = scored.count()
             val k = math.ceil(0.25 * n).toLong
-            scored.withColumn("global_rank", row_number()
+            consume(scored.withColumn("global_rank", row_number()
                 .over(Window.orderBy(col("score").desc, col("doc_id").asc))
                 .cast("long"))
-              .where(col("global_rank") <= k).count()
+              .where(col("global_rank") <= k))
           }
           run("pipeline_select_top_naive", naive(docsWarm)) { naive(pq) }
         }
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(docsDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    // incremental (batch-vs-corpus) dedup: the daily-delta modality —
+    // the corpus contributes ONLY its fingerprint snapshot (built and
+    // spooled to parquet once, untimed: in production it is maintained
+    // append-only across ingests), the timed job dedups an n/10-doc
+    // batch (half planted exact dups of corpus docs, half novel
+    // families) against it. Scale evidence: the snapshot side streams
+    // through broadcast probes — shuffle bytes must stay ~batch-sized,
+    // NOT corpus-sized — and the wall tracks the snapshot SCAN, the
+    // only corpus-proportional term
+    if (only.isEmpty || only.exists(_.startsWith("incr_"))) {
+      val printsDir = java.nio.file.Files.createTempDirectory("graft_prints")
+      try {
+        def consumeFp(d: DataFrame): Long =
+          d.agg(count(lit(1)), sum(length(col("exact_md5"))),
+            sum(size(col("sig")))).collect()(0).getLong(0)
+        run("incr_fingerprints",
+          consumeFp(TextOps.corpusFingerprints(docsWarm))) {
+          consumeFp(TextOps.corpusFingerprints(docs))
+        }
+        TextOps.corpusFingerprints(docs)
+          .write.mode("overwrite").parquet(printsDir.toString)
+        spark.catalog.clearCache()
+        val printsPq = spark.read.parquet(printsDir.toString)
+        // exact-dup half: corpus docs relabeled past the id space (text
+        // is already bound to the ORIGINAL id, so it stays a verbatim
+        // copy); novel half: families that start beyond the corpus
+        val newBatch = nearDupCorpus(spark, nDocs + nDocs / 20)
+          .where((col("doc_id") < nDocs / 10 && col("doc_id") % 2 === 0) ||
+            col("doc_id") >= nDocs)
+          .withColumn("doc_id", col("doc_id") + 10L * nDocs)
+        val newWarm = nearDupCorpus(spark, 1000)
+          .withColumn("doc_id", col("doc_id") + 10L * nDocs)
+        def consumeVd(d: DataFrame): Long =
+          d.agg(count(lit(1)), sum(length(col("verdict"))),
+            sum(col("est_jaccard"))).collect()(0).getLong(0)
+        run("incr_dedup",
+          consumeVd(TextOps.dedupIncremental(newWarm,
+            TextOps.corpusFingerprints(docsWarm)))) {
+          consumeVd(TextOps.dedupIncremental(newBatch, printsPq))
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(printsDir).iterator().asScala.toSeq
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }

@@ -60,6 +60,23 @@ object SparkEntry {
       TextOps.ngramJaccardPairs(Tables.tbl(s, dir, "documents"), 3, 0.8)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5)),
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-delta dedup against a lake fingerprint snapshot: corpus =
+      // 4/5 of the docs, new batch = the other 1/5, with every 10th id
+      // rewritten to carry the NEXT doc's text verbatim (a planted
+      // exact dup of a corpus doc — the base corpus has no exact dups);
+      // near/new verdicts come from the corpus's own near-dup families
+      val docs = Tables.tbl(s, dir, "documents")
+      val num = col("doc_id")
+      val corpus = docs.where(num % 5 =!= 0)
+      val raw = docs.where(num % 5 === 0)
+        .withColumn("__src", when(num % 10 === 0, num + 1).otherwise(num))
+      val newBatch = raw.as("r")
+        .join(docs.select(col("doc_id").as("__src"), col("text").as("__t")),
+          Seq("__src"), "left")
+        .select(col("r.doc_id"), coalesce(col("__t"), col("r.text")).as("text"))
+      TextOps.dedupIncremental(newBatch, TextOps.corpusFingerprints(corpus))
+    }),
     "dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(
         TextOps.minhashLshPairs(Tables.tbl(s, dir, "documents"), 3, 8, 2, 0.5))),
@@ -563,6 +580,30 @@ object SparkEntry {
 
   private lazy val minhashPairsCte = minhashPairsCteOver("documents")
 
+  /** shingle→minhash signature/band chain over `src`, every CTE name
+    * prefixed with `p` so TWO relations (corpus snapshot + new batch,
+    * each with its own per-relation DF cap) can coexist in one oracle —
+    * the chain mirrors minhashPairsCteOver's hash family exactly
+    */
+  private def sigCteOver(src: String, p: String) =
+    s"""${p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+       |        FROM ${p}words WHERE len(w) >= 3),
+       |${p}sh0 AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |            FROM ${p}idx),
+       |${p}shk AS (SELECT s FROM ${p}sh0 GROUP BY s HAVING count(*) <= 1000),
+       |${p}sh AS (SELECT doc_id, ${p}sh0.s AS s
+       |           FROM ${p}sh0 JOIN ${p}shk ON ${p}sh0.s = ${p}shk.s),
+       |${p}hashed AS (SELECT doc_id, md5('0|' || s) AS h0, md5('1|' || s) AS h1
+       |               FROM ${p}sh),
+       |${p}parts AS (SELECT doc_id, h,
+       |                substr(CASE WHEN h < 4 THEN h0 ELSE h1 END,
+       |                       (h % 4) * 8 + 1, 8) AS v
+       |              FROM ${p}hashed, (SELECT unnest(generate_series(0, 7)) AS h)),
+       |${p}sigs AS (SELECT doc_id, h, min(v) AS m FROM ${p}parts GROUP BY 1, 2),
+       |${p}bands AS (SELECT doc_id, h // 2 AS b, string_agg(m, ',' ORDER BY h) AS sig
+       |              FROM ${p}sigs GROUP BY 1, 2)""".stripMargin
+
   /** transitive closure of the minhash near-dup pairs: every doc gets
     * the minimum doc_id reachable in its component as keep_id — shared
     * by BOTH connected-component implementations (min-label propagation
@@ -1037,6 +1078,46 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $minhashPairsCte
          |SELECT doc_a, doc_b, jaccard FROM mhpairs""".stripMargin,
+    "dedup_incremental" ->
+      // same corpus/new-batch split as the query; the signature estimate
+      // is sum-of-agreeing-positions / 8 — ONE IEEE division, exact
+      // multiples of 1/8, so the >= 0.5 comparison and the est-desc
+      // tie-break are bit-identical across engines
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |newb AS (SELECT r.doc_id, coalesce(s.text, r.text) AS text
+         |         FROM (SELECT doc_id, text,
+         |                 CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
+         |                      ELSE doc_id END AS src
+         |               FROM documents WHERE doc_id % 5 = 0) r
+         |         LEFT JOIN documents s ON s.doc_id = r.src),
+         |${sigCteOver("corpus", "c")},
+         |${sigCteOver("newb", "n")},
+         |cxa AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |nxa AS (SELECT doc_id, md5(text) AS h FROM newb),
+         |ex AS (SELECT n.doc_id, min(c.doc_id) AS pid
+         |       FROM nxa n JOIN cxa c ON n.h = c.h GROUP BY 1),
+         |cand AS (SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+         |         FROM nbands n JOIN cbands p ON n.b = p.b AND n.sig = p.sig),
+         |mc AS (SELECT c.nid, c.pid,
+         |         CAST(sum(CASE WHEN ns.m = ps.m THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+         |       FROM cand c JOIN nsigs ns ON ns.doc_id = c.nid
+         |                   JOIN csigs ps ON ps.doc_id = c.pid AND ps.h = ns.h
+         |       GROUP BY 1, 2),
+         |nr0 AS (SELECT nid, pid, CAST(cnt AS DOUBLE) / 8 AS est FROM mc
+         |        WHERE CAST(cnt AS DOUBLE) / 8 >= 0.5),
+         |bn AS (SELECT nid, pid, est FROM (
+         |         SELECT nid, pid, est, row_number() OVER (PARTITION BY nid
+         |           ORDER BY est DESC, pid ASC) AS r FROM nr0)
+         |       WHERE r = 1)
+         |SELECT nb.doc_id,
+         |  CASE WHEN ex.pid IS NOT NULL THEN 'exact'
+         |       WHEN bn.pid IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict,
+         |  CASE WHEN ex.pid IS NOT NULL THEN ex.pid ELSE bn.pid END AS match_id,
+         |  CASE WHEN ex.pid IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |       ELSE bn.est END AS est_jaccard
+         |FROM newb nb LEFT JOIN ex ON ex.doc_id = nb.doc_id
+         |             LEFT JOIN bn ON bn.nid = nb.doc_id""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
     // SAME oracle on purpose: min-label propagation and large-star/
     // small-star contraction must agree on the clustering exactly

@@ -914,6 +914,121 @@ object TextOps {
       .groupBy("doc_id")
       .agg(min(md5(col("s").cast("binary"))).as("fp"), count(lit(1)).as("n_shingles"))
 
+  /** Lake-resident dedup fingerprint snapshot: one row per doc with the
+    * exact-content md5 and the full MinHash signature (same hash family
+    * as [[minhashSignatures]], as an `array<string>` of `numHashes`
+    * 8-hex-char values). This is the table a continuously-ingesting
+    * pipeline keeps per corpus snapshot so every new batch can be
+    * deduped against the existing corpus ([[dedupIncremental]]) without
+    * re-reading its text: ~100 B/doc vs ~10 KB/doc — the snapshot of a
+    * 10^12-doc corpus is ~1% of the corpus bytes, and in steady state
+    * it is APPENDED per ingest batch (fingerprint the batch, union),
+    * never recomputed. Docs with fewer than `k` words — or whose every
+    * shingle was DF-capped — get an EMPTY signature and participate in
+    * exact matching only (a doc with no admissible shingles has no
+    * similarity evidence either way).
+    *
+    * Scale shape: the shingle→minhash chain is one partial-aggregated
+    * pass ([[minhashWide]]); stitching the signature onto the md5 row
+    * is one equi-join on doc_id (AQE-broadcast when a batch is small;
+    * at snapshot-build scale both sides co-shuffle on doc_id once).
+    */
+  def corpusFingerprints(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
+                         maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val sigs = minhashWide(cappedShingles(docs, k, maxDf), numHashes)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(h => col(s"m$h")): _*).as("sig"))
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("exact_md5"))
+      .join(sigs, Seq("doc_id"), "left")
+      .withColumn("sig", coalesce(col("sig"), array().cast("array<string>")))
+  }
+
+  /** Incremental (batch-vs-corpus) dedup: classify each NEW doc against
+    * a lake-resident [[corpusFingerprints]] snapshot as `exact`
+    * (identical text exists in the corpus), `near` (shares a full LSH
+    * band with a corpus doc AND the signature-estimated Jaccard — the
+    * fraction of agreeing minhash positions — clears `minEstJaccard`),
+    * or `new`. Returns `(doc_id, verdict, match_id, est_jaccard)` with
+    * `match_id` the matched corpus doc (exact: minimum matching id;
+    * near: highest estimate, ties to the minimum id) and `est_jaccard`
+    * 1.0 for exact matches. This is the daily-delta modality: a real
+    * pipeline dedups each ingest batch against 10^12 existing docs and
+    * CANNOT re-cluster the corpus per batch — here the corpus
+    * contributes only its fingerprint scan.
+    *
+    * Unlike [[minhashLshPairs]] there is no exact-Jaccard refine: the
+    * corpus text is by design not available, so the similarity verdict
+    * is the signature estimate (that is the accuracy/IO trade the
+    * fingerprint table buys; raise `numHashes` at snapshot-build time
+    * for a tighter estimate). The DF cap is computed per relation —
+    * the batch's own caps for the batch, the snapshot's caps as frozen
+    * at snapshot build — so fingerprinting is append-only.
+    *
+    * Scale shape (`broadcastNew = true`, the delta ≪ corpus contract):
+    * the new batch's fingerprints broadcast to BOTH probe joins (exact
+    * md5 equi-join, banded sig equi-join), so the snapshot relation
+    * streams through map-side joins — zero shuffle of the 10^12-row
+    * side; everything after the probes is bounded by matches, not by
+    * corpus size. With `broadcastNew = false` both joins fall back to
+    * AQE-planned shuffles for delta batches past the broadcast ceiling.
+    */
+  def dedupIncremental(newDocs: DataFrame, prints: DataFrame, k: Int = 3,
+                       numHashes: Int = 8, rowsPerBand: Int = 2,
+                       minEstJaccard: Double = 0.5,
+                       maxDf: Long = DefaultMaxShingleDf,
+                       broadcastNew: Boolean = true): DataFrame = {
+    require(minEstJaccard > 0.0 && minEstJaccard <= 1.0,
+      s"dedupIncremental: minEstJaccard must be in (0, 1], got $minEstJaccard")
+    val nf = corpusFingerprints(newDocs, k, numHashes, maxDf).cache()
+    def maybeB(df: DataFrame): DataFrame = if (broadcastNew) broadcast(df) else df
+    // exact: md5 probe; min matching corpus id, deterministic
+    val exact = maybeB(nf).as("n")
+      .join(prints.as("p"), col("n.exact_md5") === col("p.exact_md5"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("p.doc_id")).as("ex_id"))
+    // near: same banding as minhashLshPairs (ceil-divide; a trailing
+    // partial band participates), but against the SNAPSHOT bands
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    def bandsOf(fp: DataFrame): DataFrame = {
+      val bandStructs = (0 until nBands).map { b =>
+        struct(lit(b).as("b"),
+          concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+            .as("bsig"))
+      }
+      fp.where(size(col("sig")) === numHashes)
+        .select(col("doc_id"), col("sig"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col("doc_id"), col("sig"),
+          col("bs.b").as("b"), col("bs.bsig").as("bsig"))
+    }
+    val est = (size(filter(zip_with(col("n.sig"), col("p.sig"),
+        (a, b) => a === b), x => x)).cast("double") / numHashes)
+      .as("est_jaccard")
+    val near = maybeB(bandsOf(nf)).as("n")
+      .join(bandsOf(prints).as("p"),
+        col("n.b") === col("p.b") && col("n.bsig") === col("p.bsig"))
+      .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("match_id"), est)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .distinct()
+    val bestNear = near
+      .withColumn("__r", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("est_jaccard").desc, col("match_id").asc)))
+      .where(col("__r") === 1)
+      .select(col("doc_id"), col("match_id").as("nr_id"),
+        col("est_jaccard").as("nr_est"))
+    newDocs.select("doc_id")
+      .join(maybeB(exact), Seq("doc_id"), "left")
+      .join(maybeB(bestNear), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_id").isNotNull, lit("exact"))
+          .when(col("nr_id").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("ex_id").isNotNull, col("ex_id"))
+          .otherwise(col("nr_id")).as("match_id"),
+        when(col("ex_id").isNotNull, lit(1.0))
+          .otherwise(col("nr_est")).as("est_jaccard"))
+  }
+
   /** Near-dup PAIR GENERATORS for [[cleanCorpus]] — each maps the
     * surviving `(doc_id, text, …)` relation to `(doc_a, doc_b)` pairs
     * and feeds the same CC keep-one tail (round-4 verdict #6). The

@@ -562,6 +562,54 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       TextOps.sampleCapPerKey(df, col("key"), col("id"), 0))
   }
 
+  test("dedupIncremental: exact/near/new verdicts vs a fingerprint snapshot") {
+    import spark.implicits._
+    def run30(tag: String) = (1 to 30).map(j => s"$tag$j").mkString(" ")
+    val corpus = Seq(
+      "c1" -> run30("a"),
+      "c2" -> run30("b"),
+      "c5" -> run30("b"),          // second exact copy: match must pick min id
+      "c3" -> "p q r p q r p",
+      "c6" -> "p q r p q r p q r", // same shingle SET as c3 (distinct text)
+      "c4" -> "tiny doc"           // < k words: exact-only fingerprint
+    ).toDF("doc_id", "text")
+    val newb = Seq(
+      "n1" -> run30("b"),          // exact dup of c2/c5 → min id c2
+      "n2" -> "p q r p q r p q",   // shingle set == c3/c6, text differs →
+                                   // near, est exactly 1.0, tie → c3
+      "n3" -> run30("z"),          // novel long doc
+      "n4" -> "tiny doc",          // exact dup of the shingle-less c4
+      "n5" -> "um doc"             // novel shingle-less doc
+    ).toDF("doc_id", "text")
+    val prints = TextOps.corpusFingerprints(corpus)
+    // empty-sig contract: shingle-less docs carry sig = [] in the snapshot
+    val sigSizes = prints.select(col("doc_id"), size(col("sig")))
+      .as[(String, Int)].collect().toMap
+    assert(sigSizes("c4") == 0 && sigSizes("c2") == 8)
+    val got = TextOps.dedupIncremental(newb, prints)
+      .as[(String, String, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("n1") == (("exact", Some("c2"), Some(1.0))))
+    assert(got("n2") == (("near", Some("c3"), Some(1.0))))
+    assert(got("n3") == (("new", None, None)))
+    assert(got("n4") == (("exact", Some("c4"), Some(1.0))))
+    assert(got("n5") == (("new", None, None)))
+    // snapshot side streams through map-side probes: broadcast joins,
+    // no sort-merge anywhere in the plan
+    val res = TextOps.dedupIncremental(newb, prints)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+    // the shuffle fallback must produce the identical verdict table
+    val shuf = TextOps.dedupIncremental(newb, prints, broadcastNew = false)
+      .as[(String, String, Option[String], Option[Double])].collect().toSet
+    assert(shuf == got.map { case (d, (v, m, e)) => (d, v, m, e) }.toSet)
+    intercept[IllegalArgumentException](
+      TextOps.dedupIncremental(newb, prints, minEstJaccard = 0.0))
+    spark.catalog.clearCache()
+  }
+
   test("redactPii: emails then phones, counts exact, non-PII untouched") {
     import spark.implicits._
     val docs = Seq(
@@ -1092,6 +1140,46 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
     assert(streamed.forall(_._2.endsWith("<EMAIL>")))
+  }
+
+  test("dedupIncremental per micro-batch via foreachBatch == batch run") {
+    import spark.implicits._
+    // the production streaming-ingest shape: each arriving micro-batch
+    // is deduped against the STATIC lake fingerprint snapshot inside
+    // foreachBatch (the verdict join uses a per-batch window, so it
+    // runs as a batch job per trigger, not as a stateful stream)
+    def run30(tag: String) = (1 to 30).map(j => s"$tag$j").mkString(" ")
+    val corpus = Seq("c1" -> run30("a"), "c2" -> run30("b"))
+      .toDF("doc_id", "text")
+    val prints = TextOps.corpusFingerprints(corpus).cache()
+    prints.count()
+    val data = Seq("n1" -> run30("b"), "n2" -> run30("x"),
+      "n3" -> run30("a"), "n4" -> run30("y"))
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Option[String])]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextOps.dedupIncremental(batch, prints)
+          .select("doc_id", "verdict", "match_id")
+          .as[(String, String, Option[String])].collect().foreach(acc.add)
+        ()
+      }.start()
+    mem.addData(data.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val streamed = acc.asScala.toSet
+    val batchRun = TextOps.dedupIncremental(
+        data.toDF("doc_id", "text"), prints)
+      .select("doc_id", "verdict", "match_id")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(streamed == batchRun && streamed.nonEmpty)
+    assert(streamed.contains(("n1", "exact", Some("c2"))))
+    assert(streamed.contains(("n2", "new", None)))
+    spark.catalog.clearCache()
   }
 
   test("Q2DI round trip over res-3 cells") {
