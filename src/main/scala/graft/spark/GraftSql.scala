@@ -25,7 +25,7 @@ object GraftSql {
     "to_authalic_lat", "to_geodetic_lat",
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm", "hamming64",
-    "mix_bucket6", "redact_pii")
+    "mix_bucket6", "redact_pii", "sig_match_frac")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -148,6 +148,20 @@ object GraftSql {
       else text
         .replaceAll(graft.ops.TextOps.EmailPattern, "<EMAIL>")
         .replaceAll(graft.ops.TextOps.PhonePattern, "<PHONE>"))
+    // TextOps.dedupIncremental's estimate kernel: fraction of agreeing
+    // minhash-signature positions (positionwise, zip to the shorter) —
+    // a SQL-only user can score any two fingerprint rows with
+    // `sig_match_frac(a.sig, b.sig) >= 0.5`. Empty/length-mismatched
+    // signatures raise: a silent 0.0 would read as "not similar" when
+    // the real condition is "not comparable".
+    r.register("sig_match_frac", (a: Seq[String], b: Seq[String]) =>
+      if (a == null || b == null) None
+      else if (a.isEmpty || a.length != b.length)
+        throw new IllegalArgumentException(
+          s"sig_match_frac: signatures must be equal-length and non-empty, " +
+            s"got ${a.length} and ${b.length}")
+      else Some(a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+        .toDouble / a.length))
     ()
   }
 }

@@ -166,6 +166,16 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         // sub-threshold shapes survive untouched
         assert(one("redact_pii('a@b plus 12345 stay')") == "a@b plus 12345 stay")
         assert(one("redact_pii(CAST(NULL AS STRING))") == null)
+      }),
+      "sig_match_frac" -> (() => {
+        assert(one("sig_match_frac(array('a','b','c','d'), array('a','x','c','y'))")
+          == 0.5)
+        assert(one("sig_match_frac(array('a'), array('a'))") == 1.0)
+        assert(one("sig_match_frac(CAST(NULL AS ARRAY<STRING>), array('a'))")
+          == null)
+        val e = intercept[Exception](
+          one("sig_match_frac(array('a','b'), array('a'))"))
+        assert(e.getMessage.contains("equal-length"), e.getMessage)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>
