@@ -1411,6 +1411,36 @@ object TextOps {
       (col("score") === cs && col("doc_id") <= cd))
   }
 
+  /** One full ingest round over a fingerprint snapshot: classify the
+    * batch with [[dedupIncremental]], then append the fingerprints of
+    * the docs that SURVIVED (verdict `new`, plus `near` when
+    * `admitNear`) to the snapshot. Returns `(verdicts, updatedPrints)`
+    * — the updated snapshot is what the next batch dedups against, so
+    * successive batches are deduped against earlier batches' survivors
+    * as well as the original corpus, without any corpus recompute:
+    * the snapshot only ever APPENDS batch-sized increments (in
+    * production: write the increment to the lake table; the union here
+    * is the same relation). Exact dups and (when `admitNear` is false)
+    * near dups are NOT fingerprinted — admitting a duplicate's
+    * fingerprint would make it a future match target and shadow the
+    * canonical doc.
+    */
+  def ingestBatch(newDocs: DataFrame, prints: DataFrame, k: Int = 3,
+                  numHashes: Int = 8, rowsPerBand: Int = 2,
+                  minEstJaccard: Double = 0.5,
+                  maxDf: Long = DefaultMaxShingleDf,
+                  broadcastNew: Boolean = true,
+                  admitNear: Boolean = false): (DataFrame, DataFrame) = {
+    val verdicts = dedupIncremental(newDocs, prints, k, numHashes,
+      rowsPerBand, minEstJaccard, maxDf, broadcastNew).cache()
+    val admitted = if (admitNear) Seq("new", "near") else Seq("new")
+    val survivors = newDocs.join(
+      verdicts.where(col("verdict").isInCollection(admitted))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    (verdicts, prints.unionByName(
+      corpusFingerprints(survivors, k, numHashes, maxDf)))
+  }
+
   /** Email pattern shared by [[redactPii]] and its oracle — plain
     * character classes + bounded quantifiers only, so Java regex
     * (Spark) and RE2 (DuckDB) agree on every match.

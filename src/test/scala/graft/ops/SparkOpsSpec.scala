@@ -610,6 +610,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("ingestBatch: successive batches dedup against earlier survivors") {
+    import spark.implicits._
+    def run30(tag: String) = (1 to 30).map(j => s"$tag$j").mkString(" ")
+    val corpus = Seq("c1" -> run30("a")).toDF("doc_id", "text")
+    val prints0 = TextOps.corpusFingerprints(corpus)
+    // batch 1: one novel doc (admitted), one exact dup of the corpus
+    val b1 = Seq("d1" -> run30("q"), "d2" -> run30("a")).toDF("doc_id", "text")
+    val (v1, prints1) = TextOps.ingestBatch(b1, prints0)
+    val got1 = v1.select("doc_id", "verdict", "match_id")
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got1("d1") == (("new", None)))
+    assert(got1("d2") == (("exact", Some("c1"))))
+    // the snapshot grew by EXACTLY the survivor (d1), not the dup
+    assert(prints1.select("doc_id").as[String].collect().toSet ==
+      Set("c1", "d1"))
+    // batch 2: an exact dup of batch 1's SURVIVOR — catchable only
+    // because the snapshot was appended; plus a dup of the dropped d2
+    // text, which must match the CANONICAL c1, not the absent d2
+    val b2 = Seq("e1" -> run30("q"), "e2" -> run30("a")).toDF("doc_id", "text")
+    val (v2, prints2) = TextOps.ingestBatch(b2, prints1)
+    val got2 = v2.select("doc_id", "verdict", "match_id")
+      .as[(String, String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2("e1") == (("exact", Some("d1"))))
+    assert(got2("e2") == (("exact", Some("c1"))))
+    assert(prints2.select("doc_id").as[String].collect().toSet ==
+      Set("c1", "d1"))
+    // admitNear = true fingerprints near-dups too
+    val nearDoc = Seq("f1" -> "p q r p q r p").toDF("doc_id", "text")
+    val base = Seq("c9" -> "p q r p q r p q r").toDF("doc_id", "text")
+    val (v3, prints3) = TextOps.ingestBatch(nearDoc,
+      TextOps.corpusFingerprints(base), admitNear = true)
+    assert(v3.select("verdict").as[String].collect().toSeq == Seq("near"))
+    assert(prints3.select("doc_id").as[String].collect().toSet ==
+      Set("c9", "f1"))
+    spark.catalog.clearCache()
+  }
+
   test("redactPii: emails then phones, counts exact, non-PII untouched") {
     import spark.implicits._
     val docs = Seq(
