@@ -282,6 +282,19 @@ object SparkEntry {
       // independent of the byte-level PNM path exercised here
       MediaOps.aHashPairs(MediaOps.syntheticPnmImages(
         Tables.tbl(s, dir, "documents")))),
+    "media_audio_features" -> ((s, dir) =>
+      // real RIFF/PCM16 decode → integer-exact descriptors; the oracle
+      // recomputes every value from the window formula (no WAV bytes
+      // on the oracle side — the codec path is the thing under test)
+      MediaOps.audioFeatures(MediaOps.syntheticWavCorpus(
+        Tables.tbl(s, dir, "documents"))).toDF()),
+    "media_audio_near_dup" -> ((s, dir) =>
+      // perceptual audio near-dup: synthetic PCM16 WAVs (family
+      // doc_id/5, variant doc_id%5, 64 ten-frame energy windows) →
+      // REAL decodeWav samples → windowed-energy 64-bit hash → the
+      // SAME shared banding engine as image/text near-dup
+      MediaOps.audioHashPairs(MediaOps.syntheticWavCorpus(
+        Tables.tbl(s, dir, "documents")))),
     "raster_points" -> ((s, _) => {
       val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
       RasterOps.pixelsToPoints(RasterOps.syntheticRaster(s, 256, 256, 64), t)
@@ -828,6 +841,38 @@ object SparkEntry {
       |         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
       |                    '' ORDER BY p) AS ahash64
       |       FROM nib GROUP BY 1)""".stripMargin
+
+  /** per-window abs-sums + windowed-energy hash of the synthetic WAV
+    * corpus, recomputed from the WINDOW formula
+    * (MediaOps.syntheticWavCorpus: window w of family f loud iff
+    * md5("f:w")'s first nibble ≥ 8, flipped for w < v; 10 frames of
+    * |sample| 12000 loud / 500 quiet) — independent of the engine's
+    * byte path (WAV encode → decodeWav → frame sums). Bit w set iff
+    * windowSum×64 > clip total; hex assembly as in the image hash.
+    * Final relations: `ws(media_id, w, wsum)`, `ah(media_id, audio64)`.
+    */
+  private val audioWindowCte =
+    """aw AS (SELECT doc_id AS media_id, doc_id // 5 AS f, doc_id % 5 AS v
+      |       FROM documents),
+      |ws AS (SELECT media_id, w,
+      |         CASE WHEN (strpos('0123456789abcdef',
+      |                     substr(md5(CAST(f AS VARCHAR) || ':' ||
+      |                                CAST(w AS VARCHAR)), 1, 1)) - 1 >= 8)
+      |                   <> (w < v)
+      |              THEN 120000 ELSE 5000 END AS wsum
+      |       FROM aw, (SELECT unnest(generate_series(0, 63)) AS w)),
+      |atot AS (SELECT media_id, sum(wsum) AS ts FROM ws GROUP BY 1),
+      |abits AS (SELECT ws.media_id, w,
+      |            CASE WHEN wsum * 64 > ts THEN 1 ELSE 0 END AS bit
+      |          FROM ws JOIN atot ON ws.media_id = atot.media_id),
+      |anib AS (SELECT media_id, w // 4 AS p,
+      |           sum(bit * (CASE w % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+      |                      WHEN 2 THEN 2 ELSE 1 END)) AS nv
+      |         FROM abits GROUP BY 1, 2),
+      |ah AS (SELECT media_id,
+      |         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+      |                    '' ORDER BY p) AS audio64
+      |       FROM anib GROUP BY 1)""".stripMargin
 
   /** random-hyperplane LSH bucket over a DOUBLE[] column `v` (the same
     * deterministic md5-derived hyperplanes as VectorOps.lshBuckets)
@@ -1556,6 +1601,38 @@ object SparkEntry {
       s"""WITH $mediaAHashCte,
          |ih AS (SELECT media_id, ahash64, ${hash64HalvesSql("ahash64")} FROM mh),
          |bands0 AS (SELECT media_id, hi, lo, b, substr(ahash64, b*4 + 1, 4) AS key
+         |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
+         |          HAVING count(*) <= 10000),
+         |bands AS (SELECT bands0.* FROM bands0
+         |          JOIN bkeep ON bands0.b = bkeep.b AND bands0.key = bkeep.key),
+         |cand AS (SELECT DISTINCT x.media_id AS media_a, x.hi AS hi_a,
+         |                x.lo AS lo_a, y.media_id AS media_b, y.hi AS hi_b,
+         |                y.lo AS lo_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id),
+         |ham AS (SELECT media_a, media_b,
+         |          bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |            AS hamming
+         |        FROM cand)
+         |SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 3""".stripMargin,
+    "media_audio_features" ->
+      // constants are the generator's fixed shape (8 kHz mono, 640
+      // alternating-sign frames → 639 strict sign changes); peak and
+      // abs-sum vary per family/variant through the window formula
+      s"""WITH $audioWindowCte
+         |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels, CAST(640 AS BIGINT) AS n_frames,
+         |  CAST(639 AS BIGINT) AS zero_crossings,
+         |  CAST(max(CASE WHEN wsum = 120000 THEN 12000 ELSE 500 END) AS BIGINT)
+         |    AS peak_abs,
+         |  CAST(sum(wsum) AS BIGINT) AS abs_sum
+         |FROM ws GROUP BY media_id""".stripMargin,
+    "media_audio_near_dup" ->
+      s"""WITH $audioWindowCte,
+         |ih AS (SELECT media_id, audio64, ${hash64HalvesSql("audio64")} FROM ah),
+         |bands0 AS (SELECT media_id, hi, lo, b, substr(audio64, b*4 + 1, 4) AS key
          |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
          |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
          |          HAVING count(*) <= 10000),

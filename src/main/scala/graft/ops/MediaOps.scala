@@ -379,4 +379,264 @@ object MediaOps {
     TextOps.hamming64Pairs(aHash(media), "media_id", "ahash64",
         maxHamming, maxBandDf)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+
+  // ---- audio: real RIFF/PCM16 WAV codec + features + near-dup hash ----
+
+  final case class WavAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short]) {
+    def frames: Int = samples.length / channels
+  }
+  final case class WavMedia(media_id: Long, payload: Array[Byte])
+  final case class AudioHash(media_id: Long, audio64: String)
+  final case class AudioFeature(media_id: Long, sample_rate: Long,
+                                channels: Long, n_frames: Long,
+                                zero_crossings: Long, peak_abs: Long,
+                                abs_sum: Long)
+
+  /** Strict RIFF/WAVE decoder for 16-bit PCM (the one WAV shape a
+    * training corpus normalizes to; no codec libraries in this
+    * environment, and none are needed — PCM16 is a header + LE
+    * samples). Returns None iff the payload does not carry the
+    * RIFF/WAVE magic (not a WAV claim at all); any malformed WAV —
+    * wrong RIFF size, non-PCM format tag, non-16-bit samples,
+    * inconsistent block align/byte rate, odd data size, chunk
+    * overrun, data before fmt, missing chunks — raises loudly, same
+    * contract as [[decodePnm]]. Unknown chunks (LIST/INFO/fact…) are
+    * skipped per the RIFF spec, including the odd-size pad byte; the
+    * chunk walk must land EXACTLY on payload end, so trailing garbage
+    * that is not a well-formed chunk raises rather than being ignored.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload.length < 12 || payload(0) != 'R' || payload(1) != 'I' ||
+      payload(2) != 'F' || payload(3) != 'F' || payload(8) != 'W' ||
+      payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E') return None
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed WAV payload: $msg")
+    def u16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+      ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    val riffSize = u32(4)
+    if (riffSize != payload.length - 8L)
+      fail(s"RIFF size $riffSize != payload length - 8 (${payload.length - 8})")
+    var pos = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    var data: Option[Array[Short]] = None
+    while (pos < payload.length) {
+      if (payload.length - pos < 8) fail(s"truncated chunk header at byte $pos")
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val size = u32(pos + 4)
+      pos += 8
+      if (size > payload.length - pos)
+        fail(s"chunk '$id' of $size bytes overruns payload at byte $pos")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too small ($size bytes)")
+          val audioFormat = u16(pos)
+          if (audioFormat != 1)
+            fail(s"audio format $audioFormat unsupported (PCM=1 only)")
+          val ch = u16(pos + 2)
+          val sr = u32(pos + 4)
+          val byteRate = u32(pos + 8)
+          val blockAlign = u16(pos + 12)
+          val bits = u16(pos + 14)
+          if (bits != 16)
+            fail(s"$bits bits/sample unsupported (16-bit PCM only)")
+          if (ch <= 0 || sr <= 0 || sr > Int.MaxValue)
+            fail(s"invalid channels ($ch) or sample rate ($sr)")
+          if (blockAlign != ch * 2)
+            fail(s"block align $blockAlign != channels*2 (${ch * 2})")
+          if (byteRate != sr * blockAlign)
+            fail(s"byte rate $byteRate != sampleRate*blockAlign (${sr * blockAlign})")
+          fmt = Some((ch, sr.toInt))
+        case "data" =>
+          val (ch, _) = fmt.getOrElse(fail("data chunk before fmt chunk"))
+          if (size % 2 != 0) fail(s"odd data chunk size $size")
+          val n = (size / 2).toInt
+          if (n % ch != 0)
+            fail(s"data holds $n samples, not a multiple of $ch channels")
+          val ss = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            ss(i) = ((payload(pos + 2 * i) & 0xFF) |
+              (payload(pos + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          data = Some(ss)
+        case _ => () // unknown chunk: skip (RIFF metadata is legal)
+      }
+      pos += size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    val (ch, sr) = fmt.getOrElse(fail("missing fmt chunk"))
+    val ss = data.getOrElse(fail("missing data chunk"))
+    Some(WavAudio(sr, ch, ss))
+  }
+
+  /** canonical 44-byte-header PCM16 WAV writer (round-trips through
+    * [[decodeWav]] bit-exactly; the synthetic corpus generator)
+    */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0,
+      s"encodeWav: invalid sampleRate=$sampleRate channels=$channels")
+    require(samples.length % channels == 0,
+      s"encodeWav: ${samples.length} samples not a multiple of $channels channels")
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Deterministic WAV corpus mirroring [[syntheticPnmImages]]'
+    * family/variant structure in the time domain: family f, variant
+    * v = id%5; 640 mono frames at 8 kHz split into 64 ten-frame
+    * windows; window w is LOUD (|sample| 12000) iff md5("f:w")'s first
+    * nibble ≥ 8, XOR flipped for w < v, else QUIET (|sample| 500);
+    * samples alternate sign per frame. Because a loud window's abs-sum
+    * (120k) clears the 64×-mean threshold for every loud/quiet mix
+    * except the all-loud degenerate family, within-family
+    * [[audioHash64Hex]] Hamming distance = |variant delta| exactly —
+    * the same planted geometry as the image corpus, so the two
+    * modalities share verification logic.
+    */
+  def syntheticWavCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val (f, v) = (id / 5, id % 5)
+        val loud = Array.tabulate(64) { w =>
+          val d = md.digest(s"$f:$w".getBytes("US-ASCII"))
+          (((d(0) >> 4) & 0xF) >= 8) ^ (w < v)
+        }
+        val samples = new Array[Short](640)
+        var i = 0
+        while (i < 640) {
+          val level = if (loud(i / 10)) 12000 else 500
+          samples(i) = (if (i % 2 == 0) level else -level).toShort
+          i += 1
+        }
+        WavMedia(id, encodeWav(8000, 1, samples))
+      }
+    }.toDF()
+  }
+
+  /** integer-exact per-clip audio descriptors over REAL decoded PCM:
+    * frame value = channel sum (mono mix without a lossy /channels),
+    * `zero_crossings` counts strict sign changes between consecutive
+    * frames, `peak_abs`/`abs_sum` over frame values. Everything is
+    * integer arithmetic — no float RMS — so the DuckDB oracle
+    * reproduces each value bit-for-bit from the generator formula
+    * through a fully independent path (no WAV bytes on the oracle
+    * side). One narrow decode pass, no shuffle.
+    */
+  def audioFeatures(media: DataFrame, idCol: String = "media_id",
+                    payloadCol: String = "payload"): Dataset[AudioFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val wav = decodeWav(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"audioFeatures: payload of media_id=$id is not RIFF/PCM16 WAV"))
+          var crossings = 0L; var peak = 0L; var absSum = 0L
+          var prev = 0L
+          var fi = 0
+          while (fi < wav.frames) {
+            var s = 0L; var c = 0
+            while (c < wav.channels) {
+              s += wav.samples(fi * wav.channels + c); c += 1
+            }
+            if (fi > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
+              crossings += 1
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            absSum += a
+            prev = s
+            fi += 1
+          }
+          AudioFeature(id, wav.sampleRate.toLong, wav.channels.toLong,
+            wav.frames.toLong, crossings, peak, absSum)
+        }
+      }
+  }
+
+  /** 64-bit windowed-energy audio hash (the aHash idea in the time
+    * domain): frame value = channel sum, the clip is split into 64
+    * equal windows and bit `w` is set iff window w's abs-sum × 64
+    * exceeds the clip total — the same integer-exact
+    * "window above global mean" rule as [[aHash64Hex]], same hex
+    * shape, so [[TextOps.hamming64Pairs]] verifies audio near-dups
+    * with the identical audited banding engine. Frame count must be a
+    * multiple of 64 (loud error otherwise — ragged windows would make
+    * the hash depend on rounding direction).
+    */
+  private[graft] def audioHash64Hex(wav: WavAudio): String = {
+    val frames = wav.frames
+    require(frames > 0 && frames % 64 == 0,
+      s"audioHash needs a frame count divisible by 64, got $frames")
+    val wlen = frames / 64
+    val sums = new Array[Long](64)
+    var total = 0L
+    var fi = 0
+    while (fi < frames) {
+      var s = 0L; var c = 0
+      while (c < wav.channels) { s += wav.samples(fi * wav.channels + c); c += 1 }
+      val a = math.abs(s)
+      sums(fi / wlen) += a
+      total += a
+      fi += 1
+    }
+    val hex = "0123456789abcdef"
+    val sb = new StringBuilder(16)
+    var p = 0
+    while (p < 16) {
+      var nib = 0
+      var i = 0
+      while (i < 4) {
+        if (sums(p * 4 + i) * 64 > total) nib |= 8 >> i
+        i += 1
+      }
+      sb.append(hex.charAt(nib))
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** [[audioHash64Hex]] over a media relation — `(media_id, audio64)` */
+  def audioHash(media: DataFrame, idCol: String = "media_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val wav = decodeWav(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"audioHash: payload of media_id=$id is not RIFF/PCM16 WAV — " +
+                "the audio near-dup path requires decodable samples"))
+          AudioHash(id, audioHash64Hex(wav))
+        }
+      }.toDF()
+  }
+
+  /** perceptual near-dup audio pairs — decode + hash, then the shared
+    * 4-band pigeonhole + XOR-popcount refine (complete for Hamming ≤ 3)
+    */
+  def audioHashPairs(media: DataFrame, maxHamming: Int = 3,
+                     maxBandDf: Long = TextOps.DefaultMaxBandDf): DataFrame =
+    TextOps.hamming64Pairs(audioHash(media), "media_id", "audio64",
+        maxHamming, maxBandDf)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
 }

@@ -142,6 +142,122 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("decodeWav: PCM16 round-trip byte-exact; unknown chunks skipped") {
+    val samples = Array[Short](100, -200, 32767, -32768, 0, 7)
+    val payload = MediaOps.encodeWav(8000, 2, samples)
+    val wav = MediaOps.decodeWav(payload).get
+    assert(wav.sampleRate == 8000 && wav.channels == 2 && wav.frames == 3)
+    assert(wav.samples.sameElements(samples))
+    // re-encode reproduces the exact bytes (canonical 44-byte header)
+    assert(MediaOps.encodeWav(wav.sampleRate, wav.channels, wav.samples)
+      .sameElements(payload))
+    // a LIST metadata chunk between fmt and data is legal and skipped
+    // (odd-size chunk exercises the word-alignment pad byte)
+    val list = bytes("LIST") ++ Array[Byte](3, 0, 0, 0) ++
+      bytes("abc") ++ Array[Byte](0)
+    val withMeta = payload.take(36) ++ list ++ payload.drop(36)
+    val fixed = withMeta.clone()
+    val newRiff = withMeta.length - 8
+    fixed(4) = (newRiff & 0xFF).toByte; fixed(5) = ((newRiff >> 8) & 0xFF).toByte
+    fixed(6) = ((newRiff >> 16) & 0xFF).toByte; fixed(7) = ((newRiff >> 24) & 0xFF).toByte
+    val wav2 = MediaOps.decodeWav(fixed).get
+    assert(wav2.samples.sameElements(samples))
+    // non-RIFF magic is not a WAV claim → None, no throw
+    assert(MediaOps.decodeWav(bytes("NOTAWAVFILE!")).isEmpty)
+  }
+
+  test("decodeWav: malformed WAV raises loudly, never garbage samples") {
+    val good = MediaOps.encodeWav(8000, 1, Array[Short](1, 2, 3, 4))
+    def corrupt(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); mutate(b); b
+    }
+    // RIFF size mismatch
+    val e1 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(corrupt(b => b(4) = 99)))
+    assert(e1.getMessage.contains("RIFF size"), e1.getMessage)
+    // non-PCM format tag (offset 20 = fmt audioFormat)
+    val e2 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(corrupt(b => b(20) = 3)))
+    assert(e2.getMessage.contains("PCM"), e2.getMessage)
+    // 8-bit samples (offset 34 = bitsPerSample)
+    val e3 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(corrupt(b => b(34) = 8)))
+    assert(e3.getMessage.contains("16-bit"), e3.getMessage)
+    // data chunk overrunning the payload (offset 40 = data size)
+    val e4 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(corrupt(b => b(40) = 127)))
+    assert(e4.getMessage.contains("overruns"), e4.getMessage)
+    // trailing garbage that is not a well-formed chunk
+    val e5 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(good ++ bytes("junk") ++ Array[Byte](1, 2, 3, 4)))
+    // (magic check passes, RIFF size now mismatches → loud)
+    assert(e5.getMessage.contains("malformed WAV"), e5.getMessage)
+  }
+
+  test("audioHash64Hex: byte-exact kernel; frame-count contract") {
+    // window 0 loud (10 frames of |12000|), rest quiet (|500|) → only
+    // bit 0 set: 120000*64 > 435500... total = 120000 + 63*5000 =
+    // 435000; quiet windows: 5000*64 = 320000 < total → 0
+    val s = new Array[Short](640)
+    for (i <- 0 until 640) {
+      val lvl = if (i < 10) 12000 else 500
+      s(i) = (if (i % 2 == 0) lvl else -lvl).toShort
+    }
+    val wav = MediaOps.WavAudio(8000, 1, s)
+    assert(MediaOps.audioHash64Hex(wav) == "8000000000000000")
+    // stereo: channel sums drive the windows (frame = L+R)
+    val st = new Array[Short](1280)
+    for (i <- 0 until 640) {
+      val lvl = if (i < 10) 6000 else 250
+      val v = (if (i % 2 == 0) lvl else -lvl).toShort
+      st(2 * i) = v; st(2 * i + 1) = v
+    }
+    assert(MediaOps.audioHash64Hex(MediaOps.WavAudio(8000, 2, st)) ==
+      "8000000000000000")
+    // 100 frames is not divisible by 64 → loud contract error
+    val e = intercept[IllegalArgumentException](
+      MediaOps.audioHash64Hex(MediaOps.WavAudio(8000, 1, new Array[Short](100))))
+    assert(e.getMessage.contains("divisible by 64"), e.getMessage)
+  }
+
+  test("audioHashPairs: within-family Hamming = |variant delta|, complete") {
+    import spark.implicits._
+    // same family/variant geometry as the image corpus: expected pair
+    // set is exactly the within-family pairs with |v1-v2| <= 3
+    val docs = (0L until 25L).toDF("doc_id")
+    val media = MediaOps.syntheticWavCorpus(docs)
+    val got = MediaOps.audioHashPairs(media)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    val expected = (for {
+      fam <- 0 until 5; va <- 0 until 5; vb <- va + 1 until 5
+      if vb - va <= 3
+    } yield ((fam * 5L + va, fam * 5L + vb), (vb - va).toLong)).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    spark.catalog.clearCache()
+  }
+
+  test("audioFeatures: integer-exact descriptors from real decode") {
+    import spark.implicits._
+    val docs = Seq(0L, 1L).toDF("doc_id")
+    val feats = MediaOps.audioFeatures(MediaOps.syntheticWavCorpus(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    // recompute family 0's window pattern driver-side from the formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def loud(f: Long, v: Long): IndexedSeq[Boolean] = (0 until 64).map { w =>
+      (((md.digest(s"$f:$w".getBytes("US-ASCII"))(0) >> 4) & 0xF) >= 8) ^ (w < v)
+    }
+    for (id <- Seq(0L, 1L)) {
+      val l = loud(id / 5, id % 5)
+      val f = feats(id)
+      assert(f.sample_rate == 8000L && f.channels == 1L && f.n_frames == 640L)
+      assert(f.zero_crossings == 639L) // sign alternates every frame
+      assert(f.peak_abs == (if (l.exists(identity)) 12000L else 500L))
+      assert(f.abs_sum == l.map(b => if (b) 120000L else 5000L).sum)
+    }
+  }
+
   test("extractFeatures: real PNM pixels drive the histogram and dims") {
     import spark.implicits._
     // P6 2×2 with 12 known samples → hand-computed nibble histogram;
