@@ -24,7 +24,8 @@ object GraftSql {
     "t4_cell", "t4_string", "t4_ancestor", "d4_cell", "d4_string", "d4_ancestor",
     "to_authalic_lat", "to_geodetic_lat",
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
-    "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm", "hamming64",
+    "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm",
+    "audiohash64_wav", "hamming64",
     "mix_bucket6", "redact_pii", "sig_match_frac")
 
   def register(spark: SparkSession): Unit = {
@@ -110,6 +111,14 @@ object GraftSql {
         graft.ops.MediaOps.decodePnm(payload).getOrElse(
           throw new IllegalArgumentException(
             "ahash64_pnm: payload is not binary PNM (P5/P6)"))))
+    // the audio twin of ahash64_pnm: real RIFF/PCM16 decode →
+    // windowed-energy 64-bit hash, composable with hamming64
+    r.register("audiohash64_wav", (payload: Array[Byte]) =>
+      if (payload == null) null
+      else graft.ops.MediaOps.audioHash64Hex(
+        graft.ops.MediaOps.decodeWav(payload).getOrElse(
+          throw new IllegalArgumentException(
+            "audiohash64_wav: payload is not RIFF/PCM16 WAV"))))
     r.register("hamming64", (a: String, b: String) =>
       if (a == null || b == null) None
       else {

@@ -139,6 +139,17 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(b => f"${b & 0xFF}%02x").mkString
         assert(one(s"ahash64_pnm(unhex('$hex'))") == "8000000000000000")
       }),
+      "audiohash64_wav" -> (() => {
+        // 64-frame mono clip, window length 1: frame 0 loud (|12000|),
+        // rest quiet (|500|) → total 43500, only bit 0 clears ×64
+        val samples = Array.tabulate(64) { i =>
+          val lvl = if (i == 0) 12000 else 500
+          (if (i % 2 == 0) lvl else -lvl).toShort
+        }
+        val hex = MediaOps.encodeWav(8000, 1, samples)
+          .map(b => f"${b & 0xFF}%02x").mkString
+        assert(one(s"audiohash64_wav(unhex('$hex'))") == "8000000000000000")
+      }),
       "hamming64" -> (() => {
         assert(one("hamming64('8000000000000000', '8000000000000001')") == 1)
         assert(one("hamming64('ffffffffffffffff', 'ffffffffffffffff')") == 0)
