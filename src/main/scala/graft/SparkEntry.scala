@@ -295,6 +295,14 @@ object SparkEntry {
       // SAME shared banding engine as image/text near-dup
       MediaOps.audioHashPairs(MediaOps.syntheticWavCorpus(
         Tables.tbl(s, dir, "documents")))),
+    "media_video_near_dup" -> ((s, dir) =>
+      // perceptual video near-dup, the fourth modality on the shared
+      // banding engine: concatenated-PNM clips (4 frames, family key
+      // f*4+t, variant flips blocks of frame 0 only) → REAL stream
+      // decode → per-frame aHash → XOR-fold clip signature; the oracle
+      // recomputes every bit from the block formula in SQL
+      MediaOps.videoHashPairs(MediaOps.syntheticPnmVideoCorpus(
+        Tables.tbl(s, dir, "documents")))),
     "raster_points" -> ((s, _) => {
       val t = RasterOps.Affine(10.0, 0.01, 0.0, 55.0, 0.0, -0.01)
       RasterOps.pixelsToPoints(RasterOps.syntheticRaster(s, 256, 256, 64), t)
@@ -1633,6 +1641,48 @@ object SparkEntry {
       s"""WITH $audioWindowCte,
          |ih AS (SELECT media_id, audio64, ${hash64HalvesSql("audio64")} FROM ah),
          |bands0 AS (SELECT media_id, hi, lo, b, substr(audio64, b*4 + 1, 4) AS key
+         |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
+         |          HAVING count(*) <= 10000),
+         |bands AS (SELECT bands0.* FROM bands0
+         |          JOIN bkeep ON bands0.b = bkeep.b AND bands0.key = bkeep.key),
+         |cand AS (SELECT DISTINCT x.media_id AS media_a, x.hi AS hi_a,
+         |                x.lo AS lo_a, y.media_id AS media_b, y.hi AS hi_b,
+         |                y.lo AS lo_b
+         |         FROM bands x JOIN bands y
+         |           ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id),
+         |ham AS (SELECT media_a, media_b,
+         |          bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+         |            AS hamming
+         |        FROM cand)
+         |SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 3""".stripMargin,
+    "media_video_near_dup" ->
+      // clip bit b = XOR over the 4 frames of "block b on" (the image
+      // corpus block rule with family key f*4+t; variant flips frame 0
+      // only) — recomputed from the FORMULA, independent of the
+      // engine's stream-codec byte path; then the same banding SQL
+      s"""WITH vw AS (SELECT doc_id AS media_id, doc_id // 5 AS f,
+         |              doc_id % 5 AS v FROM documents),
+         |vbit AS (SELECT media_id, b,
+         |           sum(CASE WHEN (strpos('0123456789abcdef',
+         |                     substr(md5(CAST(f * 4 + t AS VARCHAR) || ':' ||
+         |                                CAST(b AS VARCHAR)), 1, 1)) - 1 >= 8)
+         |                         <> (t = 0 AND b < v)
+         |                    THEN 1 ELSE 0 END) % 2 AS bit
+         |         FROM vw, (SELECT unnest(generate_series(0, 3)) AS t),
+         |              (SELECT unnest(generate_series(0, 63)) AS b)
+         |         GROUP BY 1, 2),
+         |vnib AS (SELECT media_id, b // 4 AS p,
+         |           sum(bit * (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+         |                      WHEN 2 THEN 2 ELSE 1 END)) AS nv
+         |         FROM vbit GROUP BY 1, 2),
+         |vh AS (SELECT media_id,
+         |         string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+         |                    '' ORDER BY p) AS vhash64
+         |       FROM vnib GROUP BY 1),
+         |ih AS (SELECT media_id, vhash64, ${hash64HalvesSql("vhash64")} FROM vh),
+         |bands0 AS (SELECT media_id, hi, lo, b, substr(vhash64, b*4 + 1, 4) AS key
          |           FROM ih, (SELECT unnest(generate_series(0, 3)) AS b)),
          |bkeep AS (SELECT b, key FROM bands0 GROUP BY 1, 2
          |          HAVING count(*) <= 10000),

@@ -639,4 +639,204 @@ object MediaOps {
     TextOps.hamming64Pairs(audioHash(media), "media_id", "audio64",
         maxHamming, maxBandDf)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+
+  // ---- video: concatenated-PNM stream codec + clip signature ----------
+  // The raw-video shape MJPEG has for JPEG: a clip is back-to-back
+  // strict PNM frames (netpbm's own multi-image convention — ppmtoy4m
+  // and friends consume exactly this). Real end-to-end: stream walk,
+  // per-frame strict decode, per-frame aHash, XOR-fold clip signature,
+  // then the SAME shared banding engine as text/image/audio near-dup.
+
+  final case class VideoMedia(media_id: Long, payload: Array[Byte])
+  final case class VideoHash(media_id: Long, vhash64: String)
+  final case class FrameHash(media_id: Long, frame_idx: Int, ahash64: String)
+
+  /** Split a concatenated-PNM stream into strict frames. Returns None
+    * iff the payload does not open with a P5/P6 magic (not a PNM-video
+    * claim at all); any malformed stream — a frame boundary that is not
+    * a P5/P6 magic, truncated raster, bad header — raises loudly via
+    * the same strict [[decodePnm]] every sliced frame passes through.
+    *
+    * Stream-specific contract: the one-whitespace separator before each
+    * raster must NOT be '\r'. In a whole-payload decode the exact-fit
+    * rule disambiguates "CRLF separator" from "'\r' separator + 0x0A
+    * first sample"; mid-stream there is no end-of-payload anchor, so
+    * the two parses are genuinely indistinguishable and a guess could
+    * silently shift every later frame. Canonical writers (this file's
+    * [[encodePnmVideo]], netpbm tools) emit '\n'; a '\r' separator
+    * raises with a re-encode hint instead of guessing.
+    */
+  def decodePnmStream(payload: Array[Byte]): Option[Vector[PnmImage]] = {
+    if (payload.length < 2 || payload(0) != 'P' ||
+      (payload(1) != '5' && payload(1) != '6')) return None
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed PNM stream: $msg")
+    val out = Vector.newBuilder[PnmImage]
+    var off = 0
+    var idx = 0
+    while (off < payload.length) {
+      if (payload.length - off < 2 || payload(off) != 'P' ||
+        (payload(off + 1) != '5' && payload(off + 1) != '6'))
+        fail(s"frame $idx at byte $off does not start with a P5/P6 magic")
+      val channels = if (payload(off + 1) == '5') 1 else 3
+      var pos = off + 2
+      // the boundary scan mirrors decodePnm's header grammar only far
+      // enough to FIND the frame end; the slice then goes through the
+      // full strict decoder, so any disagreement raises loudly there
+      def nextInt(what: String): Long = {
+        var inComment = false
+        while (pos < payload.length && {
+          val b = payload(pos)
+          if (inComment) { if (b == '\n') inComment = false; true }
+          else if (b == '#') { inComment = true; true }
+          else b == ' ' || b == '\t' || b == '\r' || b == '\n'
+        }) pos += 1
+        val start = pos
+        var v = 0L
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0')
+          if (v > Int.MaxValue) fail(s"frame $idx: $what out of range")
+          pos += 1
+        }
+        if (pos == start) fail(s"frame $idx: expected $what at byte $pos")
+        v
+      }
+      val w = nextInt("width"); val h = nextInt("height"); nextInt("maxval")
+      if (pos >= payload.length) fail(s"frame $idx: missing raster")
+      val sep = payload(pos)
+      if (sep == '\r')
+        fail(s"frame $idx: '\\r' separator is ambiguous mid-stream " +
+          "(CRLF vs '\\r' + 0x0A first sample has no end-of-payload " +
+          "anchor) — re-encode frames with a canonical '\\n' separator")
+      if (sep != ' ' && sep != '\t' && sep != '\n')
+        fail(s"frame $idx: missing whitespace before raster")
+      pos += 1
+      val n = w * h * channels
+      if (payload.length - pos < n)
+        fail(s"frame $idx: truncated raster: need $n bytes, have " +
+          s"${payload.length - pos}")
+      val end = pos + n.toInt
+      out += decodePnm(java.util.Arrays.copyOfRange(payload, off, end))
+        .getOrElse(fail(s"frame $idx lost its magic during slicing")) // unreachable
+      off = end
+      idx += 1
+    }
+    Some(out.result())
+  }
+
+  /** canonical stream writer: each frame a strict single-'\n' PNM
+    * payload, concatenated (round-trips through [[decodePnmStream]])
+    */
+  def encodePnmVideo(frames: Seq[PnmImage]): Array[Byte] = {
+    require(frames.nonEmpty, "encodePnmVideo: empty clip")
+    frames.toArray.flatMap { f =>
+      val magic = if (f.channels == 1) "P5" else "P6"
+      s"$magic ${f.width} ${f.height} ${f.maxVal}\n".getBytes("US-ASCII") ++
+        f.pixels
+    }
+  }
+
+  /** 64-bit clip signature: XOR of the per-frame [[aHash64Hex]] values.
+    * XOR-fold keeps the planted-geometry property the pairing engine
+    * needs — editing one frame's blocks flips exactly those clip bits —
+    * while staying order-insensitive the way a content signature should
+    * be for re-muxed clips. Same 16-hex shape as every other signature,
+    * so [[TextOps.hamming64Pairs]] is the (fourth-modality) verifier.
+    */
+  def videoHash64Hex(frames: Seq[PnmImage]): String = {
+    require(frames.nonEmpty, "videoHash needs at least one frame")
+    var acc = 0L
+    frames.foreach { f =>
+      acc ^= java.lang.Long.parseUnsignedLong(aHash64Hex(f), 16)
+    }
+    f"$acc%016x"
+  }
+
+  /** Deterministic PNM-video corpus completing the modality triple:
+    * clip = 4 concatenated 16×16 P5 frames; frame t of family f
+    * (= id/5) uses [[syntheticPnmImages]]' block formula with family
+    * key f×4+t, and variant v (= id%5) flips blocks 0..v−1 of frame 0
+    * ONLY — under the XOR fold the unedited frames cancel, so
+    * within-family clip-signature Hamming = |variant delta| exactly,
+    * the same planted geometry as the image and audio corpora.
+    */
+  def syntheticPnmVideoCorpus(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val (f, v) = (id / 5, id % 5)
+        val frames = (0 until 4).map { t =>
+          val on = Array.tabulate(64) { b =>
+            val d = md.digest(s"${f * 4 + t}:$b".getBytes("US-ASCII"))
+            (((d(0) >> 4) & 0xF) >= 8) ^ (t == 0 && b < v)
+          }
+          val px = new Array[Byte](256)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              px(y * 16 + x) =
+                if (on((y / 2) * 8 + (x / 2))) 200.toByte else 10.toByte
+              x += 1
+            }
+            y += 1
+          }
+          PnmImage(16, 16, 1, 255, px)
+        }
+        VideoMedia(id, encodePnmVideo(frames))
+      }
+    }.toDF()
+  }
+
+  /** clip signatures over a video relation — `(media_id, vhash64)` */
+  def videoHash(media: DataFrame, idCol: String = "media_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val frames = decodePnmStream(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"videoHash: payload of media_id=$id is not a PNM stream — " +
+                "the video near-dup path requires decodable frames"))
+          VideoHash(id, videoHash64Hex(frames))
+        }
+      }.toDF()
+  }
+
+  /** per-frame hashes — `(media_id, frame_idx, ahash64)`. The frame-
+    * level dedup axis: an exact groupBy on `ahash64` finds clips
+    * sharing content frames; the rows also join [[aHash]]-hashed still
+    * images directly (same kernel, same hex shape).
+    */
+  def videoFrameHashes(media: DataFrame, idCol: String = "media_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val frames = decodePnmStream(payload).getOrElse(
+            throw new IllegalArgumentException(
+              s"videoFrameHashes: payload of media_id=$id is not a PNM stream"))
+          frames.iterator.zipWithIndex.map { case (fr, t) =>
+            FrameHash(id, t, aHash64Hex(fr))
+          }
+        }
+      }.toDF()
+  }
+
+  /** perceptual near-dup video pairs — stream decode + XOR-fold clip
+    * hash, then the shared banding engine (complete for Hamming ≤ 3)
+    */
+  def videoHashPairs(media: DataFrame, maxHamming: Int = 3,
+                     maxBandDf: Long = TextOps.DefaultMaxBandDf): DataFrame =
+    TextOps.hamming64Pairs(videoHash(media), "media_id", "vhash64",
+        maxHamming, maxBandDf)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
 }

@@ -258,6 +258,89 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodePnmStream: frame walk round-trips; loud mid-stream errors") {
+    def p5(w: Int, h: Int, fill: Byte): MediaOps.PnmImage =
+      MediaOps.PnmImage(w, h, 1, 255, Array.fill(w * h)(fill))
+    // mixed-size frames round-trip through the canonical writer
+    val clip = Seq(p5(8, 8, 10), p5(16, 8, 20), p5(8, 16, 30))
+    val payload = MediaOps.encodePnmVideo(clip)
+    val frames = MediaOps.decodePnmStream(payload).get
+    assert(frames.length == 3)
+    assert(frames.zip(clip).forall { case (a, b) =>
+      a.width == b.width && a.height == b.height &&
+        a.pixels.sameElements(b.pixels)
+    })
+    // not a PNM-video claim at all → None, no throw
+    assert(MediaOps.decodePnmStream(bytes("RIFFnotvideo")).isEmpty)
+    // garbage at a frame boundary raises (frame 1 has no magic)
+    val e1 = intercept[IllegalArgumentException](
+      MediaOps.decodePnmStream(payload.take(64 + 10) ++ bytes("junk")))
+    assert(e1.getMessage.contains("magic") ||
+      e1.getMessage.contains("truncated"), e1.getMessage)
+    // truncated final raster raises
+    val e2 = intercept[IllegalArgumentException](
+      MediaOps.decodePnmStream(payload.dropRight(3)))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    // '\r' separator is ambiguous MID-STREAM (no end-of-payload anchor)
+    // even though the whole-payload decoder accepts it → loud raise
+    val crSep = "P5 8 8 255\r".getBytes("US-ASCII") ++ Array.fill(64)(10.toByte)
+    assert(MediaOps.decodePnm(crSep).isDefined) // single-frame: fine
+    val e3 = intercept[IllegalArgumentException](
+      MediaOps.decodePnmStream(crSep ++ crSep))
+    assert(e3.getMessage.contains("ambiguous"), e3.getMessage)
+  }
+
+  test("videoHash64Hex: XOR fold of frame hashes; empty-clip contract") {
+    // frame A: block 0 on → "8000000000000000"; frame B: flat → all
+    // bits 0 → "0000000000000000"; XOR fold keeps A's bit
+    val pxA = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      if (y < 2 && x < 2) 200.toByte else 10.toByte
+    }
+    val a = MediaOps.PnmImage(16, 16, 1, 255, pxA)
+    val b = MediaOps.PnmImage(16, 16, 1, 255, Array.fill(256)(10.toByte))
+    assert(MediaOps.videoHash64Hex(Seq(a, b)) == "8000000000000000")
+    // an identical frame pair cancels under XOR
+    assert(MediaOps.videoHash64Hex(Seq(a, a)) == "0000000000000000")
+    assert(MediaOps.videoHash64Hex(Seq(a, b, a)) == "0000000000000000")
+    val e = intercept[IllegalArgumentException](
+      MediaOps.videoHash64Hex(Seq.empty))
+    assert(e.getMessage.contains("at least one frame"), e.getMessage)
+  }
+
+  test("videoHashPairs: within-family Hamming = |variant delta|, complete") {
+    import spark.implicits._
+    val docs = (0L until 25L).toDF("doc_id")
+    val media = MediaOps.syntheticPnmVideoCorpus(docs)
+    val got = MediaOps.videoHashPairs(media)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    val expected = (for {
+      fam <- 0 until 5; va <- 0 until 5; vb <- va + 1 until 5
+      if vb - va <= 3
+    } yield ((fam * 5L + va, fam * 5L + vb), (vb - va).toLong)).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    spark.catalog.clearCache()
+  }
+
+  test("videoFrameHashes: per-frame rows match the still-image kernel") {
+    import spark.implicits._
+    val docs = Seq(7L).toDF("doc_id")
+    val media = MediaOps.syntheticPnmVideoCorpus(docs)
+    val rows = MediaOps.videoFrameHashes(media)
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    // recompute each frame hash through decodePnmStream + the kernel
+    val payload = media.select("payload").as[Array[Byte]].head()
+    val frames = MediaOps.decodePnmStream(payload).get
+    assert(rows.map(_._3).toSeq == frames.map(MediaOps.aHash64Hex))
+    // and the clip hash is their XOR fold
+    val clip = MediaOps.videoHash(media).as[(Long, String)].head()._2
+    assert(clip == f"${rows.map(r =>
+      java.lang.Long.parseUnsignedLong(r._3, 16)).reduce(_ ^ _)}%016x")
+  }
+
   test("extractFeatures: real PNM pixels drive the histogram and dims") {
     import spark.implicits._
     // P6 2×2 with 12 known samples → hand-computed nibble histogram;
