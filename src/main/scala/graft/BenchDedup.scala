@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import graft.ops.{TextOps, VectorOps}
+import graft.ops.{MediaOps, TextOps, VectorOps}
 
 /** Dedup/ANN scale soak (round-2 verdict #2): the flagship got a 40M-point
   * soak + N-vs-4N scaling evidence in round 2; this applies the same
@@ -453,6 +453,49 @@ object BenchDedupScaling {
       { VectorOps.trainCentroidsDistributed(embsWarm, 64, iters = 2); 2000L }) {
       val k = math.max(64, Integer.highestOneBit(math.sqrt(nVecs.toDouble).toInt - 1) * 2)
       VectorOps.trainCentroidsDistributed(embs, k, iters = 5).length.toLong
+    }
+
+    // media-modality near-dup at corpus scale: REAL codec decode
+    // (RIFF/PCM16, concatenated-PNM frames) + 64-bit signature + the
+    // shared banding engine, end-to-end. The decode+hash pass is
+    // narrow (zero shuffle); the shuffle cost is the banding join —
+    // with 16-bit band keys the candidate set grows ~n²/65536 per
+    // band, so these legs measure the refine's rejection throughput
+    // honestly (cross-family candidates outnumber true pairs once
+    // n ≫ 65536; the DF cap guards hot keys)
+    {
+      val clips = spark.range(nDocs).select(col("id").as("doc_id"))
+      val clipsWarm = spark.range(2000).select(col("id").as("doc_id"))
+      def consumePairs(d: DataFrame): Long =
+        d.agg(count(lit(1)), sum(col("hamming"))).collect()(0).getLong(0)
+      // hash-only legs isolate the narrow codec+signature pass (zero
+      // shuffle) from the banding join the *_pairs legs add on top
+      def consumeHash(d: DataFrame, c: String): Long =
+        d.agg(count(lit(1)), sum(length(col(c)))).collect()(0).getLong(0)
+      run("media_audio_hash",
+        consumeHash(MediaOps.audioHash(
+          MediaOps.syntheticWavCorpus(clipsWarm)), "audio64")) {
+        consumeHash(MediaOps.audioHash(
+          MediaOps.syntheticWavCorpus(clips)), "audio64")
+      }
+      run("media_video_hash",
+        consumeHash(MediaOps.videoHash(
+          MediaOps.syntheticPnmVideoCorpus(clipsWarm)), "vhash64")) {
+        consumeHash(MediaOps.videoHash(
+          MediaOps.syntheticPnmVideoCorpus(clips)), "vhash64")
+      }
+      run("media_audio_pairs",
+        consumePairs(MediaOps.audioHashPairs(
+          MediaOps.syntheticWavCorpus(clipsWarm)))) {
+        consumePairs(MediaOps.audioHashPairs(
+          MediaOps.syntheticWavCorpus(clips)))
+      }
+      run("media_video_pairs",
+        consumePairs(MediaOps.videoHashPairs(
+          MediaOps.syntheticPnmVideoCorpus(clipsWarm)))) {
+        consumePairs(MediaOps.videoHashPairs(
+          MediaOps.syntheticPnmVideoCorpus(clips)))
+      }
     }
 
     // a typo'd op filter must not record a vacuous empty run as a pass

@@ -835,11 +835,22 @@ object TextOps {
       .cache()
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("b"), substring(col("__h"), b * 4 + 1, 4).as("key")))
+    // ONE explicit exchange on the band key for the whole banding
+    // phase: the hot-key aggregate AND both sides of the candidate
+    // self-join reuse it, and — the load-bearing part — the explicit
+    // partition count keeps AQE from coalescing the join's input by
+    // BYTE size. Band rows are tiny (~50 B) but the join's cost is
+    // CPU (candidate fan-out × popcount refine), so the 64 MB
+    // advisory would funnel a million-signature corpus into a handful
+    // of tasks and flatten 8→32-core scaling (measured: video-pairs
+    // banding ~6 s at 32c both before and after adding cores).
+    val nPart = sig0.sparkSession.sessionState.conf.numShufflePartitions
     val bands = sig
       .select(col("__id"), col("hi"), col("lo"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("__id"), col("hi"), col("lo"),
         col("bk.b").as("b"), col("bk.key").as("key"))
+      .repartition(nPart, col("b"), col("key"))
     // hot-band anti-join (not a keep-join): same inversion as
     // cappedShingles — the hot set is tiny, broadcast it
     val hot = bands.groupBy("b", "key").agg(count(lit(1)).as("df"))
@@ -851,12 +862,18 @@ object TextOps {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("x.hi").as("hi_a"), col("x.lo").as("lo_a"),
         col("y.__id").as("id_b"), col("y.hi").as("hi_b"), col("y.lo").as("lo_b"))
-      .distinct()
     val hamming = bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
       bit_count(col("lo_a").bitwiseXOR(col("lo_b")))
+    // refine BEFORE dedup: the popcount filter is 2 codegen'd XORs per
+    // candidate, the distinct is a shuffle — once band collisions make
+    // candidates ≫ true pairs (n ≫ 2^16 signatures), filtering first
+    // shrinks the distinct's input from every collision row (6 cols) to
+    // the matched pairs only (3 cols). A pair's hamming is a function
+    // of the pair, so distinct-after-filter returns the same set.
     cand.withColumn("hamming", hamming.cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** BPE-ish subword segmentation regex: letter runs, digit runs, and
