@@ -243,6 +243,15 @@ object SparkEntry {
       CorpusOps.spanSequenceDigest(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
     "corpus_geo_spans" -> ((s, dir) =>
       CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))),
+    "corpus_media_dedup" -> ((s, dir) => {
+      // cross-modality dedup of interleaved docs by their ORDERED media
+      // payload bytes: shared-content generator plants byte-identical
+      // media sequences behind distinct refs in docs congruent mod
+      // lcm(210, 21) = 210; the oracle recomputes every content address
+      // from the payload formula
+      val c = CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents"))
+      CorpusOps.mediaContentDedup(c, MediaOps.syntheticSharedMedia(c, 210))
+    }),
 
     "geo_authalic" -> ((s, dir) => {
       import graft.spark.AuthalicFunctions
@@ -1558,6 +1567,29 @@ object SparkEntry {
          |       md5(string_agg(kind || '|' || text || '|' || media_ref, '#'
          |                      ORDER BY off)) AS seq_md5
          |FROM spans GROUP BY 1""".stripMargin,
+    "corpus_media_dedup" ->
+      // content address = md5 of the payload's lowercase hex, payload
+      // rebuilt from the shared-key md5-chain formula (modulus 210);
+      // per-doc ordered digest, then group stats joined back
+      s"""WITH $corpusCte,
+         |m AS (SELECT printf('doc-%012d', i) AS doc_id, off,
+         |        printf('shared://%d/%d', i % 210, off) AS k
+         |      FROM spans WHERE kind = 'media'),
+         |sig AS (SELECT doc_id, off,
+         |          md5(md5(k) || md5(k || '1') || md5(k || '2') || md5(k || '3'))
+         |            AS content_md5
+         |        FROM m),
+         |ds AS (SELECT doc_id, count(*) AS n_media,
+         |         md5(string_agg(content_md5, '#' ORDER BY off)) AS media_seq_md5
+         |       FROM sig GROUP BY 1),
+         |g AS (SELECT media_seq_md5, min(doc_id) AS keep_doc_id,
+         |        count(*) AS group_size
+         |      FROM ds GROUP BY 1)
+         |SELECT ds.doc_id, CAST(n_media AS BIGINT) AS n_media,
+         |  ds.media_seq_md5, keep_doc_id,
+         |  CAST(group_size AS BIGINT) AS group_size,
+         |  ds.doc_id <> keep_doc_id AS is_dup
+         |FROM ds JOIN g USING (media_seq_md5)""".stripMargin,
     "geo_authalic" ->
       (s"""WITH $corpusCte
          |SELECT printf('doc-%012d', i) AS doc_id, CAST(off AS INT) AS offset,

@@ -81,6 +81,52 @@ object CorpusOps {
               x.getField("media_ref"))),
           "#").cast("binary")).as("seq_md5"))
 
+  /** Content-addressed media dedup over the interleaved corpus — the
+    * cross-modality arm: two documents are media-duplicates when their
+    * ORDERED media-span payload sequence is byte-identical, no matter
+    * how their media_refs (URLs, CDN mirrors) or text spans differ —
+    * the "same images re-wrapped in new boilerplate" modality of a
+    * training pipeline.
+    *
+    * `media` is any `(media_ref, payload)` relation resolving refs to
+    * bytes. The content address is `md5(lower(hex(payload)))` — a pure
+    * function of the bytes, chosen over md5-of-blob so the DuckDB
+    * oracle (VARCHAR-only md5) reproduces it exactly.
+    *
+    * Scale shape (3 keyed shuffles, no windows): media spans joined to
+    * signatures on `media_ref` (AQE-broadcastable when the blob store
+    * is dim-sized; skew-joinable otherwise), per-doc ordered digest as
+    * one agg, then group stats by digest as a partial-agg groupBy with
+    * a join back — a globally-hot digest (the blank-image case) stays
+    * safe because the count partial-aggregates map-side and the join
+    * back is AQE-skew-splittable, where a `Window over digest` would
+    * pin the hot group to one task.
+    *
+    * Docs with no media spans have nothing to content-address and are
+    * absent from the output by contract.
+    */
+  def mediaContentDedup(corpus: DataFrame, media: DataFrame): DataFrame = {
+    val sigs = media.select(col("media_ref"),
+      md5(lower(hex(col("payload"))).cast("binary")).as("content_md5"))
+    val mspans = explodedSpans(corpus).where(col("kind") === "media")
+      .select(col("doc_id"), col("offset"), col("media_ref"))
+    val docSig = mspans.join(sigs, Seq("media_ref"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_media"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("offset"), col("content_md5")))),
+            x => x.getField("content_md5")),
+          "#").cast("binary")).as("media_seq_md5"))
+    val groups = docSig.groupBy("media_seq_md5")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).cast("long").as("group_size"))
+    docSig.join(groups, Seq("media_seq_md5"))
+      .select(col("doc_id"), col("n_media"), col("media_seq_md5"),
+        col("keep_doc_id"), col("group_size"),
+        (col("doc_id") =!= col("keep_doc_id")).as("is_dup"))
+  }
+
   /** Geometry extraction: geo spans parsed back to lon/lat (the doubles
     * the DGGS layer consumes) plus exact milli-degree integers for the
     * oracle.

@@ -47,6 +47,29 @@ object MediaOps {
         .cast("int") % 16 + 1) * 64)
   }
 
+  /** [[syntheticMedia]]'s planted-duplicate sibling: payload bytes are
+    * keyed by `(doc_id % modulus, offset)` instead of the globally
+    * unique media_ref, so documents congruent mod lcm(modulus, 21)
+    * carry byte-identical ordered media sequences behind distinct refs
+    * (21 = lcm(3, 7) pins the span structure: kind pattern is mod 3,
+    * span count mod 7). The planted groups [[CorpusOps.mediaContentDedup]]
+    * must find exactly; the md5-chain payload formula is recomputable
+    * in SQL like syntheticMedia's.
+    */
+  def syntheticSharedMedia(corpus: DataFrame, modulus: Int): DataFrame = {
+    require(modulus > 0, s"syntheticSharedMedia: modulus must be positive, got $modulus")
+    val spans = CorpusOps.explodedSpans(corpus).where(col("kind") === "media")
+    val i = regexp_extract(col("media_ref"), "media://(\\d+)/(\\d+)", 1).cast("long")
+    val key = format_string(s"shared://%d/%d", i % modulus, col("offset"))
+    val hexPayload = concat(
+      md5(key.cast("binary")),
+      md5(concat(key, lit("1")).cast("binary")),
+      md5(concat(key, lit("2")).cast("binary")),
+      md5(concat(key, lit("3")).cast("binary")))
+    spans.select(col("doc_id"), col("media_ref"),
+      unhex(hexPayload).as("payload"))
+  }
+
   // ---- CODEC SECTION --------------------------------------------------
   // REAL: binary PNM (P5 grayscale / P6 RGB) — fixed header + raw pixel
   // bytes, decodable with zero external libraries (round-4 verdict #4).

@@ -27,6 +27,50 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     CorpusOps.interleavedDocs((0L until n.toLong).toDF("doc_id"))
   }
 
+  test("mediaContentDedup: planted byte-identical media groups, min-id keeps") {
+    import spark.implicits._
+    // modulus 3: payload content keyed by (i % 3, off). Two docs are
+    // media-dups iff their ordered media content-KEY sequences match —
+    // absolute offsets are rightly NOT part of the content (a re-wrap
+    // interleaves different text around the same media), so e.g. doc 1
+    // (media at off 0, key (1,0)) duplicates doc 7 (single media span,
+    // key (1,0)) across different span structures. Expected groups are
+    // recomputed driver-side from the generator formula.
+    val c = corpus(42)
+    val out = CorpusOps.mediaContentDedup(c, MediaOps.syntheticSharedMedia(c, 3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    def id(i: Int) = f"doc-$i%012d"
+    val keySeq: Map[Int, List[(Int, Int)]] = (0 until 42).map { i =>
+      i -> (0 to i % 7).filter(off => (i + off) % 3 == 1)
+        .map(off => (i % 3, off)).toList
+    }.toMap
+    val withMedia = keySeq.filter(_._2.nonEmpty)
+    // doc 0 (and 21): single span, kind text → no media content → absent
+    assert(!out.contains(id(0)) && !out.contains(id(21)))
+    assert(out.keySet == withMedia.keySet.map(id))
+    val groups = withMedia.groupBy(_._2).values.map(_.keySet).toSeq
+    assert(groups.exists(_.size > 1), "the planted corpus must contain dups")
+    assert(groups.contains(Set(1, 7, 16, 22, 28, 37)), // the cross-structure group
+      s"expected the single-media (1,0)-key docs to share content, " +
+        s"got ${groups.find(_.contains(1))}")
+    for (g <- groups) {
+      val rows = g.toSeq.sorted.map(i => i -> out(id(i)))
+      val keeper = id(g.min)
+      assert(rows.map(_._2._2).distinct.size == 1,
+        s"group $g must share one digest")
+      for ((i, (nMedia, _, keep, size, dup)) <- rows) {
+        assert(nMedia == keySeq(i).length)
+        assert(keep == keeper && size == g.size && dup == (id(i) != keeper),
+          s"doc $i in group $g")
+      }
+    }
+    // distinct content sequences never collide
+    assert(out.values.map(_._2).toSet.size == groups.size)
+    spark.catalog.clearCache()
+  }
+
   test("span-sequence invariant survives explode + shuffle + reassembly") {
     val c = corpus(500)
     // direct digest from the built array (no shuffle)
