@@ -108,6 +108,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!packPlan.contains("Join"), packPlan.take(2000))
   }
 
+  test("hamming64Pairs: explicit band partitioning; refine precedes pair dedup") {
+    import spark.implicits._
+    val sigs = (0L until 64L).map(i => (i, f"$i%016x")).toDF("media_id", "h")
+    val plan = TextOps.hamming64Pairs(sigs, "media_id", "h", 3, 10000)
+      .queryExecution.executedPlan.toString
+    // the banding exchange must be USER-SPECIFIED with an explicit
+    // count: band rows are ~50 B but the candidate join's cost is CPU,
+    // so AQE's byte advisory would coalesce a million-signature corpus
+    // into a handful of tasks (round-6 media-leg finding)
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(3000))
+    // the pair dedup aggregates the REFINED (id_a, id_b, hamming)
+    // rows — a signature-half column in the distinct keys means the
+    // dedup moved back in front of the popcount filter and shuffles
+    // every band-collision row again
+    assert("(?s)HashAggregate\\(keys=\\[id_a[^\\]]*hamming".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert("HashAggregate\\(keys=\\[[^\\]]*hi_a".r
+      .findFirstIn(plan).isEmpty, plan.take(3000))
+  }
+
   test("min-label CC: one action per round, bounded exchanges (round-5 barrier cut)") {
     // the round-5 contract: per round, the convergence metric rides the
     // materializing count() via Observation — so the WHOLE loop issues
