@@ -467,6 +467,21 @@ object SparkEntry {
         .select(col("q_doc"), col("rnk"), col("t_doc"), col("t_offset"),
           round(col("dist_km"), 6).as("dist_km"))
     }),
+    "dggs_distance_join" -> ((s, dir) => {
+      // exact radius self-join of the geo spans (third indexed spatial
+      // join: PIP / kNN / radius) — disk-fanout equi-join, never a cross
+      // join; unordered pairs via the (doc, offset) lexicographic filter
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val a = geo.select(col("doc_id").as("a_doc"), col("offset").as("a_offset"),
+        col("lon"), col("lat"))
+      val b = geo.select(col("doc_id").as("b_doc"), col("offset").as("b_offset"),
+        col("lon"), col("lat"))
+      SpatialOps.distanceJoin(a, b, "lon", "lat", 200.0)
+        .where(col("a_doc") < col("b_doc") ||
+          (col("a_doc") === col("b_doc") && col("a_offset") < col("b_offset")))
+        .select(col("a_doc"), col("a_offset"), col("b_doc"), col("b_offset"),
+          round(col("dist_km"), 6).as("dist_km"))
+    }),
     "dggs_dateline_split" -> ((s, _) => {
       val cells = GridOps.gridCellPolygonsForExtent(s, 2)
       DatelineOps.splitDateline(cells, "boundary")
@@ -1083,6 +1098,26 @@ object SparkEntry {
          |      AS BIGINT) AS rnk
          |  FROM p)
          |WHERE rnk <= 3""".stripMargin,
+    // radius join: DuckDB recomputes every qualifying pair by brute-force
+    // haversine over the full cross product — the Spark side must agree
+    // pair-for-pair AND distance-for-distance (same constant, 6-decimal
+    // round; nearest off-threshold distances are 199.855/201.862 km, so
+    // the 200 km cut is float-unambiguous cross-engine)
+    "dggs_distance_join" ->
+      s"""WITH $geoCte,
+         |a AS (SELECT doc_id AS a_doc, "offset" AS a_offset,
+         |             lon AS a_lon, lat AS a_lat FROM geo),
+         |b AS (SELECT doc_id AS b_doc, "offset" AS b_offset,
+         |             lon AS b_lon, lat AS b_lat FROM geo),
+         |p AS (SELECT a_doc, a_offset, b_doc, b_offset,
+         |        2 * 6371.00718091847 * asin(sqrt(
+         |          power(sin(radians(b_lat - a_lat) / 2), 2) +
+         |          cos(radians(a_lat)) * cos(radians(b_lat)) *
+         |            power(sin(radians(b_lon - a_lon) / 2), 2))) AS dist_km
+         |      FROM a JOIN b
+         |        ON (a_doc < b_doc OR (a_doc = b_doc AND a_offset < b_offset)))
+         |SELECT a_doc, a_offset, b_doc, b_offset, round(dist_km, 6) AS dist_km
+         |FROM p WHERE dist_km <= 200.0""".stripMargin,
     "dggs_spatial_join" -> spatialJoinOracle,
     // the shuffle path must produce the identical relation — one oracle,
     // two physical strategies (broadcast vs shuffle-hash on cell_id)

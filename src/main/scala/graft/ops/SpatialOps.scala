@@ -319,6 +319,77 @@ object SpatialOps {
       unsafe.select("__qid"))
   }
 
+  /** Exact radius (distance) join: every (left, right) pair with
+    * haversine distance ≤ `radiusKm`, the third member of the indexed
+    * spatial-join family (point-in-polygon, kNN, radius) — the reference
+    * reaches the same result by binning both sides to cells and joining
+    * on the id (dggrid_runner.py cell-assignment + pandas merge); here
+    * the join is exact, not cell-granular.
+    *
+    * Scale shape: the right side is keyed by its res-`res` cell (ONE row
+    * per point, narrow map); the left side fans out to the
+    * `probeDisk`-disk of its cell (|disk| = 1+3k(k+1) rows); a plain
+    * cell-id equi-join then a haversine refine. NEVER a cross join at
+    * any input size. Exactness leans on the SAME certificate as knnJoin:
+    * any right point within diskSafeKm(res, probeDisk) of a left point
+    * lies inside the left cell's disk (KnnSafeRadiusSpec), so requiring
+    * radiusKm ≤ diskSafeKm(res, probeDisk) makes the candidate set
+    * provably complete — enforced with a loud raise, not assumed. No
+    * duplicate pairs: a right point has exactly one cell and a disk
+    * contains each cell id once, so each qualifying pair joins exactly
+    * once. Hot cells shuffle-skew like any equi-join: AQE skew-join
+    * handles moderate cases, `saltedJoin` the extreme ones.
+    *
+    * Column contract mirrors knnJoin: both sides carry `lonCol`/`latCol`
+    * (renamed to l_/r_ internally); all other columns pass through and
+    * must not collide. Output = left cols + right cols + `dist_km`.
+    * `res` < 0 picks the finest certified resolution automatically
+    * (fewer false candidates per cell while the disk still covers the
+    * radius — the fan-out stays constant, the per-cell occupancy drops).
+    */
+  def distanceJoin(left: DataFrame, right: DataFrame,
+                   lonCol: String, latCol: String, radiusKm: Double,
+                   res: Int = -1, probeDisk: Int = 2): DataFrame = {
+    require(radiusKm > 0, s"distanceJoin: radiusKm=$radiusKm must be positive")
+    require(probeDisk >= 1 && probeDisk <= 4,
+      s"distanceJoin: probeDisk=$probeDisk outside the validated range 1..4 " +
+        "(KnnSafeRadiusSpec/KnnProbe)")
+    val useRes = if (res >= 0) res else resForRadiusKm(radiusKm, probeDisk)
+    require(radiusKm <= diskSafeKm(useRes, probeDisk),
+      s"distanceJoin: radiusKm=$radiusKm exceeds the certified disk coverage " +
+        s"${diskSafeKm(useRes, probeDisk)} km at res=$useRes probeDisk=$probeDisk — " +
+        "pairs near the radius could be silently missed; coarsen res or raise probeDisk")
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -- Set(lonCol, latCol)
+    require(overlap.isEmpty,
+      s"distanceJoin: non-coordinate columns collide across sides: $overlap")
+    val l = left.withColumnRenamed(lonCol, "l_lon").withColumnRenamed(latCol, "l_lat")
+    val lCell = GridOps.cellsForGeoPoints(l, "l_lon", "l_lat", useRes).drop("name")
+    val r = right.withColumnRenamed(lonCol, "r_lon").withColumnRenamed(latCol, "r_lat")
+    val rCell = GridOps.cellsForGeoPoints(r, "r_lon", "r_lat", useRes)
+      .drop("name").withColumnRenamed("cell_id", "probe_cell")
+    lCell
+      .withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), probeDisk)))
+      .drop("cell_id")
+      .join(rCell, "probe_cell").drop("probe_cell")
+      .withColumn("dist_km",
+        haversineKm(col("l_lon"), col("l_lat"), col("r_lon"), col("r_lat")))
+      .where(col("dist_km") <= lit(radiusKm))
+  }
+
+  /** finest resolution whose probeDisk-disk provably covers `radiusKm`
+    * (diskSafeKm ≥ radius). Finer is better for the join above — the
+    * disk fan-out is constant in res while false candidates per cell
+    * shrink 7× per level. Raises if even res 0 cannot certify the radius
+    * at this probeDisk (planetary radii → raise probeDisk or accept res 0).
+    */
+  def resForRadiusKm(radiusKm: Double, probeDisk: Int = 2): Int = {
+    require(radiusKm > 0, s"resForRadiusKm: radiusKm=$radiusKm must be positive")
+    val certified = (0 to 15).reverse.find(r => diskSafeKm(r, probeDisk) >= radiusKm)
+    certified.getOrElse(throw new IllegalArgumentException(
+      s"resForRadiusKm: radiusKm=$radiusKm exceeds even the res-0 " +
+        s"probeDisk=$probeDisk coverage ${diskSafeKm(0, probeDisk)} km"))
+  }
+
   /** guaranteed k-disk coverage radius at `res` in km: any target within
     * this distance of a query point is necessarily inside the query
     * cell's k-disk (cell ∪ ring1 ∪ … ∪ ringK). Geometry: from any point

@@ -860,6 +860,55 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("distanceJoin equals brute force exactly; no duplicate pairs; contracts raise") {
+    import spark.implicits._
+    val lefts = (0 until 2000).map { i =>
+      (s"l$i", -180.0 + (i * 7919 % 360000) / 1000.0, -90.0 + (i * 4409 % 180000) / 1000.0)
+    }.toDF("l_id", "lon", "lat")
+    val rights = (0 until 8000).map { i =>
+      (s"r$i", -180.0 + (i * 9973 % 360000) / 1000.0, -90.0 + (i * 6271 % 180000) / 1000.0)
+    }.toDF("r_id", "lon", "lat")
+    val radius = 200.0
+    val rows = SpatialOps.distanceJoin(lefts, rights, "lon", "lat", radius)
+      .select("l_id", "r_id").as[(String, String)].collect()
+    // exactly-once per qualifying pair: the bag equals its set
+    assert(rows.length == rows.toSet.size)
+    def hav(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val dlat = math.toRadians(lat2 - lat1); val dlon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dlat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dlon / 2), 2)
+      2.0 * graft.dggs.Sphere.EarthRadiusKm * math.asin(math.sqrt(a))
+    }
+    val rs = rights.as[(String, Double, Double)].collect()
+    val want = lefts.as[(String, Double, Double)].collect().flatMap {
+      case (l, llon, llat) =>
+        rs.filter { case (_, rlon, rlat) => hav(llon, llat, rlon, rlat) <= radius }
+          .map { case (r, _, _) => (l, r) }
+    }.toSet
+    assert(rows.toSet == want)
+    assert(want.nonEmpty) // the comparison must actually exercise matches
+    // auto-res = finest certified res; an explicitly coarser res gives
+    // the identical relation (completeness does not depend on res choice)
+    val autoRes = SpatialOps.resForRadiusKm(radius, 2)
+    assert(SpatialOps.diskSafeKm(autoRes, 2) >= radius)
+    assert(autoRes == 15 ||
+      SpatialOps.diskSafeKm(autoRes + 1, 2) < radius)
+    val coarser = SpatialOps.distanceJoin(lefts, rights, "lon", "lat", radius,
+        res = autoRes - 1)
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    assert(coarser == want)
+    // contracts: uncertified explicit res, bad radius, column collision
+    intercept[IllegalArgumentException](
+      SpatialOps.distanceJoin(lefts, rights, "lon", "lat", radius, res = autoRes + 3))
+    intercept[IllegalArgumentException](
+      SpatialOps.distanceJoin(lefts, rights, "lon", "lat", -1.0))
+    intercept[IllegalArgumentException](
+      SpatialOps.distanceJoin(lefts, rights.withColumnRenamed("r_id", "l_id"),
+        "lon", "lat", radius))
+    intercept[IllegalArgumentException](SpatialOps.resForRadiusKm(1.0e9))
+  }
+
   test("SQL surface: registered functions run a full pipeline in spark.sql") {
     graft.spark.GraftSql.register(spark)
     import spark.implicits._
