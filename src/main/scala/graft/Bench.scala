@@ -329,6 +329,63 @@ object BenchSpatialJoin {
   }
 }
 
+/** Radius-join scaling leg (north_rule two-parallelism evidence): the
+  * exact distance join over deterministic world-wide point sets at N
+  * and 4N cores. The shuffle moves only the exploded left side
+  * (|disk| × rows, ~19×) plus the right side once — the candidate
+  * stream (≈ disk-area × point-density per left row) is refined inside
+  * the join output iterator, never materialized or re-shuffled, so the
+  * leg is CPU-bound haversine at any density and the wall should track
+  * cores until the host memory-bandwidth ceiling.
+  *
+  * A 5th arg turns on targeted hot-cell salting (candidate-product
+  * threshold) so its detection overhead vs. skew benefit is measurable
+  * on the same corpus:
+  *
+  *   sbt "runMain graft.BenchDistanceJoin <cpus> [nLeft] [nRight] [radiusKm] [hotThreshold]"
+  */
+object BenchDistanceJoin {
+  import graft.ops.SpatialOps
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nLeft = if (args.length > 1) args(1).toLong else 1000000L
+    val nRight = if (args.length > 2) args(2).toLong else 1000000L
+    val radiusKm = if (args.length > 3) args(3).toDouble else 25.0
+    val hotThr: Option[Long] =
+      if (args.length > 4) Some(args(4).toLong) else None
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val left = spark.range(nLeft).select(col("id").as("l_id"),
+      ((pmod(col("id") * 9973L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+      ((pmod(col("id") * 6271L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+    val right = spark.range(nRight).select(col("id").as("r_id"),
+      ((pmod(col("id") * 7919L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+      ((pmod(col("id") * 4409L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+    val res = SpatialOps.resForRadiusKm(radiusKm, 2)
+
+    // warmup (JIT + codegen) on a slice, then timed full run
+    SpatialOps.distanceJoin(left.limit(20000), right.limit(20000),
+      "lon", "lat", radiusKm).count()
+    val t0 = System.nanoTime()
+    val n = SpatialOps.distanceJoin(left, right, "lon", "lat", radiusKm,
+      hotCandidateThreshold = hotThr).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"bench":"distance_join","cpus":$cpus,"n_left":$nLeft,""" +
+      f""""n_right":$nRight,"radius_km":$radiusKm,"res":$res,""" +
+      f""""hot_threshold":${hotThr.getOrElse(-1L)},""" +
+      f""""pairs":$n,"wall_sec":$wall%.2f,""" +
+      f""""left_rows_per_sec":${(nLeft / wall).toLong}}""")
+    spark.stop()
+  }
+}
+
 /** Skew demonstration (north_rule: explicit salt-based mitigation,
   * measured): a Zipfian-style corpus with a configurable fraction of
   * points in ONE res-6 cell, joined (shuffle join, broadcast disabled)

@@ -349,11 +349,16 @@ object SpatialOps {
     */
   def distanceJoin(left: DataFrame, right: DataFrame,
                    lonCol: String, latCol: String, radiusKm: Double,
-                   res: Int = -1, probeDisk: Int = 2): DataFrame = {
+                   res: Int = -1, probeDisk: Int = 2,
+                   hotCandidateThreshold: Option[Long] = None,
+                   nSalts: Int = 8): DataFrame = {
     require(radiusKm > 0, s"distanceJoin: radiusKm=$radiusKm must be positive")
     require(probeDisk >= 1 && probeDisk <= 4,
       s"distanceJoin: probeDisk=$probeDisk outside the validated range 1..4 " +
         "(KnnSafeRadiusSpec/KnnProbe)")
+    require(nSalts >= 1, s"distanceJoin: nSalts=$nSalts must be >= 1")
+    require(hotCandidateThreshold.forall(_ > 0),
+      s"distanceJoin: hotCandidateThreshold=$hotCandidateThreshold must be positive")
     val useRes = if (res >= 0) res else resForRadiusKm(radiusKm, probeDisk)
     require(radiusKm <= diskSafeKm(useRes, probeDisk),
       s"distanceJoin: radiusKm=$radiusKm exceeds the certified disk coverage " +
@@ -367,10 +372,64 @@ object SpatialOps {
     val r = right.withColumnRenamed(lonCol, "r_lon").withColumnRenamed(latCol, "r_lat")
     val rCell = GridOps.cellsForGeoPoints(r, "r_lon", "r_lat", useRes)
       .drop("name").withColumnRenamed("cell_id", "probe_cell")
-    lCell
+    val lExp = lCell
       .withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), probeDisk)))
       .drop("cell_id")
-      .join(rCell, "probe_cell").drop("probe_cell")
+    // explicit partition count on BOTH join inputs — same discipline as
+    // the banding engine (TextOps.hamming64Pairs): candidate rows are
+    // tiny (~40 B) but the join's cost is the haversine refine over the
+    // disk-area × density candidate stream, so AQE's 64 MB byte advisory
+    // would coalesce a million-point join into a handful of tasks and
+    // flatten N→4N scaling (measured: 2→8c efficiency 0.66 before —
+    // BENCH/BASELINE.md)
+    val nPart = left.sparkSession.sessionState.conf.numShufflePartitions
+    // targeted hot-cell salting (the saltedJoin recipe, keyed here by
+    // the join's REAL cost), OPT-IN like saltedJoin: a cell's task cost
+    // is n_left_probes × n_right — quadratic in occupancy, so one dense
+    // city cell can own the wall while every other task idles. Cells
+    // whose candidate product exceeds the threshold get their left rows
+    // hashed over nSalts subtasks and their right rows replicated
+    // ×nSalts; everything else joins on salt 0. Opt-in because the
+    // detection costs a second pass over the exploded relation plus a
+    // codegen-breaking membership filter — measured 7.51→14.36 s (≈2×)
+    // on a 1M×1M world-wide corpus whose worst cell was only ~2× the
+    // average task (BENCH/BASELINE.md); reach for it when a
+    // key-occupancy histogram says the top product dominates the mean,
+    // not by default. The hot-key collect is threshold-bounded
+    // (Σ products ≤ total candidates ⇒ ≤ total/threshold keys). Results
+    // are placement-invariant: output identical with salting on or off
+    // (spec-pinned).
+    val hotKeys: Set[Long] = hotCandidateThreshold match {
+      case None => Set.empty
+      case Some(thr) =>
+        val nl = lExp.groupBy("probe_cell").agg(count(lit(1)).as("n_l"))
+        val nr = rCell.groupBy("probe_cell").agg(count(lit(1)).as("n_r"))
+        nl.join(nr, "probe_cell")
+          .where(col("n_l") * col("n_r") > thr)
+          .select(col("probe_cell"))
+          .collect().map(_.getLong(0)).toSet
+    }
+    val joined =
+      if (hotKeys.isEmpty)
+        lExp.repartition(nPart, col("probe_cell"))
+          .join(rCell.repartition(nPart, col("probe_cell")).hint("shuffle_hash"),
+            Seq("probe_cell"))
+          .drop("probe_cell")
+      else {
+        val isHot = udf((k: Long) => hotKeys.contains(k))
+        val lS = lExp.withColumn("__salt",
+          when(isHot(col("probe_cell")),
+            pmod(hash(col("l_lon"), col("l_lat")), lit(nSalts))).otherwise(lit(0)))
+        val rS = rCell.withColumn("__salt",
+          explode(when(isHot(col("probe_cell")),
+            sequence(lit(0), lit(nSalts - 1))).otherwise(array(lit(0)))))
+        lS.repartition(nPart, col("probe_cell"), col("__salt"))
+          .join(rS.repartition(nPart, col("probe_cell"), col("__salt"))
+            .hint("shuffle_hash"),
+            Seq("probe_cell", "__salt"))
+          .drop("probe_cell", "__salt")
+      }
+    joined
       .withColumn("dist_km",
         haversineKm(col("l_lon"), col("l_lat"), col("r_lon"), col("r_lat")))
       .where(col("dist_km") <= lit(radiusKm))

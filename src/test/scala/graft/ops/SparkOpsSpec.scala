@@ -898,6 +898,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         res = autoRes - 1)
       .select("l_id", "r_id").as[(String, String)].collect().toSet
     assert(coarser == want)
+    // hot-cell salting is pure placement: forcing EVERY occupied cell
+    // through the salted path (threshold 1 candidate) must reproduce
+    // the identical relation
+    val salted = SpatialOps.distanceJoin(lefts, rights, "lon", "lat", radius,
+        hotCandidateThreshold = Some(1L), nSalts = 5)
+      .select("l_id", "r_id").as[(String, String)].collect()
+    assert(salted.length == salted.toSet.size)
+    assert(salted.toSet == want)
     // contracts: uncertified explicit res, bad radius, column collision
     intercept[IllegalArgumentException](
       SpatialOps.distanceJoin(lefts, rights, "lon", "lat", radius, res = autoRes + 3))
