@@ -217,6 +217,25 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           md5(col("text").cast("binary")).as("text_md5"))),
 
+    "dedup_lines" -> ((s, dir) =>
+      // CCNet-style line-level boilerplate removal over deterministically
+      // injected footer lines (the synthetic corpus is single-line; the
+      // injection plants line classes straddling the df threshold both
+      // ways — universal footer df=n, %4 footer df≈n/4, %23 df≈n/23 all
+      // drop at minDf=10; %97 df≈n/97≈5 at sf0.01 survives; the original
+      // text line survives at df 1. The oracle injects identically.)
+      TextOps.dedupLines(
+        Tables.tbl(s, dir, "documents").withColumn("text",
+          concat_ws("\n", col("text"),
+            lit("subscribe to our newsletter"),
+            concat(lit("sect "), pmod(col("doc_id"), lit(23L)).cast("string")),
+            concat(lit("page "), pmod(col("doc_id"), lit(97L)).cast("string")),
+            when(pmod(col("doc_id"), lit(4L)) === 0,
+              lit("all rights reserved")))),
+        minDf = 10)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          col("n_lines_removed"))),
+
     // ---- similarity search over `embeddings` ----
     // brute-force cosine bounded to a fixed query subset (vec_id % 20,
     // capped below 4000 → ≤200 queries at ANY sf): cost Q·N with
@@ -1513,6 +1532,33 @@ object SparkEntry {
         |  md5(regexp_replace(t1, '\+?[0-9][0-9()\- ]{6,}[0-9]',
         |      '<PHONE>', 'g')) AS text_md5
         |FROM e""".stripMargin,
+    "dedup_lines" ->
+      // identical injection (concat_ws skips the NULL %4-class line in
+      // both engines), then the full line-dedup semantics recomputed:
+      // df counts DISTINCT docs, blank lines never count, rebuild keeps
+      // original order ('' when nothing survives)
+      """WITH inj AS (SELECT doc_id, concat_ws(chr(10), text,
+        |    'subscribe to our newsletter',
+        |    'sect ' || CAST(doc_id % 23 AS VARCHAR),
+        |    'page ' || CAST(doc_id % 97 AS VARCHAR),
+        |    CASE WHEN doc_id % 4 = 0 THEN 'all rights reserved' END) AS text
+        |  FROM documents),
+        |la AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+        |lv AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS i, l
+        |       FROM la),
+        |lw AS (SELECT doc_id, i, l[i] AS line FROM lv),
+        |boiler AS (SELECT line FROM lw WHERE len(line) > 0
+        |           GROUP BY line HAVING count(DISTINCT doc_id) >= 10),
+        |k AS (SELECT lw.doc_id, lw.i, lw.line,
+        |        CASE WHEN b.line IS NULL THEN 1 ELSE 0 END AS keep
+        |      FROM lw LEFT JOIN boiler b USING (line)),
+        |reb AS (SELECT doc_id,
+        |          coalesce(string_agg(CASE WHEN keep = 1 THEN line END,
+        |                              chr(10) ORDER BY i), '') AS text,
+        |          CAST(count(*) - sum(keep) AS BIGINT) AS n_lines_removed
+        |        FROM k GROUP BY doc_id)
+        |SELECT doc_id, md5(text) AS text_md5, n_lines_removed
+        |FROM reb""".stripMargin,
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wt AS (SELECT doc_id, unnest(w) AS t FROM w),

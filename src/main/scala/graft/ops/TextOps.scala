@@ -1734,4 +1734,60 @@ object TextOps {
         .where(col("doc_id") > col("__keep"))
         .select(col("doc_id"), col("start_w"), col("end_w")))
   }
+
+  /** CCNet/RefinedWeb-style LINE-level boilerplate removal: drop every
+    * line whose exact text appears in at least `minDf` DISTINCT
+    * documents (navigation bars, cookie banners, license footers — the
+    * duplication modality whole-doc hashing and passage-level
+    * [[repeatedSpans]] both miss: a 2-line footer stamped on a million
+    * otherwise-unique pages is below every shingle threshold per doc
+    * but dominates the token count of a crawled corpus).
+    *
+    * Semantics: a line's doc frequency counts each containing doc ONCE
+    * (a footer repeated inside one doc is not corpus boilerplate by
+    * itself); blank lines never count and never drop (they are document
+    * structure, not content); when a line IS boilerplate, EVERY
+    * occurrence of it drops, including within-doc repeats. Every input
+    * row is re-emitted with `text` rebuilt (surviving lines joined by
+    * \n in original order, '' when nothing survives) plus
+    * `n_lines_removed`. Line identity is exact text — callers wanting
+    * case-/whitespace-insensitive matching normalize `text` first.
+    *
+    * Scale shape: doc frequency is one narrow `array_distinct` explode
+    * + ONE partial-aggregated groupBy(line) — the only corpus-wide
+    * shuffle; the boilerplate relation (df ≥ minDf) is tiny relative to
+    * the line universe, so the position join against it hashes small.
+    * The rebuild is the [[applyWordStrips]] shape: per-doc drop
+    * POSITIONS (affected docs only, matches-proportional) merged back
+    * via ONE doc_id equi-join + a narrow higher-order filter — the
+    * corpus text itself never re-groups through an exchange.
+    */
+  def dedupLines(docs: DataFrame, minDf: Long = 10): DataFrame = {
+    require(minDf >= 2,
+      s"minDf must be >= 2, got $minDf (1 would drop every non-empty line)")
+    val lineArr = split(col("text"), "\n")
+    val boiler = docs
+      .select(explode(array_distinct(lineArr)).as("line"))
+      .where(length(col("line")) > 0)
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select("line")
+    val drops = docs
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
+      .join(boiler, "line")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("__drop"))
+    val outCols = docs.columns.map {
+      case "text" => array_join(col("__kept"), "\n").as("text")
+      case c => col(c)
+    }
+    docs.join(drops, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__drop").isNull, lineArr)
+          .otherwise(filter(lineArr,
+            (_, i) => not(array_contains(col("__drop"), i)))))
+      .select(outCols.toIndexedSeq :+
+        (size(lineArr) - size(col("__kept"))).cast("long")
+          .as("n_lines_removed"): _*)
+  }
 }

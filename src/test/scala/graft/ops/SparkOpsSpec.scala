@@ -713,6 +713,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == (("a@b and 12345 are too short to match", 0L, 0L)), out(5L))
   }
 
+  test("dedupLines: df-threshold drop, blank/within-doc/order semantics") {
+    import spark.implicits._
+    // footer 'f' in docs 1,2,3 (df 3 ≥ minDf 2 → drops, BOTH copies in
+    // doc 1); 'rare' in doc 4 only (df 1 → survives); blank lines are
+    // structure (df would be 4) and must survive; doc 5 becomes empty
+    val docs = Seq(
+      (1L, "alpha\nf\n\nbeta\nf"),
+      (2L, "f\ngamma"),
+      (3L, "delta\n\nf"),
+      (4L, "rare\nepsilon"),
+      (5L, "f")).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, minDf = 2)
+      .select("doc_id", "text", "n_lines_removed")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha\n\nbeta", 2L)), out(1L))
+    assert(out(2L) == (("gamma", 1L)), out(2L))
+    assert(out(3L) == (("delta\n", 1L)), out(3L))
+    assert(out(4L) == (("rare\nepsilon", 0L)), out(4L))
+    assert(out(5L) == (("", 1L)), out(5L))
+    // within-doc repetition alone is NOT corpus boilerplate
+    val solo = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val s1 = TextOps.dedupLines(solo, minDf = 2)
+      .where(col("doc_id") === 1L).select("text").as[String].head()
+    assert(s1 == "x\nx\nx")
+    intercept[IllegalArgumentException] { TextOps.dedupLines(docs, minDf = 1) }
+  }
+
   test("cleanCorpusKeepLongest keeps the longest doc per cluster, ties to min id") {
     import spark.implicits._
     def t(d: Long, n: Int) = (d, (1 to n).map(i => s"w${d}x$i").mkString(" "))
