@@ -325,6 +325,29 @@ object BenchSpatialJoin {
     leg("broadcast", Some(true))
     leg("shuffle_hash", Some(false))
     leg("auto", None)
+
+    // COMPACTED-cover legs (round 6): per-polygon minimal multi-res
+    // cover, one-scan multi-level ancestor join — meaningful when the
+    // polygon interiors span ≥1 full cell family (run with res ≥ 6 for
+    // the default 3°×2° boxes); rows must equal the uniform legs'
+    val t1 = System.nanoTime()
+    val compact = graft.ops.GridOps
+      .compactCells(cover, keyCols = Seq("poly_id", "wkt")).cache()
+    val nCompact = compact.count()
+    val compactWall = (System.nanoTime() - t1) / 1e9
+    def legC(label: String, bc: Option[Boolean]): Unit = {
+      SpatialOps.pointInPolygonJoinCompact(
+        pts.limit(20000), "lon", "lat", compact, res, bc).count()
+      val t = System.nanoTime()
+      val n = SpatialOps.pointInPolygonJoinCompact(
+        pts, "lon", "lat", compact, res, bc).count()
+      val wall = (System.nanoTime() - t) / 1e9
+      println(f"""{"bench":"pip","strategy":"$label","cpus":$cpus,""" +
+        f""""pts":$nPts,"polys":$nPolys,"res":$res,"cover_rows":$nCompact,""" +
+        f""""cover_wall_sec":$compactWall%.2f,"join_wall_sec":$wall%.2f,"rows":$n}""")
+    }
+    legC("compact_broadcast", Some(true))
+    legC("compact_auto", None)
     spark.stop()
   }
 }

@@ -39,6 +39,22 @@ object BenchDedupScaling {
       concat_ws(" ", words: _*).as("text"))
   }
 
+  /** Deterministic line-structured corpus for the boilerplate-removal
+    * leg: 7 doc-unique body lines + a universal footer (df = n) + a
+    * mid-df section line (df ≈ n/1000) + a near-unique line (df = 2,
+    * below any realistic threshold — must survive).
+    */
+  def linesCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val uniq = (1 to 7).map(i =>
+      concat(lit(s"u${i}_"), col("id"), lit(s" body line $i")))
+    val boiler = Seq(
+      lit("subscribe to our newsletter"),
+      concat(lit("sect "), pmod(col("id"), lit(1000L))),
+      concat(lit("rare "), (col("id") / 2).cast("long")))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws("\n", uniq ++ boiler: _*).as("text"))
+  }
+
   /** Deterministic synthetic embeddings (uniform in [-1,1)^dim).
     * Dims are xxhash64-mixed per (id, dim) — a linear congruential
     * pattern makes consecutive ids near-identical vectors, which
@@ -269,6 +285,34 @@ object BenchDedupScaling {
     run("pipeline_sample_mix",
       TextOps.sampleMix(withSource(docsWarm), mixRates).count()) {
       TextOps.sampleMix(withSource(docs), mixRates).count()
+    }
+    // line-level boilerplate removal (round 6): 10-line docs, 2 of the
+    // 10 lines are corpus boilerplate (universal footer + mid-df
+    // section line) and must drop; the action sums rebuilt-text bytes
+    // so the narrow higher-order rebuild cannot be pruned away. The op
+    // scans its input 3× (df / positions / rebuild), so the leg feeds
+    // PARQUET — the lake shape — not the generator plan
+    if (only.isEmpty || only.contains("pipeline_dedup_lines")) {
+      def dedupLinesTotal(src: DataFrame): Long =
+        TextOps.dedupLines(src, minDf = 100)
+          .agg(sum(length(col("text"))).as("b"),
+            sum(col("n_lines_removed")).as("d")).head().getLong(1)
+      val linesDir = java.nio.file.Files.createTempDirectory("graft_lines")
+      try {
+        linesCorpus(spark, nDocs).write.mode("overwrite")
+          .parquet(linesDir.toString)
+        val pq = spark.read.parquet(linesDir.toString)
+        run("pipeline_dedup_lines", dedupLinesTotal(linesCorpus(spark, 2000))) {
+          dedupLinesTotal(pq)
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(linesDir)
+        try walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }
     // GPT-style sequence packing (round 6): 1024-token sequences over
     // 1024 independent bucket streams (≫ cores — the per-bucket prefix

@@ -449,6 +449,28 @@ object SparkEntry {
           explode(F.z7DescendantsAt(F.z7FromString(col("parent")), col("to_res"))))
         .select(col("parent"), F.z7String(col("cell_id")).as("name"))
     }),
+
+    "dggs_compact" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{DggsFunctions => F}
+      // minimal-cover compaction over a constructed mixed set: the full
+      // res-3 cover under hexagon "023" (cascades to the parent), the
+      // same under "045" minus one cell (6 complete res-2 families
+      // compact, the punctured one keeps its 6 survivors), a two-level
+      // PENTAGON cascade ("000"'s 6 children + "00"'s other 5 children
+      // → everything collapses to base "00" — family size 6, not 7),
+      // and a 3-cell scatter that must pass through untouched
+      val full = GridOps.gridCellsFromCoarseCells(
+        Seq("023", "045").toDF("parent"), "parent", 3)
+        .where(col("name") =!= "04511").select("name")
+      val pent = Seq("001", "003", "004", "005", "006",
+        "0000", "0001", "0003", "0004", "0005", "0006").toDF("name")
+      val scatter = Seq("06612", "06646", "06600").toDF("name")
+      val cells = full.unionByName(pent).unionByName(scatter)
+        .select(F.z7FromString(col("name")).as("cell_id"))
+      GridOps.compactCells(cells)
+        .select(F.z7String(col("cell_id")).as("name"))
+    }),
     "dggs_spatial_join" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val polys = Seq(
@@ -472,6 +494,25 @@ object SparkEntry {
         .toDF("poly_id", "wkt")
       SpatialOps.pointInPolygonJoinDf(geo, "lon", "lat", polys, 4,
         broadcastCovers = Some(false))
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    "dggs_spatial_join_compact" -> ((s, dir) => {
+      // the COMPACTED-cover path: same polygons, cover built at res 4
+      // then minimized per polygon (complete families → parents), join
+      // via the one-scan multi-res ancestor explode — shares the SAME
+      // oracle as the broadcast and shuffle paths, so a green hash IS
+      // the compaction-equivalence proof at oracle level
+      import s.implicits._
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val polys = Seq(
+        ("estonia", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"),
+        ("oregon", "POLYGON ((-124.6 42.0, -116.5 42.0, -116.5 46.3, -124.6 46.3, -124.6 42.0))"),
+        ("tropics", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"))
+        .toDF("poly_id", "wkt")
+      val cover = GridOps.compactCells(
+        SpatialOps.coverCellsDf(polys, 4), keyCols = Seq("poly_id", "wkt"))
+      SpatialOps.pointInPolygonJoinCompact(geo, "lon", "lat", cover, 4,
+        broadcastCovers = Some(true))
         .select(col("doc_id"), col("offset"), col("poly_id"))
     }),
     "dggs_knn" -> ((s, dir) => {
@@ -1012,6 +1053,48 @@ object SparkEntry {
         |UNION ALL
         |SELECT '000125023' AS parent, '000125023' || d1.x || d2.x AS name
         |FROM d d1, d d2""".stripMargin,
+    "dggs_compact" ->
+      // GENERIC compaction recomputed on names (res = len-2; pentagon ⟺
+      // digits after the 2-char base all '0' → family size 6 else 7),
+      // unrolled bottom-up res 3→1 — one (group, filter, rewrite) block
+      // per level, exactly the engine's round structure
+      """WITH d AS (SELECT CAST(unnest(generate_series(0, 6)) AS VARCHAR) AS x),
+        |full3 AS (SELECT p.p || d1.x || d2.x AS name
+        |          FROM (VALUES ('023'), ('045')) p(p), d d1, d d2
+        |          WHERE p.p || d1.x || d2.x <> '04511'),
+        |c0 AS (SELECT name FROM full3
+        |       UNION ALL
+        |       SELECT name FROM (VALUES ('001'),('003'),('004'),('005'),
+        |         ('006'),('0000'),('0001'),('0003'),('0004'),('0005'),
+        |         ('0006'),('06612'),('06646'),('06600')) t(name)),
+        |g3 AS (SELECT substr(name, 1, 4) AS p, count(*) AS n
+        |       FROM c0 WHERE len(name) = 5 GROUP BY 1),
+        |f3 AS (SELECT p FROM g3 WHERE n = CASE
+        |         WHEN regexp_full_match(substr(p, 3), '0*') THEN 6 ELSE 7 END),
+        |c1 AS (SELECT name FROM c0 WHERE len(name) <> 5
+        |       UNION ALL
+        |       SELECT name FROM c0 WHERE len(name) = 5
+        |         AND substr(name, 1, 4) NOT IN (SELECT p FROM f3)
+        |       UNION ALL SELECT p FROM f3),
+        |g2 AS (SELECT substr(name, 1, 3) AS p, count(*) AS n
+        |       FROM c1 WHERE len(name) = 4 GROUP BY 1),
+        |f2 AS (SELECT p FROM g2 WHERE n = CASE
+        |         WHEN regexp_full_match(substr(p, 3), '0*') THEN 6 ELSE 7 END),
+        |c2 AS (SELECT name FROM c1 WHERE len(name) <> 4
+        |       UNION ALL
+        |       SELECT name FROM c1 WHERE len(name) = 4
+        |         AND substr(name, 1, 3) NOT IN (SELECT p FROM f2)
+        |       UNION ALL SELECT p FROM f2),
+        |g1 AS (SELECT substr(name, 1, 2) AS p, count(*) AS n
+        |       FROM c2 WHERE len(name) = 3 GROUP BY 1),
+        |f1 AS (SELECT p FROM g1 WHERE n = CASE
+        |         WHEN regexp_full_match(substr(p, 3), '0*') THEN 6 ELSE 7 END),
+        |c3 AS (SELECT name FROM c2 WHERE len(name) <> 3
+        |       UNION ALL
+        |       SELECT name FROM c2 WHERE len(name) = 3
+        |         AND substr(name, 1, 2) NOT IN (SELECT p FROM f1)
+        |       UNION ALL SELECT p FROM f1)
+        |SELECT name FROM c3""".stripMargin,
     // ---- ISEA4T oracles: frozen t6 column (T4 nests exactly, so every
     // coarser name is a substr — the nesting is proven in Isea4TSpec) ----
     "dggs_4t_stats" ->
@@ -1141,6 +1224,7 @@ object SparkEntry {
     // the shuffle path must produce the identical relation — one oracle,
     // two physical strategies (broadcast vs shuffle-hash on cell_id)
     "dggs_spatial_join_df" -> spatialJoinOracle,
+    "dggs_spatial_join_compact" -> spatialJoinOracle,
     "emb_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, $lshBucketSqlExpr AS bucket FROM e),

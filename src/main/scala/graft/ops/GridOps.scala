@@ -221,6 +221,101 @@ object GridOps {
         explode(F.z7DescendantsAt(F.z7FromString(col(idCol)), lit(res))))
       .withColumn("name", F.z7String(col("cell_id")))
 
+  /** H3-`compactCells`-equivalent MINIMAL multi-resolution cover:
+    * bottom-up, a parent replaces its children iff ALL of them are
+    * present — 7 for hexagon parents, 6 for pentagon parents (pentagons
+    * have no direction-2 child, Z7.childDigits). Input may be
+    * mixed-resolution; duplicates collapse first. Overlapping input (a
+    * cell AND its ancestor both present) is a caller contract breach
+    * and is not detected — the same contract as H3. Inverse:
+    * [[uncompactCells]] (roundtrip pinned in SparkOpsSpec).
+    *
+    * Why it matters at scale: polygon covers and region masks stored
+    * compacted are ~7× smaller per level of homogeneous interior, which
+    * keeps cover relations broadcast-able far past the point a
+    * uniform-res cover would spill to a shuffle join.
+    *
+    * Scale shape: ≤ maxRes rounds (resolution levels, ≤ 15), each ONE
+    * partial-aggregated groupBy(parent) + one anti-join over the
+    * current-res slice only — always on the CELL-SET relation (an
+    * aggregated cover, orders of magnitude smaller than the corpus that
+    * produced it). Per-round cache + count truncates lineage exactly
+    * like the CC loop; long-lived sessions release via
+    * `spark.catalog.clearCache()` (TextOps header note).
+    */
+  def compactCells(cells: DataFrame, cellCol: String = "cell_id",
+                   keyCols: Seq[String] = Nil): DataFrame = {
+    // keyCols: compact independently per key group (e.g. per poly_id for
+    // a multi-polygon cover relation) — the family test then requires
+    // all siblings within ONE group, and extra per-group columns that
+    // are functionally dependent on the keys (a wkt per poly_id) ride
+    // along in keyCols unchanged
+    val keys = keyCols.map(col)
+    val expected =
+      when(F.z7IsPentagon(col("__p")), lit(6L)).otherwise(lit(7L))
+    // per-round cache + count + LINEAGE TRUNCATION — without the
+    // truncate, each round's logical plan embeds every prior round's
+    // (cache lookup happens after analysis), and plan work dominates
+    // compute by round 3 even on a 2.5k-row cover (measured 26 s → <2 s)
+    def truncate(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.PlanUtils.truncatePreservingPartitioning(df)
+    var accCache = cells.select(keys :+ col(cellCol).as("cell_id"): _*)
+      .distinct().cache()
+    accCache.count()
+    var acc = truncate(accCache)
+    // per-res histogram (≤ 16 rows — metadata): rounds run ONLY for
+    // levels that hold cells, and the loop exits as soon as nothing can
+    // exist below — a round's exact contribution to level r-1 is its
+    // fams count, so the histogram stays exact without rescanning
+    val hist = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    acc.groupBy(F.z7Resolution(col("cell_id")).as("__r")).count()
+      .collect().foreach(row => hist(row.getInt(0)) = row.getLong(1))
+    var r = if (hist.isEmpty) 0 else hist.keys.max
+    while (r >= 1) {
+      if (hist(r) == 0L) { r -= 1 }
+      else {
+        val atR = acc.where(F.z7Resolution(col("cell_id")) === r)
+          .withColumn("__p", F.z7Parent(col("cell_id")))
+        val fams = atR.groupBy(keys :+ col("__p"): _*)
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") === expected)
+          .select(keys :+ col("__p"): _*)
+        val nextCache = acc.where(F.z7Resolution(col("cell_id")) =!= r)
+          .unionByName(atR.join(fams, keyCols :+ "__p", "left_anti")
+            .select(keys :+ col("cell_id"): _*))
+          .unionByName(fams.select(keys :+ col("__p").as("cell_id"): _*))
+          .cache()
+        // ONE action per round: the histogram update (cells now at
+        // r-1 = pre-existing + newly-compacted parents) rides the
+        // materializing count as an Observation, CC-loop style
+        val o = org.apache.spark.sql.Observation()
+        nextCache.observe(o,
+          sum(when(F.z7Resolution(col("cell_id")) === lit(r - 1), 1L)
+            .otherwise(0L)).as("n1")).count()
+        hist(r - 1) = o.get("n1") match {
+          case null => 0L
+          case l: java.lang.Long => l.longValue
+          case x => x.toString.toLong
+        }
+        val next = truncate(nextCache)
+        accCache.unpersist(false)
+        accCache = nextCache
+        acc = next
+        r -= 1
+      }
+    }
+    acc
+  }
+
+  /** Inverse of [[compactCells]]: expand a (possibly mixed-resolution)
+    * cover to uniform-`res` cells. Raises if any input cell is finer
+    * than `res` (Z7.descendants contract — loud, not silent drop).
+    */
+  def uncompactCells(cells: DataFrame, res: Int,
+                     cellCol: String = "cell_id"): DataFrame =
+    cells.select(
+      explode(F.z7DescendantsAt(col(cellCol), lit(res))).as("cell_id"))
+
   /** H3: polygons for explicit cell id list (z7 strings). */
   def gridCellPolygonsFromCellIds(cells: DataFrame, idCol: String,
                                   lat0: Double = Grids.DefaultLat,

@@ -209,6 +209,54 @@ object SpatialOps {
       .drop("poly_wkt")
   }
 
+  /** [[pointInPolygonJoinCover]] against a COMPACTED cover — mixed-
+    * resolution cover cells as produced by
+    * `GridOps.compactCells(cover, keyCols = Seq("poly_id", "wkt"))`.
+    * Identical output rows to the uniform-res join (a point is inside
+    * a compacted cell iff it is inside one of the res-`res` descendants
+    * that were merged away) — spec-pinned equality, and the driver
+    * query shares the uniform-res query's oracle.
+    *
+    * Why: compaction shrinks a homogeneous-interior cover ~7× per
+    * merged level, keeping big-region covers broadcast-able far past
+    * the point the uniform-res cover would spill to a shuffle join.
+    *
+    * Scale shape: ONE corpus scan — the point side explodes one
+    * ancestor per DISTINCT cover resolution (collected once from the
+    * cover relation: metadata, ≤ 15 values) and a single equi-join on
+    * that ancestor matches every cover level at once; never one join
+    * (= one corpus scan) per level. Point fan-out = number of cover
+    * levels, typically 2–4.
+    */
+  def pointInPolygonJoinCompact(points: DataFrame, lonCol: String,
+                                latCol: String, covers: DataFrame, res: Int,
+                                broadcastCovers: Option[Boolean] = None,
+                                lat0: Double = Grids.DefaultLat,
+                                lon0: Double = Grids.DefaultLon,
+                                az: Double = Grids.DefaultAz): DataFrame = {
+    val resList = covers.select(F.z7Resolution(col("cell_id")).as("r"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    require(resList.nonEmpty, "empty cover relation")
+    require(resList.last <= res,
+      s"cover has res-${resList.last} cells finer than point res $res")
+    val covers0 = covers.withColumnRenamed("wkt", "poly_wkt")
+      .withColumnRenamed("cell_id", "__cov")
+    val hinted = broadcastCovers match {
+      case Some(true)  => broadcast(covers0)
+      case Some(false) => covers0.hint("shuffle_hash")
+      case None        => covers0
+    }
+    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
+      JtsCache.contains(wkt, lon, lat)
+    }
+    GridOps.cellsForGeoPoints(points, lonCol, latCol, res, lat0, lon0, az)
+      .withColumn("__cov", explode(array(
+        resList.map(rr => F.z7AncestorAtExpr(col("cell_id"), lit(rr))).toIndexedSeq: _*)))
+      .join(hinted, Seq("__cov"))
+      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .drop("poly_wkt", "__cov")
+  }
+
   /** Exact kNN: for each query row, the k nearest target points by
     * great-circle distance. ONE equi-join probe of the query's Z7
     * `probeDisk`-disk (default 2 → 19 cells — cheap index arithmetic)

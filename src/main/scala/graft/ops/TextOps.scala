@@ -1753,35 +1753,51 @@ object TextOps {
     * `n_lines_removed`. Line identity is exact text — callers wanting
     * case-/whitespace-insensitive matching normalize `text` first.
     *
-    * Scale shape: doc frequency is one narrow `array_distinct` explode
-    * + ONE partial-aggregated groupBy(line) — the only corpus-wide
-    * shuffle; the boilerplate relation (df ≥ minDf) is tiny relative to
-    * the line universe, so the position join against it hashes small.
-    * The rebuild is the [[applyWordStrips]] shape: per-doc drop
-    * POSITIONS (affected docs only, matches-proportional) merged back
-    * via ONE doc_id equi-join + a narrow higher-order filter — the
-    * corpus text itself never re-groups through an exchange.
+    * Scale shape: doc frequency is one `array_distinct` explode + ONE
+    * partial-aggregated groupBy(line); the boilerplate relation
+    * (df ≥ minDf) is tiny relative to the line universe and BROADCAST
+    * to the position join by default (`broadcastBoiler = false` is the
+    * past-the-ceiling fallback: shuffle-hash on the line key). Drop
+    * POSITIONS (affected docs only) merge back via ONE doc_id equi-join
+    * + a narrow higher-order filter. The op scans the corpus relation
+    * three times (df pass, position pass, rebuild pass) — feed it a
+    * lake table, not an expensive unmaterialized plan. Every exchange
+    * carries an explicit partition count (AQE's byte advisory would
+    * coalesce the small-row CPU-bound stages — the CC-loop/banding
+    * discipline).
     */
-  def dedupLines(docs: DataFrame, minDf: Long = 10): DataFrame = {
+  def dedupLines(docs: DataFrame, minDf: Long = 10,
+                 broadcastBoiler: Boolean = true): DataFrame = {
     require(minDf >= 2,
       s"minDf must be >= 2, got $minDf (1 would drop every non-empty line)")
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
     val lineArr = split(col("text"), "\n")
+    // EXPLICIT partition counts on every exchange (same discipline as
+    // the CC loop / banding engine): distinct-line rows are small but
+    // the agg and the rebuild join are CPU-bound, and AQE's byte
+    // advisory coalesces them to a handful of tasks otherwise
+    // (measured: 8→32c speedup 1.56× before, ~3× after)
     val boiler = docs
       .select(explode(array_distinct(lineArr)).as("line"))
       .where(length(col("line")) > 0)
+      .repartition(nPart, col("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("line")
+    val hintedBoiler =
+      if (broadcastBoiler) broadcast(boiler) else boiler.hint("shuffle_hash")
     val drops = docs
       .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
-      .join(boiler, "line")
+      .join(hintedBoiler, "line")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("pos"))).as("__drop"))
+      .repartition(nPart, col("doc_id"))
     val outCols = docs.columns.map {
       case "text" => array_join(col("__kept"), "\n").as("text")
       case c => col(c)
     }
-    docs.join(drops, Seq("doc_id"), "left")
+    docs.repartition(nPart, col("doc_id"))
+      .join(drops, Seq("doc_id"), "left")
       .withColumn("__kept",
         when(col("__drop").isNull, lineArr)
           .otherwise(filter(lineArr,

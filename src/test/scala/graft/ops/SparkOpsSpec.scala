@@ -741,6 +741,82 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { TextOps.dedupLines(docs, minDf = 1) }
   }
 
+  test("compactCells: cascade, puncture, pentagon family-6, roundtrip") {
+    import spark.implicits._
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(F.z7String(col("cell_id"))).as[String].collect().toSet
+    def fromNames(s: Seq[String]) =
+      s.toDF("name").select(F.z7FromString(col("name")).as("cell_id"))
+    // full two-level cover cascades to the single parent
+    val full = GridOps.gridCellsFromCoarseCells(
+      Seq("023").toDF("p"), "p", 3).select("cell_id")
+    assert(names(GridOps.compactCells(full)) == Set("023"))
+    // puncture one leaf: its family survives at res 3, the other six
+    // families compact to res 2, nothing reaches res 1
+    val punctured = full.where(F.z7String(col("cell_id")) =!= "02340")
+    assert(names(GridOps.compactCells(punctured)) ==
+      Set("0230", "0231", "0232", "0233", "0235", "0236",
+        "02341", "02342", "02343", "02344", "02345", "02346"))
+    // pentagon cascade: 6 (not 7) children complete a pentagon family,
+    // two levels deep ("000" is itself reconstructed mid-loop)
+    val pent = fromNames(Seq("001", "003", "004", "005", "006",
+      "0000", "0001", "0003", "0004", "0005", "0006"))
+    assert(names(GridOps.compactCells(pent)) == Set("00"))
+    // 6 hexagon children do NOT compact (need 7)
+    val hexSix = fromNames(Seq("0230", "0231", "0232", "0233", "0234", "0235"))
+    assert(names(GridOps.compactCells(hexSix)) ==
+      Set("0230", "0231", "0232", "0233", "0234", "0235"))
+    // roundtrip: uncompact(compact(S), r) == S for uniform-res S
+    val s0 = punctured
+    assert(names(GridOps.uncompactCells(GridOps.compactCells(s0), 3)) ==
+      names(s0))
+    // uncompact to a res coarser than an input cell raises loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      GridOps.uncompactCells(fromNames(Seq("02345")), 2).collect()
+    }
+    assert(e.getMessage != null)
+    // keyed compaction: identical cell sets under two keys compact
+    // independently (no cross-key family completion)
+    val twoKeys = Seq("a", "b").toDF("k").crossJoin(full)
+    val ck = GridOps.compactCells(twoKeys, keyCols = Seq("k"))
+    assert(ck.select(F.z7String(col("cell_id")), col("k"))
+      .as[(String, String)].collect().toSet == Set("023" -> "a", "023" -> "b"))
+    // a family split across keys must NOT compact
+    val split7 = GridOps.gridCellsFromCoarseCells(Seq("023").toDF("p"), "p", 2)
+      .withColumn("k", when(col("name") === "0230", lit("a")).otherwise(lit("b")))
+      .select("k", "cell_id")
+    assert(GridOps.compactCells(split7, keyCols = Seq("k")).count() == 7L)
+    spark.catalog.clearCache()
+  }
+
+  test("pointInPolygonJoinCompact == uniform-res cover join, fewer cover rows") {
+    import spark.implicits._
+    val geo = CorpusOps.geoSpans(corpus(120))
+    val polys = Seq(
+      ("trop", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"),
+      ("est", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"))
+      .toDF("poly_id", "wkt")
+    val cover = SpatialOps.coverCellsDf(polys, 4).cache()
+    val compacted = GridOps.compactCells(cover, keyCols = Seq("poly_id", "wkt"))
+    val nFull = cover.count()
+    val nComp = compacted.count()
+    assert(nComp < nFull, s"compaction must shrink the cover: $nComp >= $nFull")
+    // the tropics interior is deep homogeneous — multiple levels merge
+    assert(compacted.select(F.z7Resolution(col("cell_id"))).distinct().count() > 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "offset", "poly_id")
+        .as[(String, Int, String)].collect().toSet
+    val uniform = rows(SpatialOps.pointInPolygonJoinCover(geo, "lon", "lat", cover, 4))
+    val compact = rows(SpatialOps.pointInPolygonJoinCompact(geo, "lon", "lat", compacted, 4))
+    assert(uniform.nonEmpty)
+    assert(compact == uniform)
+    // cover finer than the point res raises loudly
+    intercept[IllegalArgumentException] {
+      SpatialOps.pointInPolygonJoinCompact(geo, "lon", "lat", compacted, 3)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cleanCorpusKeepLongest keeps the longest doc per cluster, ties to min id") {
     import spark.implicits._
     def t(d: Long, n: Int) = (d, (1 to n).map(i => s"w${d}x$i").mkString(" "))
