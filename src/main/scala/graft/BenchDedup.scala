@@ -489,6 +489,22 @@ object BenchDedupScaling {
       VectorOps.lshTopK(embsWarm, 3, 11).count()) {
       VectorOps.lshTopK(embs, 3, 11).count()
     }
+    // SemDeDup semantic pairs (round 6): deterministic 256-vector
+    // codebook (lowest ids — the training cost is emb_kmeans_dist's
+    // leg, not this one), assignment = |codebook| dots/row, then the
+    // per-cluster pairwise refine; on uniform random vectors the refine
+    // dominates (~n²/|codebook| dots) and pair output is ~0 — the leg
+    // measures the candidate-generation economics, not recall
+    if (only.isEmpty || only.contains("emb_semantic_pairs")) {
+      def codebook(src: DataFrame, k: Int): Array[Array[Double]] =
+        src.orderBy("vec_id").limit(k).select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      run("emb_semantic_pairs",
+        VectorOps.semanticNearDupPairs(
+          embsWarm, codebook(embsWarm, 16), 0.95).count()) {
+        VectorOps.semanticNearDupPairs(embs, codebook(embs, 256), 0.95).count()
+      }
+    }
     // DISTRIBUTED k-means training at codebook sizes past the driver
     // sample (round-4 verdict #2): √N centroids rounded up to a power of
     // two (1M vectors → 1024), trained over the full relation — the

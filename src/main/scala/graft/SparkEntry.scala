@@ -236,6 +236,32 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
           col("n_lines_removed"))),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup pairs over the embeddings table + injected near-copies
+      // (natural max pairwise cos is 0.51 at sf0.01 — every vec_id % 10
+      // source gets a +0.25-on-element-1 DOUBLE-space copy at
+      // id+100000, cos ≈ 0.999; threshold 0.8 sits inside the empty
+      // [0.52, 0.99] gap so the boundary is float-unambiguous).
+      // Codebook: 4 literal one-hot comb centroids (c_k[i] = 1 ⟺
+      // i % 4 == k) — deterministic, and the oracle recomputes the
+      // argmax from the same literals. A dup's +0.25 can flip its
+      // argmax cluster vs its source near the cluster boundary — those
+      // pairs are MISSED by construction, the honest cluster-boundary
+      // semantics both engines share.
+      val base = Tables.tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val dups = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + 0.25d).otherwise(x)).as("embedding"))
+      val cents = Array.tabulate(4)(k =>
+        Array.tabulate(64)(i => if (i % 4 == k) 1.0 else 0.0))
+      VectorOps.semanticNearDupPairs(base.unionByName(dups), cents, 0.8)
+        .select(col("vec_a"), col("vec_b"), col("cluster"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
     // ---- similarity search over `embeddings` ----
     // brute-force cosine bounded to a fixed query subset (vec_id % 20,
     // capped below 4000 → ≤200 queries at ANY sf): cost Q·N with
@@ -1726,6 +1752,47 @@ object SparkEntry {
     "emb_lsh_buckets" ->
       (s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
           |SELECT vec_id, $lshBucketSqlExpr AS bucket FROM e""".stripMargin),
+    "dedup_semantic" ->
+      // identical injection (double-space +0.25 on element 1), then the
+      // full SemDeDup semantics: argmax one-hot-comb centroid (the
+      // comb dot is the every-4th-element sum — zeros in place keep the
+      // fold order identical to the engine's 64-term loop), lowest
+      // index on ties, within-cluster exact cosine ≥ 0.8
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings),
+        |e AS (SELECT vec_id, v FROM e0
+        |      UNION ALL
+        |      SELECT vec_id + 100000,
+        |             list_transform(generate_series(1, 64),
+        |               i -> CASE WHEN i = 1 THEN v[i] + 0.25
+        |                         ELSE v[i] END)
+        |      FROM e0 WHERE vec_id % 10 = 0),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> v[i]*v[i]), 'sum')) AS nrm FROM e),
+        |s AS (SELECT vec_id, v, nrm,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> CASE WHEN (i-1) % 4 = 0 THEN v[i] ELSE 0 END), 'sum') AS s0,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> CASE WHEN (i-1) % 4 = 1 THEN v[i] ELSE 0 END), 'sum') AS s1,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> CASE WHEN (i-1) % 4 = 2 THEN v[i] ELSE 0 END), 'sum') AS s2,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> CASE WHEN (i-1) % 4 = 3 THEN v[i] ELSE 0 END), 'sum') AS s3
+        |      FROM n),
+        |c AS (SELECT vec_id, v, nrm,
+        |        CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+        |             WHEN s1 >= s2 AND s1 >= s3 THEN 1
+        |             WHEN s2 >= s3 THEN 2 ELSE 3 END AS cluster
+        |      FROM s),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        a.cluster AS cluster,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+        |      FROM c a JOIN c b
+        |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cluster, round(cos, 6) AS cos
+        |FROM p WHERE cos >= 0.8""".stripMargin,
     "corpus_span_digest" ->
       s"""WITH $corpusCte
          |SELECT printf('doc-%012d', i) AS doc_id, count(*) AS n_spans,

@@ -1091,6 +1091,19 @@ object TextOps {
         minCos, nBits, dim)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
 
+  /** SemDeDup-style semantic near-dup pairs as a cleanCorpus source
+    * ([[VectorOps.semanticNearDupPairs]] — centroid-cluster candidates,
+    * exact cosine refine): the paraphrase-level dedup arm the sign-LSH
+    * [[embeddingPairSource]] cannot reach (recall note there). Same
+    * survivor left-semi contract as every pair source.
+    */
+  def semanticPairSource(embs: DataFrame, centroids: Array[Array[Double]],
+                         minCos: Double = 0.8): DataFrame => DataFrame =
+    docs => VectorOps.semanticNearDupPairs(
+        embs.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        centroids, minCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+
   /** End-to-end corpus cleaning — the composition a training-data
     * pipeline actually runs, as one operator: quality filter (length +
     * distinct-token floor) → exact dedup (keep the min doc_id per

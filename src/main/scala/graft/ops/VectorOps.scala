@@ -609,6 +609,64 @@ object VectorOps {
     }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup-style SEMANTIC near-duplicate pairs (Abbas et al. 2023):
+    * candidates share a nearest-centroid CLUSTER (argmax cosine against
+    * a codebook — [[trainCentroidsDistributed]]'s output at production
+    * scale, or any fixed codebook), refined by exact pairwise cosine ≥
+    * `minCos` inside the cluster. The trade vs [[cosineNearDupPairs]]'
+    * sign-LSH buckets: centroid clusters are SEMANTIC neighborhoods, so
+    * recall holds at paraphrase-level thresholds (0.7–0.9) where
+    * sign-agreement only captures near-identical vectors; precision is
+    * the exact refine either way. Exactly-once per pair: each vector
+    * lives in ONE cluster (argmax ties break to the lowest centroid
+    * index — the same rule as the k-means assignment loop, so a
+    * codebook round-trips bit-identically between train and dedup).
+    *
+    * Scale shape: one narrow assignment pass (|codebook| dots per row,
+    * codebook rides the UDF closure broadcast), ONE shuffle on the
+    * cluster id, per-cluster pairwise refine as loop iterations (never
+    * joined rows). Cluster population is controlled by codebook size —
+    * at 10^12 docs train ≥10^4 centroids (the
+    * [[trainCentroidsDistributed]] production path) so per-cluster
+    * pair counts stay bounded; a genuinely hot cluster (duplicate
+    * storm) wants the same upstream cap as any banding engine.
+    */
+  def semanticNearDupPairs(embs: DataFrame, centroids: Array[Array[Double]],
+                           minCos: Double = 0.8): DataFrame = {
+    require(centroids.nonEmpty, "empty codebook")
+    require(minCos > 0.0 && minCos <= 1.0, s"bad minCos $minCos")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val assign = assignUdf(centroids)
+    val e = withNorm(embs)
+      .withColumn("cluster", assign(col("e"), col("nrm")))
+      .select(col("cluster"), col("vec_id"), col("e"), col("nrm"))
+      .as[(Int, Long, Seq[Double], Double)]
+      .groupByKey(_._1)
+    e.flatMapGroups { (c, it) =>
+      val arr = it.map { case (_, id, ev, n) => (id, ev.toArray, n) }.toArray
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Double)]()
+      var i = 0
+      while (i < arr.length) {
+        val (ia, va, na) = arr(i)
+        var j = i + 1
+        while (j < arr.length) {
+          val (ib, vb, nb) = arr(j)
+          var d = 0.0
+          var x = 0
+          while (x < va.length) { d += va(x) * vb(x); x += 1 }
+          val cos = d / (na * nb)
+          if (cos >= minCos) {
+            out += (if (ia < ib) (ia, ib, c, cos) else (ib, ia, c, cos))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }.toDF("vec_a", "vec_b", "cluster", "cos")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket, refined
     * by exact cosine. Equi-join on bucket → broadcast/AQE friendly.
     */

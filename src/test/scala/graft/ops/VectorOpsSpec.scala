@@ -135,4 +135,47 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an empty query subset yields an empty result, not a failure
     assert(VectorOps.cosineTopK(embs, 3, Some(col("vec_id") < 0)).count() == 0)
   }
+
+  test("semanticNearDupPairs: cluster candidates, exact refine, tie rule") {
+    import spark.implicits._
+    // 2 orthogonal centroids; planted vectors with known geometry:
+    //  ids 1,2  → cluster 0, cos(1,2) = 1.0 (colinear: v, 2v)
+    //  id  3    → cluster 0 but nearly orthogonal to 1,2 (cos ≈ 0.196)
+    //  ids 10,11 → cluster 1, cos ≈ 0.9806 (one flipped low-weight dim)
+    //  id  20   → exact centroid TIE (equal dot with both) → cluster 0
+    val c0 = Array(1.0, 0.0, 0.0, 0.0)
+    val c1 = Array(0.0, 1.0, 0.0, 0.0)
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f, 5.0f, 0.0f)),
+      (10L, Seq(0.1f, 1.0f, 0.0f, 1.0f)),
+      (11L, Seq(-0.1f, 1.0f, 0.0f, 1.0f)),
+      (20L, Seq(1.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = VectorOps.semanticNearDupPairs(embs, Array(c0, c1), 0.8)
+      .select("vec_a", "vec_b", "cluster")
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) pass in cluster 0; (10,11) pass in cluster 1; 3 is a
+    // cluster-0 CANDIDATE but the exact refine rejects it; 20 ties →
+    // cluster 0, rejected by refine against 1,2 (cos ≈ 0.71-0.78 < 0.8)
+    assert(out == Set((1L, 2L, 0), (10L, 11L, 1)), out)
+    // tie → LOWEST centroid index (the k-means assignment rule)
+    val tieCluster = VectorOps.semanticNearDupPairs(
+      Seq((20L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+        (21L, Seq(1.0f, 1.0f, 0.0f, 0.001f))).toDF("vec_id", "embedding"),
+      Array(c0, c1), 0.8)
+      .select("cluster").as[Int].collect().toSet
+    assert(tieCluster == Set(0), tieCluster)
+    // cross-cluster near-identical vectors are MISSED by construction
+    // (the documented boundary semantics): colinear pair split by the
+    // argmax boundary produces no pair
+    val miss = VectorOps.semanticNearDupPairs(
+      Seq((30L, Seq(1.0f, 0.999f, 0.0f, 0.0f)),
+        (31L, Seq(0.999f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      Array(c0, c1), 0.8)
+    assert(miss.count() == 0)
+    intercept[IllegalArgumentException] {
+      VectorOps.semanticNearDupPairs(embs, Array.empty, 0.8)
+    }
+  }
 }
