@@ -206,6 +206,66 @@ object BenchScaling {
   }
 }
 
+/** Zoom-pyramid scale leg: full res→0 per-cell count pyramid over
+  * deterministic world-wide points, level-from-level (GridOps.
+  * cellPyramid) VS naive per-level re-aggregation of the point cells —
+  * the geometric-series claim measured. The point→cell assignment is
+  * done ONCE, cached, and excluded from both timed windows so the legs
+  * compare pure rollup strategies.
+  *
+  *   sbt "runMain graft.BenchPyramid <cpus> [nPts] [res]"
+  */
+object BenchPyramid {
+  import graft.ops.GridOps
+  import graft.spark.{DggsFunctions => F}
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nPts = if (args.length > 1) args(1).toLong else 10000000L
+    val res = if (args.length > 2) args(2).toInt else 7
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pts = spark.range(nPts).select(col("id"),
+      ((pmod(col("id") * 9973L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+      ((pmod(col("id") * 6271L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+    // cells land in PARQUET, not a cache: the comparison is about scan
+    // economics, and a cache would make naive's (res+1) re-scans free —
+    // the opposite of the lake shape both strategies exist for
+    val cellsDir = java.nio.file.Files.createTempDirectory("graft_pyr")
+    GridOps.cellsForGeoPoints(pts, "lon", "lat", res)
+      .select("cell_id").write.mode("overwrite").parquet(cellsDir.toString)
+    val cells = spark.read.parquet(cellsDir.toString)
+    def leg(label: String)(body: => Long): Unit = {
+      body // warm (JIT; the pyramid path re-runs its own internals)
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"bench":"pyramid","strategy":"$label","cpus":$cpus,""" +
+        f""""pts":$nPts,"res":$res,"wall_sec":$wall%.2f,"rows":$rows}""")
+    }
+    leg("level_from_level") {
+      GridOps.cellPyramid(cells, minRes = 0).count()
+    }
+    leg("naive_per_level") {
+      (0 to res).map { r =>
+        cells.groupBy(F.z7AncestorAt(col("cell_id"), lit(r)).as("c"))
+          .agg(count(lit(1)).as("n")).count()
+      }.sum
+    }
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(cellsDir)
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+    spark.stop()
+  }
+}
+
 /** Clipped grid-GENERATION scale soak (O1/H5 at depth — the flagship
   * soaks cover point→cell ASSIGNMENT; this covers the levelwise clipped
   * expansion itself, whose cost is cells OUT, not points in). Whole-

@@ -396,6 +396,16 @@ object SparkEntry {
         .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(3))).as("name3"))
         .agg(count(lit(1)).as("n"))
     }),
+    "dggs_pyramid" -> ((s, dir) => {
+      // full zoom pyramid res 6 → 0, each level aggregated from the
+      // level below (never from the points again); the oracle
+      // aggregates every level STRAIGHT from the frozen point→cell
+      // fixture, so a green hash proves the level-from-level path
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      GridOps.cellPyramid(
+        GridOps.cellsForGeoPoints(geo, "lon", "lat", 6), minRes = 0)
+        .select(col("name"), col("res"), col("n"))
+    }),
     "dggs_cap_per_cell" -> ((s, dir) => {
       // geo-stratified corpus thinning: at most 4 spans kept per res-1
       // cell (~72 cells over 664 sf0.01 spans — the cap genuinely
@@ -1016,6 +1026,15 @@ object SparkEntry {
       s"""WITH $geoCellsCte
          |SELECT substr(c6, 1, 5) AS name3, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_pyramid" ->
+      // every level aggregated DIRECTLY from the frozen point→cell
+      // fixture (Z7 ancestry = prefix truncation; res r name = r+2
+      // chars) — the independent recomputation of the engine's
+      // level-from-level rollup
+      s"""WITH $geoCellsCte,
+         |rs AS (SELECT CAST(unnest(generate_series(0, 6)) AS INT) AS res)
+         |SELECT substr(c6, 1, res + 2) AS name, res, count(*) AS n
+         |FROM gc, rs GROUP BY 1, 2""".stripMargin,
     "dggs_cap_per_cell" ->
       // Z7 ancestry = string-prefix truncation (res-1 name = 3 chars);
       // the draw is the portable md5 bucket over the unique row key,

@@ -307,6 +307,47 @@ object GridOps {
     acc
   }
 
+  /** Multi-resolution aggregation PYRAMID (the map-tile / zoom-level
+    * shape): per-cell counts (or `weightCol` sums) at EVERY resolution
+    * from the input cells' resolution down to `minRes`, in ONE corpus
+    * scan and ONE shuffle: each cell explodes to its (ancestor, res)
+    * pairs via the codegen ancestor expression and the hash aggregate's
+    * map-side combine collapses them to ≤ 8/7 × the finest level's
+    * distinct cells BEFORE the exchange — the geometric-series total a
+    * level-from-level rollup would reach, without its per-level job
+    * round trips (measured: an iterative 8-round implementation lost
+    * to even naive per-level re-aggregation at 10M points on per-round
+    * fixed costs; this form beats both, and at lake scale it is the
+    * only one that reads the corpus once).
+    *
+    * Input must be uniform-resolution cells (mixed input would double
+    * count — raises loudly). Output: (cell_id, name, res, n).
+    */
+  def cellPyramid(cells: DataFrame, minRes: Int = 0,
+                  cellCol: String = "cell_id",
+                  weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
+    val res = cells.agg(
+      min(F.z7Resolution(col(cellCol))), max(F.z7Resolution(col(cellCol)))).head()
+    require(!res.isNullAt(0), "empty cell relation")
+    val (rMin, rMax) = (res.getInt(0), res.getInt(1))
+    require(rMin == rMax,
+      s"cellPyramid input must be uniform-resolution (saw res $rMin..$rMax); " +
+        "mixed-res input would double count — compact/uncompact first")
+    require(minRes >= 0 && minRes <= rMax, s"bad minRes $minRes for res $rMax")
+    // primitive long array (no per-element structs — measured GC tax),
+    // single-long group key; res is recoverable from the padded id, so
+    // it is derived POST-agg on the pyramid-sized output
+    val levels = (minRes to rMax).map(r =>
+      F.z7AncestorAtExpr(col(cellCol), lit(r)))
+    cells
+      .select(explode(array(levels: _*)).as("cell_id"), w.as("__w"))
+      .groupBy("cell_id").agg(sum(col("__w")).as("n"))
+      .withColumn("res", F.z7Resolution(col("cell_id")))
+      .withColumn("name", F.z7String(col("cell_id")))
+      .select("cell_id", "name", "res", "n")
+  }
+
   /** Inverse of [[compactCells]]: expand a (possibly mixed-resolution)
     * cover to uniform-`res` cells. Raises if any input cell is finer
     * than `res` (Z7.descendants contract — loud, not silent drop).

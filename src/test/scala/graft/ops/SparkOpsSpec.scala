@@ -789,6 +789,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("cellPyramid: level-from-level == direct, conservation, weights, raises") {
+    import spark.implicits._
+    val geo = CorpusOps.geoSpans(corpus(100))
+    val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 5).cache()
+    val total = cells.count()
+    val pyr = GridOps.cellPyramid(cells, minRes = 0).cache()
+    // conservation: every level sums to the number of points
+    val sums = pyr.groupBy("res").agg(sum("n").as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(sums.keySet == (0 to 5).toSet)
+    assert(sums.values.forall(_ == total), sums)
+    // level-from-level equals direct aggregation at an interior level
+    val direct = cells
+      .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(2))).as("name"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val lvl2 = pyr.where(col("res") === 2).select("name", "n")
+      .as[(String, Long)].collect().toMap
+    assert(lvl2 == direct)
+    // weighted pyramid: doubling the weight doubles every level
+    val weighted = GridOps.cellPyramid(
+      cells.withColumn("wt", lit(2L)), minRes = 3, weightCol = Some("wt"))
+    assert(weighted.where(col("res") === 3).agg(sum("n")).head().getLong(0)
+      == 2 * total)
+    // mixed-resolution input raises loudly (double counting)
+    val mixed = cells.limit(5).select("cell_id").unionByName(
+      cells.limit(5).select(F.z7AncestorAt(col("cell_id"), lit(2)).as("cell_id")))
+    intercept[IllegalArgumentException] { GridOps.cellPyramid(mixed) }
+    intercept[IllegalArgumentException] { GridOps.cellPyramid(cells, minRes = 9) }
+    spark.catalog.clearCache()
+  }
+
   test("pointInPolygonJoinCompact == uniform-res cover join, fewer cover rows") {
     import spark.implicits._
     val geo = CorpusOps.geoSpans(corpus(120))
