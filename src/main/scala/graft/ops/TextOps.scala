@@ -1783,20 +1783,43 @@ object TextOps {
                  broadcastBoiler: Boolean = true): DataFrame = {
     require(minDf >= 2,
       s"minDf must be >= 2, got $minDf (1 would drop every non-empty line)")
+    dedupLinesFromBoiler(docs, boilerplateLines(docs, minDf), broadcastBoiler)
+  }
+
+  /** The doc-frequency half of [[dedupLines]]: the `(line)` relation of
+    * corpus boilerplate (exact lines in ≥ minDf distinct docs) — compute
+    * once per corpus snapshot, persist it, and feed
+    * [[dedupLinesFromBoiler]] (the lake shape, mirroring
+    * [[precomputedPairSource]] / [[corpusFingerprints]]).
+    */
+  def boilerplateLines(docs: DataFrame, minDf: Long = 10): DataFrame = {
     val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val lineArr = split(col("text"), "\n")
-    // EXPLICIT partition counts on every exchange (same discipline as
-    // the CC loop / banding engine): distinct-line rows are small but
-    // the agg and the rebuild join are CPU-bound, and AQE's byte
-    // advisory coalesces them to a handful of tasks otherwise
-    // (measured: 8→32c speedup 1.56× before, ~3× after)
-    val boiler = docs
-      .select(explode(array_distinct(lineArr)).as("line"))
+    docs
+      .select(explode(array_distinct(split(col("text"), "\n"))).as("line"))
       .where(length(col("line")) > 0)
       .repartition(nPart, col("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("line")
+  }
+
+  /** The enforcement half of [[dedupLines]], fed from a PRECOMPUTED
+    * boilerplate relation ([[boilerplateLines]]'s output, typically
+    * lake-resident): strips every occurrence of the given lines and
+    * rebuilds `text`. Batch/lake shape — the drop-position regroup is
+    * an aggregation, so on a STREAM use [[dedupLinesStream]] (the
+    * boilerplate set rides a closure; no join, no agg) or run this arm
+    * per micro-batch via foreachBatch.
+    */
+  def dedupLinesFromBoiler(docs: DataFrame, boiler: DataFrame,
+                           broadcastBoiler: Boolean = true): DataFrame = {
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val lineArr = split(col("text"), "\n")
+    // EXPLICIT partition counts on every exchange (same discipline as
+    // the CC loop / banding engine): the rows are small but the stages
+    // are CPU-bound, and AQE's byte advisory coalesces them to a
+    // handful of tasks otherwise (measured: 8→32c 1.56× before, ~3×
+    // after, isolated kernel)
     val hintedBoiler =
       if (broadcastBoiler) broadcast(boiler) else boiler.hint("shuffle_hash")
     val drops = docs
@@ -1818,5 +1841,29 @@ object TextOps {
       .select(outCols.toIndexedSeq :+
         (size(lineArr) - size(col("__kept"))).cast("long")
           .as("n_lines_removed"): _*)
+  }
+
+  /** STREAMING arm of [[dedupLines]]: the boilerplate set rides the UDF
+    * closure (one broadcast), the rebuild is a narrow per-row filter —
+    * no join, no aggregation, so it runs under readStream in append
+    * mode and is row-for-row identical to the batch arm (spec-pinned).
+    * The set must fit the executor heap — the CCNet shape, where the
+    * boilerplate table is orders of magnitude smaller than the corpus
+    * (a few million lines is fine); past that, run
+    * [[dedupLinesFromBoiler]] per micro-batch via foreachBatch.
+    */
+  def dedupLinesStream(docs: DataFrame, boiler: Set[String]): DataFrame = {
+    val strip = udf { (text: String) =>
+      val lines = text.split("\n", -1)
+      val kept = lines.filterNot(boiler.contains)
+      (kept.mkString("\n"), (lines.length - kept.length).toLong)
+    }
+    val outCols = docs.columns.map {
+      case "text" => col("__s._1").as("text")
+      case c => col(c)
+    }
+    docs.withColumn("__s", strip(col("text")))
+      .select(outCols.toIndexedSeq :+
+        col("__s._2").as("n_lines_removed"): _*)
   }
 }

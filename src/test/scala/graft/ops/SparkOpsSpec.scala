@@ -848,6 +848,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("dedupLines: precomputed boiler ≡ inline; stream arm ≡ batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val data = (0L until 60L).map(i =>
+      (i, s"u$i body\nsubscribe now\nsect ${i % 3}\nrare $i"))
+    val docs = data.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text", "n_lines_removed")
+        .as[(Long, String, Long)].collect().toSet
+    val boiler = TextOps.boilerplateLines(docs, 10).cache()
+    val inline = rows(TextOps.dedupLines(docs, 10))
+    assert(rows(TextOps.dedupLinesFromBoiler(docs, boiler)) == inline)
+    // 'subscribe now' (df 60) and the 3 'sect' lines (df 20) drop;
+    // u/rare lines (df 1) survive
+    assert(inline.forall(_._3 == 2L), inline.take(3))
+    // streaming arm over two micro-batches == the batch arm
+    val boilerSet = boiler.as[String].collect().toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = TextOps.dedupLinesStream(mem.toDF().toDF("doc_id", "text"), boilerSet)
+    val q = out.writeStream.format("memory").queryName("linestream")
+      .outputMode("append").start()
+    mem.addData(data.take(40): _*)
+    q.processAllAvailable()
+    mem.addData(data.drop(40): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT doc_id, text, n_lines_removed FROM linestream")
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(streamed == inline)
+    spark.catalog.clearCache()
+  }
+
   test("cleanCorpusKeepLongest keeps the longest doc per cluster, ties to min id") {
     import spark.implicits._
     def t(d: Long, n: Int) = (d, (1 to n).map(i => s"w${d}x$i").mkString(" "))
