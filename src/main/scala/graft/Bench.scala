@@ -249,19 +249,15 @@ object BenchPyramid {
         f""""pts":$nPts,"res":$res,"wall_sec":$wall%.2f,"rows":$rows}""")
     }
     leg("level_from_level") {
-      GridOps.cellPyramid(cells, minRes = 0).count()
+      GridOps.cellPyramid(cells, minRes = 0, res = Some(res)).count()
     }
     leg("naive_per_level") {
       (0 to res).map { r =>
-        cells.groupBy(F.z7AncestorAt(col("cell_id"), lit(r)).as("c"))
+        cells.groupBy(F.z7AncestorAtExpr(col("cell_id"), lit(r)).as("c"))
           .agg(count(lit(1)).as("n")).count()
       }.sum
     }
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(cellsDir)
-    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-    finally walk.close()
+    graft.tools.Fs.deleteRecursively(cellsDir)
     spark.stop()
   }
 }

@@ -197,17 +197,7 @@ object BenchDedupScaling {
           TextOps.cleanCorpus(docs,
             pairSource = TextOps.precomputedPairSource(pairsPq)).count()
         }
-      } finally {
-        // GBs at soak scale on a shared VM — never leave them behind
-        // (and close the walk stream: its directory handles otherwise
-        // stay open until GC)
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(pairsDir)
-        try walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally graft.tools.Fs.deleteRecursively(pairsDir)
     }
     run("dedup_simhash_pairs",
       TextOps.simhashPairs(docsWarm).count()) {
@@ -266,14 +256,7 @@ object BenchDedupScaling {
             TextOps.repeatedSpans(docsWarm, 5, 10)))) {
           forceStrip(TextOps.stripRepeatedSpansFromSpans(docs, spansPq))
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(spansDir)
-        try walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally graft.tools.Fs.deleteRecursively(spansDir)
     }
     // deterministic mixture sampling (round 6): 20 synthetic sources,
     // half sampled at varied rates — a pure narrow projection + filter,
@@ -305,14 +288,7 @@ object BenchDedupScaling {
         run("pipeline_dedup_lines", dedupLinesTotal(linesCorpus(spark, 2000))) {
           dedupLinesTotal(pq)
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(linesDir)
-        try walk.iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      } finally graft.tools.Fs.deleteRecursively(linesDir)
     }
     // GPT-style sequence packing (round 6): 1024-token sequences over
     // 1024 independent bucket streams (≫ cores — the per-bucket prefix
@@ -388,11 +364,7 @@ object BenchDedupScaling {
           }
           run("pipeline_select_top_naive", naive(docsWarm)) { naive(pq) }
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(docsDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      } finally graft.tools.Fs.deleteRecursively(docsDir)
     }
     // incremental (batch-vs-corpus) dedup: the daily-delta modality —
     // the corpus contributes ONLY its fingerprint snapshot (built and
@@ -434,11 +406,7 @@ object BenchDedupScaling {
             TextOps.corpusFingerprints(docsWarm)))) {
           consumeVd(TextOps.dedupIncremental(newBatch, printsPq))
         }
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(printsDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      } finally graft.tools.Fs.deleteRecursively(printsDir)
     }
     // THE end-to-end training-data pipeline (round 6): every stage the
     // engine provides, composed in ONE job over the 1M-doc corpus —
@@ -499,10 +467,13 @@ object BenchDedupScaling {
       def codebook(src: DataFrame, k: Int): Array[Array[Double]] =
         src.orderBy("vec_id").limit(k).select("embedding").collect()
           .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      // codebook built OUTSIDE the timed window — training/selection cost
+      // is emb_kmeans_dist's leg, this one measures assignment + refine
+      val cbWarm = codebook(embsWarm, 16)
+      val cb = codebook(embs, 256)
       run("emb_semantic_pairs",
-        VectorOps.semanticNearDupPairs(
-          embsWarm, codebook(embsWarm, 16), 0.95).count()) {
-        VectorOps.semanticNearDupPairs(embs, codebook(embs, 256), 0.95).count()
+        VectorOps.semanticNearDupPairs(embsWarm, cbWarm, 0.95).count()) {
+        VectorOps.semanticNearDupPairs(embs, cb, 0.95).count()
       }
     }
     // DISTRIBUTED k-means training at codebook sizes past the driver

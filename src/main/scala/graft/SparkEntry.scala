@@ -248,7 +248,11 @@ object SparkEntry {
       // argmax cluster vs its source near the cluster boundary — those
       // pairs are MISSED by construction, the honest cluster-boundary
       // semantics both engines share.
+      // bounded at ANY sf (the emb_cosine_topk convention): the capped
+      // vector subset keeps the per-cluster pairwise refine constant and
+      // keeps the +100000 dup ids collision-free against the base set
       val base = Tables.tbl(s, dir, "embeddings")
+        .where(col("vec_id") < 4000)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val dups = base.where(col("vec_id") % 10 === 0)
@@ -403,7 +407,8 @@ object SparkEntry {
       // fixture, so a green hash proves the level-from-level path
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       GridOps.cellPyramid(
-        GridOps.cellsForGeoPoints(geo, "lon", "lat", 6), minRes = 0)
+        GridOps.cellsForGeoPoints(geo, "lon", "lat", 6), minRes = 0,
+        res = Some(6))
         .select(col("name"), col("res"), col("n"))
     }),
     "dggs_cap_per_cell" -> ((s, dir) => {
@@ -1778,7 +1783,7 @@ object SparkEntry {
       // fold order identical to the engine's 64-term loop), lowest
       // index on ties, within-cluster exact cosine ≥ 0.8
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |            FROM embeddings),
+        |            FROM embeddings WHERE vec_id < 4000),
         |e AS (SELECT vec_id, v FROM e0
         |      UNION ALL
         |      SELECT vec_id + 100000,

@@ -321,26 +321,57 @@ object GridOps {
     * only one that reads the corpus once).
     *
     * Input must be uniform-resolution cells (mixed input would double
-    * count — raises loudly). Output: (cell_id, name, res, n).
+    * count — raises loudly). Pass `res` when the caller knows the
+    * input's resolution (it almost always does — the cells came from a
+    * cellsForGeoPoints at a chosen res): the uniformity check then
+    * rides the main scan as a per-row raise and the operator truly
+    * reads the input ONCE. With `res = None` the bounds come from one
+    * extra narrow aggregation pass first (fine for cell-set relations,
+    * an extra corpus read for lake-scale raw input). Output:
+    * (cell_id, name, res, n).
     */
   def cellPyramid(cells: DataFrame, minRes: Int = 0,
                   cellCol: String = "cell_id",
-                  weightCol: Option[String] = None): DataFrame = {
+                  weightCol: Option[String] = None,
+                  res: Option[Int] = None): DataFrame = {
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
-    val res = cells.agg(
-      min(F.z7Resolution(col(cellCol))), max(F.z7Resolution(col(cellCol)))).head()
-    require(!res.isNullAt(0), "empty cell relation")
-    val (rMin, rMax) = (res.getInt(0), res.getInt(1))
-    require(rMin == rMax,
-      s"cellPyramid input must be uniform-resolution (saw res $rMin..$rMax); " +
-        "mixed-res input would double count — compact/uncompact first")
+    val (rMax, checked) = res match {
+      case Some(r0) =>
+        require(r0 >= 0 && r0 <= Z7.MaxRes, s"bad res $r0")
+        // inline uniformity enforcement — no extra pass, and pure
+        // native bit math (a cell is at exactly res r0 ⟺ digit r0 is
+        // a real digit and digit r0+1 is the 7-pad): two shifts + two
+        // compares per row, codegen, no UDF (a z7Resolution-UDF check
+        // here cost a measured 25% of the whole pyramid wall)
+        def digitIsPad(i: Int) =
+          shiftrightunsigned(col(cellCol), 60 - 3 * i)
+            .bitwiseAND(lit(7L)) === lit(7L)
+        val ok = (if (r0 == 0) lit(true) else !digitIsPad(r0)) &&
+          (if (r0 >= Z7.MaxRes) lit(true) else digitIsPad(r0 + 1))
+        (r0, when(ok, col(cellCol))
+          .otherwise(raise_error(concat(
+            lit(s"cellPyramid: expected uniform res $r0, cell "),
+            col(cellCol).cast("string"), lit(" is not at that res")))))
+      case None =>
+        val bounds = cells.agg(
+          min(F.z7Resolution(col(cellCol))),
+          max(F.z7Resolution(col(cellCol)))).head()
+        require(!bounds.isNullAt(0), "empty cell relation")
+        val (rMin, rMx) = (bounds.getInt(0), bounds.getInt(1))
+        require(rMin == rMx,
+          s"cellPyramid input must be uniform-resolution (saw res $rMin..$rMx); " +
+            "mixed-res input would double count — compact/uncompact first")
+        (rMx, col(cellCol))
+    }
     require(minRes >= 0 && minRes <= rMax, s"bad minRes $minRes for res $rMax")
     // primitive long array (no per-element structs — measured GC tax),
     // single-long group key; res is recoverable from the padded id, so
-    // it is derived POST-agg on the pyramid-sized output
+    // it is derived POST-agg on the pyramid-sized output; the checked
+    // cell is projected ONCE so the raise test doesn't repeat per level
     val levels = (minRes to rMax).map(r =>
-      F.z7AncestorAtExpr(col(cellCol), lit(r)))
+      F.z7AncestorAtExpr(col("__c"), lit(r)))
     cells
+      .withColumn("__c", checked)
       .select(explode(array(levels: _*)).as("cell_id"), w.as("__w"))
       .groupBy("cell_id").agg(sum(col("__w")).as("n"))
       .withColumn("res", F.z7Resolution(col("cell_id")))

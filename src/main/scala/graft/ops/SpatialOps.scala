@@ -126,6 +126,21 @@ object SpatialOps {
     coverCellsDf(one, res, lat0, lon0, az).select("cell_id")
   }
 
+  /** shared PIP plumbing: strategy hint for the cover side */
+  private def hintCovers(covers: DataFrame,
+                         broadcastCovers: Option[Boolean]): DataFrame =
+    broadcastCovers match {
+      case Some(true)  => broadcast(covers)
+      case Some(false) => covers.hint("shuffle_hash")
+      case None        => covers
+    }
+
+  /** shared PIP plumbing: exact JTS contains refine */
+  private lazy val pipRefine =
+    udf { (wkt: String, lon: Double, lat: Double) =>
+      JtsCache.contains(wkt, lon, lat)
+    }
+
   /** point-in-polygon join: points(lonCol, latCol, …) × polygons(idCol,
     * wktCol) — polygon side assumed broadcastable (dim table). Returns
     * point rows + matching polygon id. Equi-join on covering cell id +
@@ -139,11 +154,8 @@ object SpatialOps {
       coverCells(wkt, res).map(c => (id, wkt, c))
     }.toDF("poly_id", "poly_wkt", "cell_id")
     val pts = GridOps.cellsForGeoPoints(points, lonCol, latCol, res)
-    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
-      JtsCache.contains(wkt, lon, lat)
-    }
     pts.join(broadcast(covers), Seq("cell_id"))
-      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .where(pipRefine(col("poly_wkt"), col(lonCol), col(latCol)))
       .drop("poly_wkt")
   }
 
@@ -194,18 +206,11 @@ object SpatialOps {
                               lat0: Double = Grids.DefaultLat,
                               lon0: Double = Grids.DefaultLon,
                               az: Double = Grids.DefaultAz): DataFrame = {
-    val covers0 = covers.withColumnRenamed("wkt", "poly_wkt")
-    val hinted = broadcastCovers match {
-      case Some(true)  => broadcast(covers0)
-      case Some(false) => covers0.hint("shuffle_hash")
-      case None        => covers0
-    }
+    val hinted = hintCovers(
+      covers.withColumnRenamed("wkt", "poly_wkt"), broadcastCovers)
     val pts = GridOps.cellsForGeoPoints(points, lonCol, latCol, res, lat0, lon0, az)
-    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
-      JtsCache.contains(wkt, lon, lat)
-    }
     pts.join(hinted, Seq("cell_id"))
-      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .where(pipRefine(col("poly_wkt"), col(lonCol), col(latCol)))
       .drop("poly_wkt")
   }
 
@@ -239,21 +244,14 @@ object SpatialOps {
     require(resList.nonEmpty, "empty cover relation")
     require(resList.last <= res,
       s"cover has res-${resList.last} cells finer than point res $res")
-    val covers0 = covers.withColumnRenamed("wkt", "poly_wkt")
-      .withColumnRenamed("cell_id", "__cov")
-    val hinted = broadcastCovers match {
-      case Some(true)  => broadcast(covers0)
-      case Some(false) => covers0.hint("shuffle_hash")
-      case None        => covers0
-    }
-    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
-      JtsCache.contains(wkt, lon, lat)
-    }
+    val hinted = hintCovers(
+      covers.withColumnRenamed("wkt", "poly_wkt")
+        .withColumnRenamed("cell_id", "__cov"), broadcastCovers)
     GridOps.cellsForGeoPoints(points, lonCol, latCol, res, lat0, lon0, az)
       .withColumn("__cov", explode(array(
         resList.map(rr => F.z7AncestorAtExpr(col("cell_id"), lit(rr))).toIndexedSeq: _*)))
       .join(hinted, Seq("__cov"))
-      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .where(pipRefine(col("poly_wkt"), col(lonCol), col(latCol)))
       .drop("poly_wkt", "__cov")
   }
 

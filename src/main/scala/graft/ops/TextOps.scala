@@ -1792,16 +1792,31 @@ object TextOps {
     * [[dedupLinesFromBoiler]] (the lake shape, mirroring
     * [[precomputedPairSource]] / [[corpusFingerprints]]).
     */
-  def boilerplateLines(docs: DataFrame, minDf: Long = 10): DataFrame = {
-    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+  def boilerplateLines(docs: DataFrame, minDf: Long = 10): DataFrame =
+    // BARE groupBy on purpose — all three forms were measured (4M docs,
+    // 10 lines/doc, 2 hot classes):
+    //  - repartition(line) + groupBy: fastest here (17 s @32c) but NO
+    //    map-side combine — every raw occurrence of a hot footer
+    //    crosses the shuffle to ONE task, and the op's motivating
+    //    corpus (a footer on 10^11 pages) is then its own skew bomb;
+    //  - two-stage (line, input-partition) combine with explicit
+    //    exchanges: skew-safe but ships every raw row (926 MB vs
+    //    ~530) and double-hashes — slowest (32-35 s);
+    //  - bare groupBy: map-side partial agg combines hot lines per
+    //    task (skew-safe) and ships one row per task-distinct line —
+    //    optimal bytes at any skew. Its one artifact: AQE's 64 MB
+    //    advisory can under-parallelize the final merge of a
+    //    unique-heavy line universe (32c ≈ 8c on this local corpus);
+    //    on a cluster, lower
+    //    spark.sql.adaptive.advisoryPartitionSizeInBytes if the merge
+    //    stage profile shows it — a session knob, not an operator
+    //    shape.
     docs
       .select(explode(array_distinct(split(col("text"), "\n"))).as("line"))
       .where(length(col("line")) > 0)
-      .repartition(nPart, col("line"))
       .groupBy("line").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .select("line")
-  }
 
   /** The enforcement half of [[dedupLines]], fed from a PRECOMPUTED
     * boilerplate relation ([[boilerplateLines]]'s output, typically
@@ -1810,6 +1825,11 @@ object TextOps {
     * an aggregation, so on a STREAM use [[dedupLinesStream]] (the
     * boilerplate set rides a closure; no join, no agg) or run this arm
     * per micro-batch via foreachBatch.
+    *
+    * CONTRACT: `doc_id` must be unique (the corpus primary key, as
+    * everywhere in this pipeline) — drop positions merge per doc_id,
+    * so duplicate ids would cross-apply one row's drops to another
+    * row's text.
     */
   def dedupLinesFromBoiler(docs: DataFrame, boiler: DataFrame,
                            broadcastBoiler: Boolean = true): DataFrame = {
@@ -1862,7 +1882,10 @@ object TextOps {
       case "text" => col("__s._1").as("text")
       case c => col(c)
     }
-    docs.withColumn("__s", strip(col("text")))
+    // null text passes through as null (n_lines_removed null) — the
+    // batch arm's split(null) behavior, pinned by the equivalence spec
+    docs.withColumn("__s",
+      when(col("text").isNull, lit(null)).otherwise(strip(col("text"))))
       .select(outCols.toIndexedSeq :+
         col("__s._2").as("n_lines_removed"): _*)
   }

@@ -656,7 +656,9 @@ object VectorOps {
           var x = 0
           while (x < va.length) { d += va(x) * vb(x); x += 1 }
           val cos = d / (na * nb)
-          if (cos >= minCos) {
+          // ia == ib (duplicate input ids) must not become a self-loop
+          // edge — the oracle's strict vec_a < vec_b excludes it too
+          if (cos >= minCos && ia != ib) {
             out += (if (ia < ib) (ia, ib, c, cos) else (ib, ia, c, cos))
           }
           j += 1

@@ -817,6 +817,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       cells.limit(5).select(F.z7AncestorAt(col("cell_id"), lit(2)).as("cell_id")))
     intercept[IllegalArgumentException] { GridOps.cellPyramid(mixed) }
     intercept[IllegalArgumentException] { GridOps.cellPyramid(cells, minRes = 9) }
+    // known-res path (no bounds pass): identical output, and the inline
+    // bit-probe check raises mid-scan on a wrong claim
+    val pyrKnown = GridOps.cellPyramid(cells, minRes = 0, res = Some(5))
+      .select("name", "res", "n").as[(String, Int, Long)].collect().toSet
+    assert(pyrKnown ==
+      pyr.select("name", "res", "n").as[(String, Int, Long)].collect().toSet)
+    val e2 = intercept[Exception] {
+      GridOps.cellPyramid(cells, minRes = 0, res = Some(4)).count()
+    }
+    assert(e2.getMessage.contains("expected uniform res 4"), e2.getMessage)
     spark.catalog.clearCache()
   }
 
@@ -878,6 +888,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, String, Long)].collect().toSet
     q.stop()
     assert(streamed == inline)
+    // null text passes through as null in BOTH arms (no NPE)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(7L, null: String))),
+      docs.schema)
+    def nullRow(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select("doc_id", "text", "n_lines_removed").head()
+      (r.getLong(0), r.isNullAt(1), r.isNullAt(2))
+    }
+    assert(nullRow(TextOps.dedupLinesFromBoiler(withNull, boiler))
+      == ((7L, true, true)))
+    assert(nullRow(TextOps.dedupLinesStream(withNull, boilerSet))
+      == ((7L, true, true)))
     spark.catalog.clearCache()
   }
 
