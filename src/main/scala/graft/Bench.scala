@@ -206,6 +206,50 @@ object BenchScaling {
   }
 }
 
+/** Polygon×polygon overlay-join scale leg: two deterministic world-wide
+  * box sets, cover equi-join candidates + exact JTS refine
+  * (SpatialOps.polygonIntersectsJoin). Pair count must be identical at
+  * every parallelism level (exactness is placement-invariant).
+  *
+  *   sbt "runMain graft.BenchPolygonJoin <cpus> [nA] [nB] [res]"
+  */
+object BenchPolygonJoin {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nA = if (args.length > 1) args(1).toLong else 50000L
+    val nB = if (args.length > 2) args(2).toLong else 50000L
+    val res = if (args.length > 3) args(3).toInt else 5
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // 3°×2° boxes, |lat| ≤ 60, centers spread by distinct congruences
+    def boxes(n: Long, mx: Long, my: Long): DataFrame =
+      spark.range(n).select(col("id").as("poly_id"),
+        ((pmod(col("id") * mx, lit(354000L)) / lit(1000.0)) - 177.0).as("cx"),
+        ((pmod(col("id") * my, lit(116000L)) / lit(1000.0)) - 58.0).as("cy"))
+        .select(col("poly_id"), format_string(
+          "POLYGON ((%.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f))",
+          col("cx") - 1.5, col("cy") - 1.0, col("cx") + 1.5, col("cy") - 1.0,
+          col("cx") + 1.5, col("cy") + 1.0, col("cx") - 1.5, col("cy") + 1.0,
+          col("cx") - 1.5, col("cy") - 1.0).as("wkt"))
+    val a = boxes(nA, 7919L, 4409L)
+    val b = boxes(nB, 104729L, 31357L)
+    // warm (JIT + codegen) on small slices
+    SpatialOps.polygonIntersectsJoin(boxes(2000, 7919L, 4409L),
+      boxes(2000, 104729L, 31357L), res).count()
+    val t0 = System.nanoTime()
+    val pairs = SpatialOps.polygonIntersectsJoin(a, b, res).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"bench":"polygon_join","cpus":$cpus,"n_a":$nA,"n_b":$nB,""" +
+      f""""res":$res,"wall_sec":$wall%.2f,"pairs":$pairs}""")
+    spark.stop()
+  }
+}
+
 /** Zoom-pyramid scale leg: full res→0 per-cell count pyramid over
   * deterministic world-wide points, level-from-level (GridOps.
   * cellPyramid) VS naive per-level re-aggregation of the point cells —

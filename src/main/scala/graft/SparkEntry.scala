@@ -556,6 +556,26 @@ object SparkEntry {
         broadcastCovers = Some(true))
         .select(col("doc_id"), col("offset"), col("poly_id"))
     }),
+    "dggs_polygon_join" -> ((s, _) => {
+      // polygon×polygon overlay join (the fourth indexed spatial join)
+      // over two deterministic INTEGER-degree box sets: every corner is
+      // an exact double, %.3f WKT is lossless, and the oracle recomputes
+      // intersects as pure interval arithmetic from the SAME congruences
+      // — touch-exactly cases (JTS intersects = true) compare exactly in
+      // both engines. Boxes stay off the dateline and poles (|lon|≤156,
+      // |lat|≤64) so planar interval overlap IS the predicate.
+      def boxes(n: Int, mx: Long, my: Long, hw: Double, hh: Double) = {
+        val cx = (col("id") * mx % 300L - 150L).cast("double")
+        val cy = (col("id") * my % 120L - 60L).cast("double")
+        s.range(n).select(col("id").as("poly_id"), format_string(
+          "POLYGON ((%.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f, %.3f %.3f))",
+          cx - hw, cy - hh, cx + hw, cy - hh, cx + hw, cy + hh,
+          cx - hw, cy + hh, cx - hw, cy - hh).as("wkt"))
+      }
+      SpatialOps.polygonIntersectsJoin(
+        boxes(40, 7919L, 4409L, 6.0, 4.0),
+        boxes(60, 104729L, 31357L, 5.0, 3.0), 3)
+    }),
     "dggs_knn" -> ((s, dir) => {
       val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
       val queries = geo.where(col("offset") === 2)
@@ -1275,6 +1295,22 @@ object SparkEntry {
     // two physical strategies (broadcast vs shuffle-hash on cell_id)
     "dggs_spatial_join_df" -> spatialJoinOracle,
     "dggs_spatial_join_compact" -> spatialJoinOracle,
+    "dggs_polygon_join" ->
+      // identical congruences, intersects = interval overlap on exact
+      // integer-degree corners (touching boxes intersect — <= on both
+      // sides, matching JTS)
+      """WITH a AS (SELECT id AS a_id,
+        |    CAST((id*7919) % 300 - 150 AS DOUBLE) AS cx,
+        |    CAST((id*4409) % 120 - 60 AS DOUBLE) AS cy
+        |  FROM (SELECT unnest(generate_series(0, 39)) AS id) t),
+        |b AS (SELECT id AS b_id,
+        |    CAST((id*104729) % 300 - 150 AS DOUBLE) AS cx,
+        |    CAST((id*31357) % 120 - 60 AS DOUBLE) AS cy
+        |  FROM (SELECT unnest(generate_series(0, 59)) AS id) t)
+        |SELECT a.a_id, b.b_id
+        |FROM a, b
+        |WHERE a.cx - 6 <= b.cx + 5 AND b.cx - 5 <= a.cx + 6
+        |  AND a.cy - 4 <= b.cy + 3 AND b.cy - 3 <= a.cy + 4""".stripMargin,
     "emb_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, $lshBucketSqlExpr AS bucket FROM e),

@@ -255,6 +255,41 @@ object SpatialOps {
       .drop("poly_wkt", "__cov")
   }
 
+  /** POLYGON × POLYGON intersects join — the fourth indexed spatial
+    * join (PIP / kNN / radius / overlay): candidate pairs share a
+    * covering cell, refined by exact JTS intersects. Complete at any
+    * `res`: if A∩B ≠ ∅, the res-`res` cell containing an intersection
+    * point intersects both geometries, so it appears in BOTH covers
+    * and the pair is a candidate (covers are intersects-covers by
+    * construction).
+    *
+    * Scale shape: two DISTRIBUTED covers (coverCellsDf — never on the
+    * driver), ONE cell-id equi-join producing id pairs only (wkts do
+    * NOT ride the candidate shuffle), distinct, then the wkts join
+    * back by id for the one-refine-per-pair test — candidate volume is
+    * Σ per-cell |A|·|B|, never |A|×|B|. `res` trades cover size
+    * against candidate precision; a cell shared by many polygons of
+    * both sides concentrates pairs — pick res fine enough that covers
+    * separate, or salt the cell key ([[saltedJoin]]) as for any key
+    * join. Inputs: `(poly_id, wkt)` relations; output: (a_id, b_id).
+    */
+  def polygonIntersectsJoin(polysA: DataFrame, polysB: DataFrame, res: Int,
+                            lat0: Double = Grids.DefaultLat,
+                            lon0: Double = Grids.DefaultLon,
+                            az: Double = Grids.DefaultAz): DataFrame = {
+    val ca = coverCellsDf(polysA, res, lat0, lon0, az)
+      .select(col("poly_id").as("a_id"), col("cell_id"))
+    val cb = coverCellsDf(polysB, res, lat0, lon0, az)
+      .select(col("poly_id").as("b_id"), col("cell_id"))
+    val cand = ca.join(cb, "cell_id").select("a_id", "b_id").distinct()
+    val refine = udf { (wa: String, wb: String) => JtsCache.intersectsWkt(wa, wb) }
+    cand
+      .join(polysA.select(col("poly_id").as("a_id"), col("wkt").as("__wa")), "a_id")
+      .join(polysB.select(col("poly_id").as("b_id"), col("wkt").as("__wb")), "b_id")
+      .where(refine(col("__wa"), col("__wb")))
+      .select("a_id", "b_id")
+  }
+
   /** Exact kNN: for each query row, the k nearest target points by
     * great-circle distance. ONE equi-join probe of the query's Z7
     * `probeDisk`-disk (default 2 → 19 cells — cheap index arithmetic)
@@ -622,6 +657,13 @@ object JtsCache {
   /** prepared-intersects of the polygon against a (lon,lat) ring */
   def intersectsRing(wkt: String, ring: Seq[(Double, Double)]): Boolean =
     ringIntersects(prepared(wkt), gf, ring)
+
+  /** prepared-intersects of two WKT geometries (the left side rides the
+    * prepared cache; the right is parsed per call — candidate pairs are
+    * already deduped when this runs, so each pair pays one parse)
+    */
+  def intersectsWkt(a: String, b: String): Boolean =
+    prepared(a).intersects(reader.get().read(b))
 
   private def wrap180(d: Double): Double = (((d % 360.0) + 540.0) % 360.0) - 180.0
 

@@ -830,6 +830,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("polygonIntersectsJoin == brute-force JTS over all pairs") {
+    import spark.implicits._
+    def box(id: Long, cx: Double, cy: Double, hw: Double, hh: Double) = {
+      val (x0, x1, y0, y1) = (cx - hw, cx + hw, cy - hh, cy + hh)
+      (id, f"POLYGON (($x0%.3f $y0%.3f, $x1%.3f $y0%.3f, $x1%.3f $y1%.3f, " +
+        f"$x0%.3f $y1%.3f, $x0%.3f $y0%.3f))")
+    }
+    // deterministic scattered boxes incl. touching and contained cases
+    val a = (0L until 15L).map(i =>
+      box(i, (i * 37 % 200) - 100.0, (i * 17 % 100) - 50.0, 5.0, 3.0))
+    val b = (0L until 20L).map(i =>
+      box(i, (i * 53 % 200) - 100.0, (i * 29 % 100) - 50.0, 4.0, 6.0)) ++
+      Seq(box(100L, (0L * 37 % 200) - 100.0, (0L * 17 % 100) - 50.0, 0.5, 0.5), // contained in a0
+        box(101L, (0L * 37 % 200) - 100.0 + 9.0, (0L * 17 % 100) - 50.0, 4.0, 1.0)) // touches a0
+    val pa = a.toDF("poly_id", "wkt")
+    val pb = b.toDF("poly_id", "wkt")
+    val got = SpatialOps.polygonIntersectsJoin(pa, pb, 3)
+      .as[(Long, Long)].collect().toSet
+    val want = (for ((ia, wa) <- a; (ib, wb) <- b
+                    if JtsCache.intersectsWkt(wa, wb)) yield (ia, ib)).toSet
+    assert(got == want,
+      s"extra=${got -- want} missing=${want -- got}")
+    assert(want.contains((0L, 100L)) && want.contains((0L, 101L)))
+    spark.catalog.clearCache()
+  }
+
   test("pointInPolygonJoinCompact == uniform-res cover join, fewer cover rows") {
     import spark.implicits._
     val geo = CorpusOps.geoSpans(corpus(120))
