@@ -26,7 +26,7 @@ object GraftSql {
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm",
     "audiohash64_wav", "hamming64",
-    "mix_bucket6", "redact_pii", "sig_match_frac")
+    "mix_bucket6", "redact_pii", "sig_match_frac", "wkt_intersects")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -171,6 +171,11 @@ object GraftSql {
             s"got ${a.length} and ${b.length}")
       else Some(a.iterator.zip(b.iterator).count { case (x, y) => x == y }
         .toDouble / a.length))
+    // exact JTS intersects of two WKT geometries — the overlay-join
+    // refine kernel (SpatialOps.polygonIntersectsJoin), so a SQL-only
+    // user can refine lake-resident candidate pairs
+    r.register("wkt_intersects", (a: String, b: String) =>
+      graft.ops.JtsCache.intersectsWkt(a, b))
     ()
   }
 }

@@ -187,6 +187,15 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
         val e = intercept[Exception](
           one("sig_match_frac(array('a','b'), array('a'))"))
         assert(e.getMessage.contains("equal-length"), e.getMessage)
+      }),
+      "wkt_intersects" -> (() => {
+        // overlapping, touching (JTS: true), disjoint
+        assert(one("wkt_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+          "'POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')") == true)
+        assert(one("wkt_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+          "'POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))')") == true)
+        assert(one("wkt_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+          "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')") == false)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>
