@@ -556,6 +556,26 @@ object SparkEntry {
         broadcastCovers = Some(true))
         .select(col("doc_id"), col("offset"), col("poly_id"))
     }),
+    "dggs_zonal_stats" -> ((s, dir) => {
+      // ZONAL STATISTICS: per-polygon aggregates of a per-span weight
+      // (derived deterministically from the row key — the corpus has no
+      // numeric span payload; the oracle derives it identically). The
+      // aggregation composes on the PIP join output, so only matching
+      // rows reach the partial-aggregated groupBy
+      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val polys = Seq(
+        ("tropics", "POLYGON ((-30.0 -23.4, 60.0 -23.4, 60.0 23.4, -30.0 23.4, -30.0 -23.4))"),
+        ("band_s", "POLYGON ((-179.9 -60.0, 179.9 -60.0, 179.9 -30.0, -179.9 -30.0, -179.9 -60.0))"),
+        ("band_eq_s", "POLYGON ((-179.9 -30.0, 179.9 -30.0, 179.9 0.0, -179.9 0.0, -179.9 -30.0))"),
+        ("band_eq_n", "POLYGON ((-179.9 0.0, 179.9 0.0, 179.9 30.0, -179.9 30.0, -179.9 0.0))"),
+        ("band_n", "POLYGON ((-179.9 30.0, 179.9 30.0, 179.9 60.0, -179.9 60.0, -179.9 30.0))"))
+      val w = (substring(col("doc_id"), 5, 12).cast("long") * 8L
+        + col("offset")) % 1000L
+      SpatialOps.pointInPolygonJoin(geo.withColumn("w", w), "lon", "lat", polys, 4)
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_points"), sum(col("w")).as("w_sum"),
+          min(col("w")).as("w_min"), max(col("w")).as("w_max"))
+    }),
     "dggs_polygon_join" -> ((s, _) => {
       // polygon×polygon overlay join (the fourth indexed spatial join)
       // over two deterministic INTEGER-degree box sets: every corner is
@@ -1295,6 +1315,27 @@ object SparkEntry {
     // two physical strategies (broadcast vs shuffle-hash on cell_id)
     "dggs_spatial_join_df" -> spatialJoinOracle,
     "dggs_spatial_join_compact" -> spatialJoinOracle,
+    "dggs_zonal_stats" ->
+      // same open-boundary box predicate as the PIP oracle, same row-key
+      // weight derivation; sums cast back from DuckDB's HUGEINT
+      s"""WITH $geoCte,
+         |polys(poly_id, lon_min, lat_min, lon_max, lat_max) AS (VALUES
+         |  ('tropics', -30.0, -23.4, 60.0, 23.4),
+         |  ('band_s', -179.9, -60.0, 179.9, -30.0),
+         |  ('band_eq_s', -179.9, -30.0, 179.9, 0.0),
+         |  ('band_eq_n', -179.9, 0.0, 179.9, 30.0),
+         |  ('band_n', -179.9, 30.0, 179.9, 60.0)),
+         |j AS (SELECT poly_id,
+         |        (CAST(substr(doc_id, 5, 12) AS BIGINT) * 8 + "offset")
+         |          % 1000 AS w
+         |      FROM geo JOIN polys
+         |        ON lon > lon_min AND lon < lon_max
+         |       AND lat > lat_min AND lat < lat_max)
+         |SELECT poly_id, count(*) AS n_points,
+         |       CAST(sum(w) AS BIGINT) AS w_sum,
+         |       CAST(min(w) AS BIGINT) AS w_min,
+         |       CAST(max(w) AS BIGINT) AS w_max
+         |FROM j GROUP BY 1""".stripMargin,
     "dggs_polygon_join" ->
       // identical congruences, intersects = interval overlap on exact
       // integer-degree corners (touching boxes intersect — <= on both
