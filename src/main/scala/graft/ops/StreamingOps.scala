@@ -39,6 +39,28 @@ object StreamingOps {
         F.z7AncestorAt(col("cell_id"), lit(toRes)).as("cell_coarse"))
       .agg(count(lit(1)).as("n"))
 
+  /** streaming ZONAL counts: a STATIC polygon-cover relation
+    * (`SpatialOps.coverCellsDf` output, lake-resident — broadcast)
+    * joined against the point stream on the cell id (a stateless
+    * stream-static join), exact JTS refine, then watermarked windowed
+    * per-zone counts. Streaming zonal statistics — the per-region live
+    * dashboard shape; the batch twin is `dggs_zonal_stats`.
+    */
+  def zonalCountsWindowed(stream: DataFrame, tsCol: String, lonCol: String,
+                          latCol: String, covers: DataFrame, res: Int,
+                          windowDur: String, watermarkDur: String): DataFrame = {
+    val refine = udf { (wkt: String, lon: Double, lat: Double) =>
+      JtsCache.contains(wkt, lon, lat)
+    }
+    assignCells(stream, lonCol, latCol, res)
+      .join(broadcast(covers.withColumnRenamed("wkt", "poly_wkt")),
+        Seq("cell_id"))
+      .where(refine(col("poly_wkt"), col(lonCol), col(latCol)))
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col("poly_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** per-content-hash dedup state: the first doc that claimed the hash +
     * how many duplicates have been seen since
     */

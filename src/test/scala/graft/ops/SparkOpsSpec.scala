@@ -1441,6 +1441,39 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n") == 2))
   }
 
+  test("streaming zonal counts: static cover join + windowed per-zone agg") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val polys = Seq(
+      ("estonia", "POLYGON ((20.2 57.0, 28.4 57.0, 28.4 60.0, 20.2 60.0, 20.2 57.0))"),
+      ("oregon", "POLYGON ((-124.6 42.0, -116.5 42.0, -116.5 46.3, -124.6 46.3, -124.6 42.0))"))
+      .toDF("poly_id", "wkt")
+    val cover = SpatialOps.coverCellsDf(polys, 4).cache()
+    cover.count()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val out = StreamingOps.zonalCountsWindowed(
+      mem.toDF().toDF("ts", "lon", "lat"), "ts", "lon", "lat",
+      cover, 4, "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("zonal")
+      .outputMode("update").start()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // two Tallinn-area hits + one Portland hit + one outside any zone;
+    // second batch adds a later-window Tallinn hit
+    mem.addData((base, 24.7, 59.4), (base, 25.0, 59.3),
+      (base, -122.7, 45.4), (base, 0.0, 0.0))
+    q.processAllAvailable()
+    mem.addData((new java.sql.Timestamp(base.getTime + 3600000L), 24.7, 59.4))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT poly_id, n FROM zonal").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    assert(rows.count(_._1 == "estonia") == 2) // two windows
+    assert(rows.filter(_._1 == "estonia").map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.filter(_._1 == "oregon").map(_._2).toSeq == Seq(1L))
+    assert(!rows.exists(r => r._1 != "estonia" && r._1 != "oregon"))
+    spark.catalog.clearCache()
+  }
+
   test("streaming stateful exact dedup: first-seen wins across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
