@@ -556,6 +556,26 @@ object SparkEntry {
         broadcastCovers = Some(true))
         .select(col("doc_id"), col("offset"), col("poly_id"))
     }),
+    "dggs_4t_compact" -> ((s, _) => {
+      // compaction on the aperture-4 TRIANGLE grid (family size 4, no
+      // pentagon case): the full res-3 cover under base "05" cascades to
+      // the base cell; res-6 descendants of "172031" minus one leaf
+      // compact 3 of 4 res-5 families and keep the punctured family's 3
+      // survivors; a 2-cell scatter passes through
+      import s.implicits._
+      import graft.spark.{T4Functions => T}
+      val full = Seq("05").toDF("p")
+        .select(explode(T.t4DescendantsAt(T.t4FromString(col("p")), lit(3)))
+          .as("cell_id"))
+      val punct = Seq("172031").toDF("p")
+        .select(explode(T.t4DescendantsAt(T.t4FromString(col("p")), lit(6)))
+          .as("cell_id"))
+        .where(T.t4String(col("cell_id")) =!= "17203111")
+      val scatter = Seq("0311", "0322").toDF("n")
+        .select(T.t4FromString(col("n")).as("cell_id"))
+      GridOps.compactCells4T(full.unionByName(punct).unionByName(scatter))
+        .select(T.t4String(col("cell_id")).as("name"))
+    }),
     "dggs_zonal_stats" -> ((s, dir) => {
       // ZONAL STATISTICS: per-polygon aggregates of a per-span weight
       // (derived deterministically from the row key — the corpus has no
@@ -1315,6 +1335,35 @@ object SparkEntry {
     // two physical strategies (broadcast vs shuffle-hash on cell_id)
     "dggs_spatial_join_df" -> spatialJoinOracle,
     "dggs_spatial_join_compact" -> spatialJoinOracle,
+    "dggs_4t_compact" -> {
+      // GENERIC 4T compaction recomputed on names (T4 nests by string
+      // prefix; res = len−2; family size always 4) — one
+      // (group, filter, rewrite) block per level, generated for rounds
+      // 6→1 so the SQL stays mechanical and exhaustive
+      val rounds = (6 to 1 by -1).zipWithIndex.map { case (r, i) =>
+        val (prev, cur) = (s"c$i", s"c${i + 1}")
+        val ln = r + 2
+        s"""g$i AS (SELECT substr(name, 1, ${ln - 1}) AS p, count(*) AS n
+           |       FROM $prev WHERE len(name) = $ln GROUP BY 1),
+           |f$i AS (SELECT p FROM g$i WHERE n = 4),
+           |$cur AS (SELECT name FROM $prev WHERE len(name) <> $ln
+           |       UNION ALL
+           |       SELECT name FROM $prev WHERE len(name) = $ln
+           |         AND substr(name, 1, ${ln - 1}) NOT IN (SELECT p FROM f$i)
+           |       UNION ALL SELECT p FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x),
+         |c0 AS (
+         |  SELECT '05' || d1.x || d2.x || d3.x AS name FROM d d1, d d2, d d3
+         |  UNION ALL
+         |  SELECT name FROM (
+         |    SELECT '172031' || d1.x || d2.x AS name FROM d d1, d d2) t
+         |  WHERE name <> '17203111'
+         |  UNION ALL
+         |  SELECT name FROM (VALUES ('0311'), ('0322')) v(name)),
+         |$rounds
+         |SELECT name FROM c6""".stripMargin
+    },
     "dggs_zonal_stats" ->
       // same open-boundary box predicate as the PIP oracle, same row-key
       // weight derivation; sums cast back from DuckDB's HUGEINT

@@ -244,15 +244,32 @@ object GridOps {
     * `spark.catalog.clearCache()` (TextOps header note).
     */
   def compactCells(cells: DataFrame, cellCol: String = "cell_id",
-                   keyCols: Seq[String] = Nil): DataFrame = {
+                   keyCols: Seq[String] = Nil): DataFrame =
+    compactCellsLoop(cells, cellCol, keyCols, F.z7Resolution, F.z7Parent,
+      p => when(F.z7IsPentagon(p), lit(6L)).otherwise(lit(7L)))
+
+  /** [[compactCells]] for the aperture-4 TRIANGLE grid (ISEA4T): family
+    * size is ALWAYS 4 (triangles have no pentagon special case) — the
+    * identical bottom-up loop over T4's hierarchy functions.
+    */
+  def compactCells4T(cells: DataFrame, cellCol: String = "cell_id",
+                     keyCols: Seq[String] = Nil): DataFrame =
+    compactCellsLoop(cells, cellCol, keyCols,
+      graft.spark.T4Functions.t4Resolution, graft.spark.T4Functions.t4Parent,
+      _ => lit(4L))
+
+  private def compactCellsLoop(cells: DataFrame, cellCol: String,
+                               keyCols: Seq[String],
+                               resOf: Column => Column,
+                               parentOf: Column => Column,
+                               expectedOf: Column => Column): DataFrame = {
     // keyCols: compact independently per key group (e.g. per poly_id for
     // a multi-polygon cover relation) — the family test then requires
     // all siblings within ONE group, and extra per-group columns that
     // are functionally dependent on the keys (a wkt per poly_id) ride
     // along in keyCols unchanged
     val keys = keyCols.map(col)
-    val expected =
-      when(F.z7IsPentagon(col("__p")), lit(6L)).otherwise(lit(7L))
+    val expected = expectedOf(col("__p"))
     // per-round cache + count + LINEAGE TRUNCATION — without the
     // truncate, each round's logical plan embeds every prior round's
     // (cache lookup happens after analysis), and plan work dominates
@@ -268,19 +285,19 @@ object GridOps {
     // exist below — a round's exact contribution to level r-1 is its
     // fams count, so the histogram stays exact without rescanning
     val hist = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
-    acc.groupBy(F.z7Resolution(col("cell_id")).as("__r")).count()
+    acc.groupBy(resOf(col("cell_id")).as("__r")).count()
       .collect().foreach(row => hist(row.getInt(0)) = row.getLong(1))
     var r = if (hist.isEmpty) 0 else hist.keys.max
     while (r >= 1) {
       if (hist(r) == 0L) { r -= 1 }
       else {
-        val atR = acc.where(F.z7Resolution(col("cell_id")) === r)
-          .withColumn("__p", F.z7Parent(col("cell_id")))
+        val atR = acc.where(resOf(col("cell_id")) === r)
+          .withColumn("__p", parentOf(col("cell_id")))
         val fams = atR.groupBy(keys :+ col("__p"): _*)
           .agg(count(lit(1)).as("__n"))
           .where(col("__n") === expected)
           .select(keys :+ col("__p"): _*)
-        val nextCache = acc.where(F.z7Resolution(col("cell_id")) =!= r)
+        val nextCache = acc.where(resOf(col("cell_id")) =!= r)
           .unionByName(atR.join(fams, keyCols :+ "__p", "left_anti")
             .select(keys :+ col("cell_id"): _*))
           .unionByName(fams.select(keys :+ col("__p").as("cell_id"): _*))
@@ -290,7 +307,7 @@ object GridOps {
         // materializing count as an Observation, CC-loop style
         val o = org.apache.spark.sql.Observation()
         nextCache.observe(o,
-          sum(when(F.z7Resolution(col("cell_id")) === lit(r - 1), 1L)
+          sum(when(resOf(col("cell_id")) === lit(r - 1), 1L)
             .otherwise(0L)).as("n1")).count()
         hist(r - 1) = o.get("n1") match {
           case null => 0L

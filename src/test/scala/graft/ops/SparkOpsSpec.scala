@@ -775,6 +775,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       GridOps.uncompactCells(fromNames(Seq("02345")), 2).collect()
     }
     assert(e.getMessage != null)
+    // 4T variant: family size 4 (no pentagon case), same loop — a full
+    // two-level triangle cover cascades to its base cell and a 3-of-4
+    // family does NOT compact
+    import graft.spark.{T4Functions => T}
+    val t4full = Seq("05").toDF("p")
+      .select(explode(T.t4DescendantsAt(T.t4FromString(col("p")), lit(2)))
+        .as("cell_id"))
+    assert(GridOps.compactCells4T(t4full)
+      .select(T.t4String(col("cell_id"))).as[String].collect().toSet
+      == Set("05"))
+    val t4punct = t4full.where(T.t4String(col("cell_id")) =!= "0500")
+    assert(GridOps.compactCells4T(t4punct)
+      .select(T.t4String(col("cell_id"))).as[String].collect().toSet
+      == Set("051", "052", "053", "0501", "0502", "0503"))
     // keyed compaction: identical cell sets under two keys compact
     // independently (no cross-key family completion)
     val twoKeys = Seq("a", "b").toDF("k").crossJoin(full)
