@@ -110,7 +110,17 @@ object CorpusOps {
       md5(lower(hex(col("payload"))).cast("binary")).as("content_md5"))
     val mspans = explodedSpans(corpus).where(col("kind") === "media")
       .select(col("doc_id"), col("offset"), col("media_ref"))
-    val docSig = mspans.join(sigs, Seq("media_ref"))
+    // LEFT join + loud failure on an unresolved ref (round-6 ADVICE):
+    // an inner join would silently DROP spans whose media_ref is absent
+    // from `media`, so a doc's digest could cover only the resolved
+    // subset and collide with a genuinely shorter-sequence doc —
+    // partial resolution must never silently change dedup groups
+    val resolved = mspans.join(sigs, Seq("media_ref"), "left")
+      .withColumn("content_md5",
+        when(col("content_md5").isNull, raise_error(concat(
+          lit("mediaContentDedup: media_ref unresolved in media relation: "),
+          col("media_ref")))).otherwise(col("content_md5")))
+    val docSig = resolved
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_media"),
         md5(array_join(

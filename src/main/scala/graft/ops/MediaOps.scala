@@ -453,6 +453,10 @@ object MediaOps {
         fail(s"chunk '$id' of $size bytes overruns payload at byte $pos")
       id match {
         case "fmt " =>
+          // a second fmt would silently re-bind channels under an
+          // already-decoded data chunk (round-6 ADVICE) — raise, per
+          // the docstring's any-malformed-WAV-raises contract
+          if (fmt.isDefined) fail("duplicate fmt chunk")
           if (size < 16) fail(s"fmt chunk too small ($size bytes)")
           val audioFormat = u16(pos)
           if (audioFormat != 1)
@@ -472,6 +476,9 @@ object MediaOps {
             fail(s"byte rate $byteRate != sampleRate*blockAlign (${sr * blockAlign})")
           fmt = Some((ch, sr.toInt))
         case "data" =>
+          // a second data chunk would silently replace the first
+          // (round-6 ADVICE) — same fail-loud contract as fmt
+          if (data.isDefined) fail("duplicate data chunk")
           val (ch, _) = fmt.getOrElse(fail("data chunk before fmt chunk"))
           if (size % 2 != 0) fail(s"odd data chunk size $size")
           val n = (size / 2).toInt

@@ -1421,7 +1421,14 @@ object TextOps {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = counts.values.sum
     val scored = docs.withColumn("score", score.cast("long"))
-    if (n == 0) return scored.where(lit(false))
+    if (n == 0) {
+      // unpersist BEFORE the early return — the empty-input path must
+      // not leak the two cached relations for the session (round-6
+      // ADVICE)
+      ranged.unpersist(false)
+      narrow.unpersist(false)
+      return scored.where(lit(false))
+    }
     val k = math.ceil(frac * n).toLong
     // partition owning global rank k, and the ranks before it
     var acc = 0L; var cutPid = -1

@@ -192,6 +192,21 @@ class MediaOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       MediaOps.decodeWav(good ++ bytes("junk") ++ Array[Byte](1, 2, 3, 4)))
     // (magic check passes, RIFF size now mismatches → loud)
     assert(e5.getMessage.contains("malformed WAV"), e5.getMessage)
+    // duplicate fmt / data chunks (round-6 ADVICE): a second fmt would
+    // re-bind channels, a second data would replace the samples — both
+    // must raise, not silently win
+    def withRiff(b: Array[Byte]): Array[Byte] = {
+      val f = b.clone(); val n = b.length - 8
+      f(4) = (n & 0xFF).toByte; f(5) = ((n >> 8) & 0xFF).toByte
+      f(6) = ((n >> 16) & 0xFF).toByte; f(7) = ((n >> 24) & 0xFF).toByte
+      f
+    }
+    val e6 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(withRiff(good ++ good.slice(12, 36))))
+    assert(e6.getMessage.contains("duplicate fmt"), e6.getMessage)
+    val e7 = intercept[IllegalArgumentException](
+      MediaOps.decodeWav(withRiff(good ++ good.drop(36))))
+    assert(e7.getMessage.contains("duplicate data"), e7.getMessage)
   }
 
   test("audioHash64Hex: byte-exact kernel; frame-count contract") {

@@ -71,6 +71,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("mediaContentDedup: unresolved media_ref raises, never a partial digest") {
+    val c = corpus(12)
+    // drop one ref from the media relation — the left join must raise on
+    // the null signature (round-6 ADVICE), not silently digest the
+    // resolved subset into a shorter-sequence collision
+    val media = MediaOps.syntheticSharedMedia(c, 3)
+      .where(col("media_ref") =!= "media://1/0")
+    val e = intercept[Exception] {
+      CorpusOps.mediaContentDedup(c, media).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("unresolved"), msgs)
+  }
+
   test("span-sequence invariant survives explode + shuffle + reassembly") {
     val c = corpus(500)
     // direct digest from the built array (no shuffle)
