@@ -476,6 +476,28 @@ object BenchDedupScaling {
         VectorOps.semanticNearDupPairs(embs, cb, 0.95).count()
       }
     }
+    // PQ compressed-embedding ANN (round-6 verdict #3): codebook trained
+    // untimed on the bounded driver sample (a deployment artifact —
+    // trained once, shipped with the index); the ENCODE leg is the one
+    // full-corpus narrow pass building the 8 B/row code relation (64×
+    // smaller than the float64 vectors an uncompressed index scans),
+    // the SEARCH leg is the broadcast-query ADC scan over codes + the
+    // bounded exact re-rank fetch
+    if (only.isEmpty || only.exists(_.startsWith("emb_pq"))) {
+      val pqCb = VectorOps.pqCodebookFromMicro(
+        VectorOps.trainPqCodebookMicro(embs))
+      run("emb_pq_encode",
+        VectorOps.pqEncode(embsWarm, pqCb).count()) {
+        VectorOps.pqEncode(embs, pqCb).count()
+      }
+      // ~64 queries regardless of corpus size (the bounded-Q contract)
+      val qStep = math.max(1L, nVecs / 64)
+      run("emb_pq_topk",
+        VectorOps.pqTopK(embsWarm, pqCb, col("vec_id") % 125 === 0, 3).count()) {
+        VectorOps.pqTopK(embs, pqCb, pmod(col("vec_id"), lit(qStep)) === 0, 3)
+          .count()
+      }
+    }
     // DISTRIBUTED k-means training at codebook sizes past the driver
     // sample (round-4 verdict #2): √N centroids rounded up to a power of
     // two (1M vectors → 1024), trained over the full relation — the

@@ -16,6 +16,18 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** geoSpans RESTRICTED to the frozen fixture's key set (round-6
+    * verdict #1): every query whose oracle inner-joins
+    * `OracleFixtures.geoCellCte` consumes THIS relation, so the Spark
+    * side and the oracle side see the identical row set — the frozen
+    * mapping is exercised at ANY sf and the 10× sweep hash-matches. At
+    * the sf0.01 gate scale the semi-join is a no-op (the fixture holds
+    * exactly that corpus's distinct points).
+    */
+  private def fixtureGeoSpans(s: SparkSession, dir: String): DataFrame =
+    FixtureKeys.restrictGeo(
+      CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents"))))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * interleaved corpus → geometry extraction → ISEA7H res-5 cell
     * assignment (the BASELINE.json flagship pipeline).
@@ -76,6 +88,77 @@ object SparkEntry {
           Seq("__src"), "left")
         .select(col("r.doc_id"), coalesce(col("__t"), col("r.text")).as("text"))
       TextOps.dedupIncremental(newBatch, TextOps.corpusFingerprints(corpus))
+    }),
+    "stream_dedup_ingest" -> ((s, dir) => {
+      // STREAMING near-dup ingest (round-6 verdict #5): two micro-
+      // batches through the production foreachBatch shape — batch 2 is
+      // deduped against the snapshot PLUS batch 1's survivors
+      // (TextOps.ingestBatch appends survivor fingerprints between
+      // triggers). Corpus = ids ≡1,2,3 (mod 5); batch 1 = ids ≡0 with
+      // every 2nd planted as an exact corpus dup (the dedup_incremental
+      // construction); batch 2 = ids ≡4 with every 4th planted to carry
+      // a BATCH-1 doc's text — matchable only via the survivor
+      // fingerprints appended after trigger 1. The MemoryStream feed
+      // collects each batch to the driver — that is the test-harness
+      // edge (MemoryStream is driver-fed by design); production reads
+      // Kafka/files and the foreachBatch body is identical. Input is
+      // BOUNDED to the first 500 ids (the whole sf0.01 table): the
+      // correctness surface is the two-round verdict logic, constant at
+      // any sf — the at-scale evidence for incremental dedup is
+      // BenchDedupScaling's incr_* legs, and an unbounded double
+      // minhash pipeline here would only add a ~30 s contention
+      // lightning rod to every driver bench (the round-6 watch item).
+      import s.implicits._
+      val docs = Tables.tbl(s, dir, "documents").where(col("doc_id") < 500)
+      val num = col("doc_id")
+      val corpus = docs.where(num % 5 =!= 0 && num % 5 =!= 4)
+      val b1 = {
+        val raw = docs.where(num % 5 === 0)
+          .withColumn("__src", when(num % 10 === 0, num + 1).otherwise(num))
+        raw.as("r")
+          .join(docs.select(col("doc_id").as("__src"), col("text").as("__t")),
+            Seq("__src"), "left")
+          .select(col("r.doc_id"), coalesce(col("__t"), col("r.text")).as("text"))
+      }
+      val b2 = {
+        val raw = docs.where(num % 5 === 4)
+          .withColumn("__src", when(num % 20 === 4, num + 1).otherwise(num))
+        raw.as("r")
+          .join(b1.select(col("doc_id").as("__src"), col("text").as("__t")),
+            Seq("__src"), "left")
+          .select(col("r.doc_id"), coalesce(col("__t"), col("r.text")).as("text"))
+      }
+      val outDir = java.nio.file.Files.createTempDirectory("graft_stream_ingest")
+      implicit val sq = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      var prints = TextOps.corpusFingerprints(corpus).cache()
+      prints.count()
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val (verdicts, updated) = TextOps.ingestBatch(batch, prints)
+          verdicts.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.toString)
+          // materialize the appended snapshot BEFORE this micro-batch's
+          // frame goes out of scope — the union's new leg derives from it
+          val next = updated.cache()
+          next.count()
+          prints.unpersist(false)
+          prints = next
+          ()
+        }.start()
+      def feed(b: DataFrame): Unit = {
+        mem.addData(b.select("doc_id", "text").as[(Long, String)]
+          .collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+      feed(b1)
+      feed(b2)
+      q.stop()
+      prints.unpersist(false)
+      s.read.parquet(outDir.toString)
+        .select(col("doc_id"), col("batch_id"), col("verdict"),
+          col("match_id"), col("est_jaccard"))
     }),
     "dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(
@@ -286,6 +369,26 @@ object SparkEntry {
       VectorOps.ivfTopK(Tables.tbl(s, dir, "embeddings"), 3, 16, 2)),
     "emb_near_dup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(Tables.tbl(s, dir, "embeddings"), 0.35)),
+    "emb_pq_codes" -> ((s, dir) =>
+      // PQ ENCODE (round-6 verdict #3): every vector → one packed
+      // 64-bit code (16×4-bit argmin-L2 subspace codes against the
+      // FROZEN trained codebook — PqFixtures, integer micro-units both
+      // sides derive identically). The 8 B/row relation IS the ANN
+      // index at 10^12 scale; the oracle recomputes every nibble.
+      // Emitted as the repo's 16-hex-char signature form (the top
+      // nibble may set the sign bit — hex is the overflow-proof
+      // cross-engine representation, as with simhash64)
+      VectorOps.pqEncode(Tables.tbl(s, dir, "embeddings"),
+        VectorOps.pqCodebookFromMicro(PqFixtures.codebookMicro))
+        .select(col("vec_id"),
+          format_string("%016x", col("pq_code")).as("pq_code"))),
+    "emb_pq_topk" -> ((s, dir) =>
+      // PQ asymmetric-distance top-k + exact re-rank: the codes scan is
+      // the only full pass (broadcast query ADC tables, mapPartitions
+      // top-R), raw vectors touched for ≤ Q·R re-rank candidates only
+      VectorOps.pqTopK(Tables.tbl(s, dir, "embeddings"),
+        VectorOps.pqCodebookFromMicro(PqFixtures.codebookMicro),
+        col("vec_id") % 20 === 0 && col("vec_id") < 4000)),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
@@ -389,12 +492,12 @@ object SparkEntry {
           col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
     }),
     "dggs_cell_assign" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
         .select(col("doc_id"), col("offset"), col("name"))
     }),
     "dggs_parent_rollup" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       import graft.spark.{DggsFunctions => F}
       GridOps.cellsForGeoPoints(geo, "lon", "lat", 6)
         .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(3))).as("name3"))
@@ -405,7 +508,7 @@ object SparkEntry {
       // level below (never from the points again); the oracle
       // aggregates every level STRAIGHT from the frozen point→cell
       // fixture, so a green hash proves the level-from-level path
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellPyramid(
         GridOps.cellsForGeoPoints(geo, "lon", "lat", 6), minRes = 0,
         res = Some(6))
@@ -418,7 +521,7 @@ object SparkEntry {
       // reproduces every kept row and rank; row key = i·8+offset over
       // the numeric id parsed from "doc-%012d" (offset < 8 by corpus
       // construction, so the key is unique)
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       import graft.spark.{DggsFunctions => F}
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 3)
         .withColumn("name1", F.z7String(F.z7AncestorAt(col("cell_id"), lit(1))))
@@ -428,21 +531,21 @@ object SparkEntry {
           col("cap_bucket"), col("cap_rank"))
     }),
     "dggs_bin_values" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
         .withColumn("v", (col("lon_mdeg") % 1000).cast("double"))
       GridOps.binPointVals(geo, "lon", "lat", "v", 4)
         .select(col("name"), col("value_mean"), col("value_count"))
     }),
     "dggs_bin_values_all" -> ((s, dir) => {
       // OUTPUT_ALL: every extent cell appears, unoccupied with count 0
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
         .withColumn("v", (col("lon_mdeg") % 1000).cast("double"))
       GridOps.binPointValsAll(geo, "lon", "lat", "v", 4,
           Some((20.2, 57.0, 28.4, 60.0)))
         .select(col("name"), col("value_mean"), col("value_count"))
     }),
     "dggs_presence" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
         .withColumn("cls", (col("offset") % 3).cast("string"))
       GridOps.binPointPresence(geo, "lon", "lat", "cls", Seq("0", "1", "2"), 3)
         .select(col("name"), col("presence"), col("num_classes"))
@@ -652,7 +755,7 @@ object SparkEntry {
     "dggs_checkpoint_rollup" -> ((s, dir) => {
       // resumable partitioned rollup: adaptive Z7-prefix ranges + manifest
       // lineage (north_rule); result = the reassembled union of parts
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
         .select("doc_id", "offset", "cell_id").cache()
       // range granularity scaled to the input so the number of committed
@@ -675,13 +778,13 @@ object SparkEntry {
           col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
     }),
     "dggs_4t_cell_assign" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellsForGeoPoints4T(geo, "lon", "lat", 5)
         .select(col("doc_id"), col("offset"), col("name"))
     }),
     "dggs_4t_parent_rollup" -> ((s, dir) => {
       import graft.spark.{T4Functions => T}
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellsForGeoPoints4T(geo, "lon", "lat", 6)
         .groupBy(T.t4String(T.t4AncestorAt(col("cell_id"), lit(2))).as("name2"))
         .agg(count(lit(1)).as("n"))
@@ -703,20 +806,20 @@ object SparkEntry {
           col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
     }),
     "dggs_4d_cell_assign" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellsForGeoPoints4D(geo, "lon", "lat", 5)
         .select(col("doc_id"), col("offset"), col("name"))
     }),
     "dggs_4d_parent_rollup" -> ((s, dir) => {
       import graft.spark.{D4Functions => D}
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       GridOps.cellsForGeoPoints4D(geo, "lon", "lat", 6)
         .groupBy(D.d4String(D.d4AncestorAt(col("cell_id"), lit(2))).as("name2"))
         .agg(count(lit(1)).as("n"))
     }),
 
     "dggs_addr_transform" -> ((s, dir) => {
-      val geo = CorpusOps.geoSpans(CorpusOps.interleavedDocs(Tables.tbl(s, dir, "documents")))
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
         .select(col("doc_id"), col("offset"), col("name"))
       // hop chain Z7_STRING → VERTEX2DD → SEQNUM: the middle hop
@@ -1077,7 +1180,75 @@ object SparkEntry {
        |     THEN 1.0 ELSE -1.0 END)), 'sum') > 0 THEN '1' ELSE '0' END)""".stripMargin)
     .mkString(" || ")
 
+  /** PQ codebook + encode CTEs (shared by the emb_pq_* oracles): the
+    * codebook doubles derive from the SAME frozen integer micro-units as
+    * the engine (one division by 10^6 — portable-double rule), encode is
+    * per-subspace argmin L2 with the engine's strict-< tie rule expressed
+    * relationally as (d2 ASC, c ASC); every distance is the identical
+    * left fold the Spark UDF loops.
+    */
+  private val pqCte: String = {
+    val rows = for {
+      (sub, s2) <- PqFixtures.codebookMicro.zipWithIndex
+      (cent, c) <- sub.zipWithIndex
+    } yield s"($s2, $c, [${cent.map(m => s"$m/1000000.0").mkString(", ")}])"
+    s"""ev0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(generate_series(1, 64),
+       |           i -> v[i]*v[i]), 'sum')) AS nrm
+       |       FROM ev0),
+       |ev AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE
+       |         list_transform(generate_series(1, 64), i -> v[i] / nrm)
+       |       END AS v FROM nr),
+       |cb(s, c, cv) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |subd AS (SELECT vec_id, s, c,
+       |          list_aggregate(list_transform(generate_series(1, 4),
+       |            d -> (v[s*4+d] - cv[d]) * (v[s*4+d] - cv[d])), 'sum') AS d2
+       |        FROM ev, cb),
+       |codes AS (SELECT vec_id, s, c FROM (
+       |           SELECT vec_id, s, c, row_number() OVER (
+       |                  PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rk
+       |           FROM subd)
+       |         WHERE rk = 1)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "emb_pq_codes" ->
+      s"""WITH $pqCte
+         |SELECT vec_id,
+         |       string_agg(substr('0123456789abcdef', c + 1, 1), ''
+         |         ORDER BY s DESC) AS pq_code
+         |FROM codes GROUP BY vec_id""".stripMargin,
+    "emb_pq_topk" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM ev
+         |      WHERE vec_id % 20 = 0 AND vec_id < 4000),
+         |adc0 AS (SELECT q.qid, t.vec_id AS tid, t.s,
+         |          list_aggregate(list_transform(generate_series(1, 4),
+         |            d -> (qv[t.s*4+d] - cv[d]) * (qv[t.s*4+d] - cv[d])),
+         |            'sum') AS d2
+         |        FROM q, codes t JOIN cb ON cb.s = t.s AND cb.c = t.c
+         |        WHERE t.vec_id <> q.qid),
+         |adc AS (SELECT qid, tid,
+         |          list_aggregate(list(d2 ORDER BY s), 'sum') AS adist
+         |        FROM adc0 GROUP BY qid, tid),
+         |cand AS (SELECT qid, tid FROM (
+         |          SELECT qid, tid, row_number() OVER (PARTITION BY qid
+         |                 ORDER BY adist ASC, tid ASC) AS rk FROM adc)
+         |        WHERE rk <= 96),
+         |n AS (SELECT vec_id, v, nrm FROM nr),
+         |p AS (SELECT qid AS vec_id, tid AS neighbor,
+         |        list_aggregate(list_transform(generate_series(1, 64),
+         |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+         |      FROM cand JOIN n a ON a.vec_id = cand.qid
+         |      JOIN n b ON b.vec_id = cand.tid)
+         |SELECT vec_id, rnk, neighbor, cos FROM (
+         |  SELECT vec_id, neighbor, cos,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rnk
+         |  FROM p)
+         |WHERE rnk <= 3""".stripMargin,
     // ---- DGGS oracles over the frozen kernel mapping (geoCellsCte) ----
     "dggs_cell_assign" ->
       s"""WITH $geoCellsCte
@@ -1494,6 +1665,101 @@ object SparkEntry {
          |       ELSE bn.est END AS est_jaccard
          |FROM newb nb LEFT JOIN ex ON ex.doc_id = nb.doc_id
          |             LEFT JOIN bn ON bn.nid = nb.doc_id""".stripMargin,
+    "stream_dedup_ingest" ->
+      // TWO sequential ingest rounds recomputed relationally: round 1 =
+      // the dedup_incremental construction against the corpus snapshot;
+      // round 2 joins the snapshot UNION the fingerprints of round 1's
+      // SURVIVORS (verdict 'new') — fingerprint relations are unioned,
+      // never recomputed over the union, mirroring the engine's
+      // per-relation DF caps (survivor caps computed on the survivor
+      // relation alone, exactly like corpusFingerprints(survivors))
+      s"""WITH docs500 AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         |corpus AS (SELECT doc_id, text FROM docs500
+         |           WHERE doc_id % 5 NOT IN (0, 4)),
+         |newb AS (SELECT r.doc_id, coalesce(s.text, r.text) AS text
+         |         FROM (SELECT doc_id, text,
+         |                 CASE WHEN doc_id % 10 = 0 THEN doc_id + 1
+         |                      ELSE doc_id END AS src
+         |               FROM docs500 WHERE doc_id % 5 = 0) r
+         |         LEFT JOIN docs500 s ON s.doc_id = r.src),
+         |newb2 AS (SELECT r.doc_id, coalesce(s.text, r.text) AS text
+         |          FROM (SELECT doc_id, text,
+         |                  CASE WHEN doc_id % 20 = 4 THEN doc_id + 1
+         |                       ELSE doc_id END AS src
+         |                FROM docs500 WHERE doc_id % 5 = 4) r
+         |          LEFT JOIN newb s ON s.doc_id = r.src),
+         |${sigCteOver("corpus", "c")},
+         |${sigCteOver("newb", "n")},
+         |cxa AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |nxa AS (SELECT doc_id, md5(text) AS h FROM newb),
+         |ex AS (SELECT n.doc_id, min(c.doc_id) AS pid
+         |       FROM nxa n JOIN cxa c ON n.h = c.h GROUP BY 1),
+         |cand AS (SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+         |         FROM nbands n JOIN cbands p ON n.b = p.b AND n.sig = p.sig),
+         |mc AS (SELECT c.nid, c.pid,
+         |         CAST(sum(CASE WHEN ns.m = ps.m THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+         |       FROM cand c JOIN nsigs ns ON ns.doc_id = c.nid
+         |                   JOIN csigs ps ON ps.doc_id = c.pid AND ps.h = ns.h
+         |       GROUP BY 1, 2),
+         |nr0 AS (SELECT nid, pid, CAST(cnt AS DOUBLE) / 8 AS est FROM mc
+         |        WHERE CAST(cnt AS DOUBLE) / 8 >= 0.5),
+         |bn AS (SELECT nid, pid, est FROM (
+         |         SELECT nid, pid, est, row_number() OVER (PARTITION BY nid
+         |           ORDER BY est DESC, pid ASC) AS r FROM nr0)
+         |       WHERE r = 1),
+         |v1 AS (SELECT nb.doc_id,
+         |         CASE WHEN ex.pid IS NOT NULL THEN 'exact'
+         |              WHEN bn.pid IS NOT NULL THEN 'near'
+         |              ELSE 'new' END AS verdict,
+         |         CASE WHEN ex.pid IS NOT NULL THEN ex.pid ELSE bn.pid END
+         |           AS match_id,
+         |         CASE WHEN ex.pid IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE bn.est END AS est_jaccard
+         |       FROM newb nb LEFT JOIN ex ON ex.doc_id = nb.doc_id
+         |                    LEFT JOIN bn ON bn.nid = nb.doc_id),
+         |surv AS (SELECT nb.doc_id, nb.text FROM newb nb
+         |         JOIN v1 ON v1.doc_id = nb.doc_id WHERE v1.verdict = 'new'),
+         |${sigCteOver("surv", "v")},
+         |${sigCteOver("newb2", "q")},
+         |vxa AS (SELECT doc_id, md5(text) AS h FROM surv),
+         |qxa AS (SELECT doc_id, md5(text) AS h FROM newb2),
+         |s2sigs AS (SELECT * FROM csigs UNION ALL SELECT * FROM vsigs),
+         |s2bands AS (SELECT * FROM cbands UNION ALL SELECT * FROM vbands),
+         |s2xa AS (SELECT * FROM cxa UNION ALL SELECT * FROM vxa),
+         |ex2 AS (SELECT n.doc_id, min(c.doc_id) AS pid
+         |        FROM qxa n JOIN s2xa c ON n.h = c.h GROUP BY 1),
+         |cand2 AS (SELECT DISTINCT n.doc_id AS nid, p.doc_id AS pid
+         |          FROM qbands n JOIN s2bands p
+         |            ON n.b = p.b AND n.sig = p.sig),
+         |mc2 AS (SELECT c.nid, c.pid,
+         |          CAST(sum(CASE WHEN ns.m = ps.m THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS cnt
+         |        FROM cand2 c JOIN qsigs ns ON ns.doc_id = c.nid
+         |                     JOIN s2sigs ps ON ps.doc_id = c.pid AND ps.h = ns.h
+         |        GROUP BY 1, 2),
+         |nr02 AS (SELECT nid, pid, CAST(cnt AS DOUBLE) / 8 AS est FROM mc2
+         |         WHERE CAST(cnt AS DOUBLE) / 8 >= 0.5),
+         |bn2 AS (SELECT nid, pid, est FROM (
+         |          SELECT nid, pid, est, row_number() OVER (PARTITION BY nid
+         |            ORDER BY est DESC, pid ASC) AS r FROM nr02)
+         |        WHERE r = 1),
+         |v2 AS (SELECT nb.doc_id,
+         |         CASE WHEN ex2.pid IS NOT NULL THEN 'exact'
+         |              WHEN bn2.pid IS NOT NULL THEN 'near'
+         |              ELSE 'new' END AS verdict,
+         |         CASE WHEN ex2.pid IS NOT NULL THEN ex2.pid ELSE bn2.pid END
+         |           AS match_id,
+         |         CASE WHEN ex2.pid IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+         |              ELSE bn2.est END AS est_jaccard
+         |       FROM newb2 nb LEFT JOIN ex2 ON ex2.doc_id = nb.doc_id
+         |                     LEFT JOIN bn2 ON bn2.nid = nb.doc_id)
+         |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id, verdict, match_id,
+         |       est_jaccard
+         |FROM v1
+         |UNION ALL
+         |SELECT doc_id, CAST(1 AS BIGINT) AS batch_id, verdict, match_id,
+         |       est_jaccard
+         |FROM v2""".stripMargin,
     "dedup_clusters" -> dedupClustersSql,
     // SAME oracle on purpose: min-label propagation and large-star/
     // small-star contraction must agree on the clustering exactly
