@@ -232,6 +232,18 @@ object SpatialOps {
     * that ancestor matches every cover level at once; never one join
     * (= one corpus scan) per level. Point fan-out = number of cover
     * levels, typically 2–4.
+    *
+    * Crossover guidance (BenchSpatialJoin, incl. the persisted legs —
+    * round-6 verdict #4): building + compacting the cover IN-QUERY
+    * costs multiples of the join itself (sf0.1: ~3.2 s of
+    * dggs_spatial_join_compact's 3.9 s wall), so compact ONLY pays
+    * one-shot when the join would otherwise be cover-bound (cover past
+    * the broadcast ceiling, or reused across ≥ a handful of in-session
+    * joins). The STEADY-STATE shape is the lake-resident cover:
+    * `coverCellsDf → compactCells → parquet` once per polygon-set
+    * change, every join leg reads the compact relation and pays join
+    * wall only — the same persisted-artifact economics as the dedup
+    * stack's pair/span/fingerprint tables.
     */
   def pointInPolygonJoinCompact(points: DataFrame, lonCol: String,
                                 latCol: String, covers: DataFrame, res: Int,

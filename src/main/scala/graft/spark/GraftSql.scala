@@ -26,7 +26,8 @@ object GraftSql {
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm",
     "audiohash64_wav", "hamming64",
-    "mix_bucket6", "redact_pii", "sig_match_frac", "wkt_intersects")
+    "mix_bucket6", "redact_pii", "sig_match_frac", "wkt_intersects",
+    "haversine_km", "wkt_contains_point", "z7_family_size")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -173,9 +174,36 @@ object GraftSql {
         .toDouble / a.length))
     // exact JTS intersects of two WKT geometries — the overlay-join
     // refine kernel (SpatialOps.polygonIntersectsJoin), so a SQL-only
-    // user can refine lake-resident candidate pairs
+    // user can refine lake-resident candidate pairs. NULL on either
+    // side → NULL (the same contract as hamming64/sig_match_frac —
+    // round-6 ADVICE: the bare call threw an opaque NPE task failure)
     r.register("wkt_intersects", (a: String, b: String) =>
-      graft.ops.JtsCache.intersectsWkt(a, b))
+      if (a == null || b == null) None
+      else Some(graft.ops.JtsCache.intersectsWkt(a, b)))
+    // round-6-op kernels exposed to SQL (round-6 verdict #7):
+    // the distance-join refine — identical arithmetic to
+    // SpatialOps.haversineKm (primitive params: Spark null-guards)
+    r.register("haversine_km", (lon1: Double, lat1: Double,
+                                lon2: Double, lat2: Double) => {
+      val r1 = math.toRadians(lat1); val r2 = math.toRadians(lat2)
+      val dlat = math.toRadians(lat2 - lat1)
+      val dlon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dlat / 2), 2) +
+        math.cos(r1) * math.cos(r2) * math.pow(math.sin(dlon / 2), 2)
+      2.0 * graft.dggs.Sphere.EarthRadiusKm * math.asin(math.sqrt(a))
+    })
+    // the zonal-stats / PIP refine kernel: exact JTS contains of a point
+    // in a WKT geometry (NULL wkt → NULL, matching wkt_intersects)
+    r.register("wkt_contains_point", (wkt: String, lon: Double, lat: Double) =>
+      if (wkt == null) None
+      else Some(graft.ops.JtsCache.contains(wkt, lon, lat)))
+    // the compaction kernel: how many res-(r+1) children a complete
+    // family under this cell has — 6 for a pentagon, 7 otherwise (the
+    // aperture-4 grids' family size is the literal 4; no kernel needed).
+    // A SQL user compacts with: group children by z7_parent, keep groups
+    // where count(*) = z7_family_size(z7_parent(any child))
+    r.register("z7_family_size", (z: Long) =>
+      if (Z7.isPentagon(z)) 6 else 7)
     ()
   }
 }

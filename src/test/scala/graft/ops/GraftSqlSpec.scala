@@ -196,6 +196,39 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           "'POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))')") == true)
         assert(one("wkt_intersects('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
           "'POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))')") == false)
+        // null on either side → null, not an NPE (round-6 ADVICE)
+        assert(one("wkt_intersects(CAST(NULL AS STRING), 'POINT (0 0)')") == null)
+        assert(one("wkt_intersects('POINT (0 0)', CAST(NULL AS STRING))") == null)
+      }),
+      "haversine_km" -> (() => {
+        // zero distance; one degree of longitude at the equator ≈ 111.2 km
+        assert(one("haversine_km(24.7D, 59.4D, 24.7D, 59.4D)") == 0.0)
+        val d = one("haversine_km(0.0D, 0.0D, 1.0D, 0.0D)").asInstanceOf[Double]
+        assert(math.abs(d - 111.19) < 0.2, d)
+        // matches the engine column kernel bit-for-bit
+        val eng = spark.range(1).select(graft.ops.SpatialOps.haversineKm(
+          org.apache.spark.sql.functions.lit(5.0),
+          org.apache.spark.sql.functions.lit(10.0),
+          org.apache.spark.sql.functions.lit(-3.0),
+          org.apache.spark.sql.functions.lit(47.0)).as("v")).head().getDouble(0)
+        assert(one("haversine_km(5.0D, 10.0D, -3.0D, 47.0D)") == eng)
+      }),
+      "wkt_contains_point" -> (() => {
+        assert(one("wkt_contains_point('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+          "1.0D, 1.0D)") == true)
+        assert(one("wkt_contains_point('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', " +
+          "3.0D, 1.0D)") == false)
+        assert(one("wkt_contains_point(CAST(NULL AS STRING), 0.0D, 0.0D)") == null)
+      }),
+      "z7_family_size" -> (() => {
+        // the hex cell from the shared sweep context is no pentagon → 7;
+        // base cell 0's digit-0 descendant chain stays pentagonal → 6
+        assert(one(s"z7_family_size($z)") == 7)
+        assert(one("z7_family_size(z7_from_string('000'))") == 6)
+        // consistency with z7_children on both families
+        assert(one(s"size(z7_children($z)) = z7_family_size($z)") == true)
+        assert(one("size(z7_children(z7_from_string('000'))) = " +
+          "z7_family_size(z7_from_string('000'))") == true)
       }))
     // 1. run every sweep case
     sweep.foreach { case (name, check) =>

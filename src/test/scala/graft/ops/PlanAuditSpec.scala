@@ -31,9 +31,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("no cartesian product in any driver query; BNLJ only where bounded") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- graft.SparkEntry.queries) {
-      // checkpoint rollup executes eagerly (writes parts) — plan-audit
-      // its input query shape via the others; skip the side-effecting one
-      if (name != "dggs_checkpoint_rollup") {
+      // checkpoint rollup and the streaming-ingest query execute eagerly
+      // (write parts / run a streaming job) — their component shapes are
+      // plan-audited via the other queries; skip the side-effecting ones
+      if (name != "dggs_checkpoint_rollup" && name != "stream_dedup_ingest") {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct"))
           offenders += s"$name: CartesianProduct"
@@ -140,7 +141,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // which splits one action into a job per query stage).
     import spark.implicits._
     val actions = new java.util.concurrent.atomic.AtomicInteger
-    val shuffles = new java.util.concurrent.atomic.AtomicInteger
+    // DISTINCT shuffle-writing stage IDS, not completion events: a
+    // contention-induced stage retry re-fires onStageCompleted with the
+    // same stage id, and counting attempts instead of stages is exactly
+    // the full-suite-load flake of rounds 5-6 (watch item #6) — the set
+    // makes the exchange count retry-invariant while still failing on
+    // any genuinely NEW exchange in the plan
+    val shuffleStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val ql = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
@@ -167,13 +174,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (sqlStages.contains(s.stageInfo.stageId) &&
           s.stageInfo.taskMetrics != null &&
           s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
-          shuffles.incrementAndGet()
+          shuffleStages.add(s.stageInfo.stageId)
     }
     // clique families → min-label confirms in exactly 1 loop round
     val pairs = (0 until 400).flatMap { f =>
       Seq((f * 3L, f * 3L + 1), (f * 3L, f * 3L + 2), (f * 3L + 1, f * 3L + 2))
     }.toDF("doc_a", "doc_b").cache()
     pairs.count() // materialize the input outside the counted window
+    // drain the async listener bus BEFORE registering the counters: a
+    // listener attached mid-backlog receives events POSTED before
+    // registration (delivery snapshots the listener list at drain time,
+    // not post time), so under full-suite load a previous test's stray
+    // action/job event lands in the window and off-by-ones the exact
+    // action count — the rounds-5/6/7 in-suite flake, deterministic fix
+    org.apache.spark.graft.TestBusHook.waitUntilEmpty(spark.sparkContext)
     spark.listenerManager.register(ql)
     spark.sparkContext.addSparkListener(sl)
     try {
@@ -192,8 +206,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       // fail the suite; the old shape (edges re-shuffled every round +
       // union+groupBy re-exchange + a separate agg job) still blows it
       val bound = 3 + rounds * 3
-      assert(shuffles.get <= bound,
-        s"expected <= $bound shuffle map stages for $rounds round(s), got ${shuffles.get}")
+      assert(shuffleStages.size <= bound,
+        s"expected <= $bound shuffle map stages for $rounds round(s), " +
+          s"got ${shuffleStages.size}")
       assert(labels.count() == 1200)
     } finally {
       spark.listenerManager.unregister(ql)
