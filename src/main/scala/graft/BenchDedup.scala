@@ -497,6 +497,23 @@ object BenchDedupScaling {
         VectorOps.pqTopK(embs, pqCb, pmod(col("vec_id"), lit(qStep)) === 0, 3)
           .count()
       }
+      // IVF-PQ search over a PREBUILT index (the lake shape: index built
+      // once per corpus, persisted, probe filters prune buckets) — the
+      // timed leg is search-only, directly comparable to emb_pq_topk's
+      // full-codes scan: 8 of 64 buckets probed = 1/8 of the codes
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      try {
+        VectorOps.buildIvfPqIndex(embs, pqCb, nCoarse = 64)
+          .write.mode("overwrite").parquet(idxDir.toString)
+        spark.catalog.clearCache()
+        val idx = spark.read.parquet(idxDir.toString)
+        run("emb_ivfpq_topk",
+          VectorOps.ivfPqTopK(embsWarm, pqCb, col("vec_id") % 125 === 0, 3,
+            nCoarse = 8, nProbe = 2).count()) {
+          VectorOps.ivfPqTopK(embs, pqCb, pmod(col("vec_id"), lit(qStep)) === 0,
+            3, nCoarse = 64, nProbe = 8, index = Some(idx)).count()
+        }
+      } finally graft.tools.Fs.deleteRecursively(idxDir)
     }
     // DISTRIBUTED k-means training at codebook sizes past the driver
     // sample (round-4 verdict #2): √N centroids rounded up to a power of

@@ -389,6 +389,14 @@ object SparkEntry {
       VectorOps.pqTopK(Tables.tbl(s, dir, "embeddings"),
         VectorOps.pqCodebookFromMicro(PqFixtures.codebookMicro),
         col("vec_id") % 20 === 0 && col("vec_id") < 4000)),
+    "emb_ivfpq_topk" -> ((s, dir) =>
+      // IVF-PQ composite: coarse buckets (lowest-8-id centroids, the
+      // ivfTopK oracle convention) route each query's ADC scan to its
+      // 2 probed buckets' codes only — the 10^12-vector shape where
+      // even the 8 B/vec full code scan is too much per query
+      VectorOps.ivfPqTopK(Tables.tbl(s, dir, "embeddings"),
+        VectorOps.pqCodebookFromMicro(PqFixtures.codebookMicro),
+        col("vec_id") % 20 === 0 && col("vec_id") < 4000)),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
@@ -1220,6 +1228,54 @@ object SparkEntry {
          |       string_agg(substr('0123456789abcdef', c + 1, 1), ''
          |         ORDER BY s DESC) AS pq_code
          |FROM codes GROUP BY vec_id""".stripMargin,
+    "emb_ivfpq_topk" ->
+      // coarse assignment mirrors the emb_ivf_topk oracle (argmax
+      // cosine over the 8 lowest-id vectors, ties → lowest id); ADC is
+      // summed ORDER BY s over the probed buckets' codes only; same
+      // re-rank as emb_pq_topk
+      s"""WITH $pqCte,
+         |n AS (SELECT vec_id, v, nrm FROM nr),
+         |cents AS (SELECT vec_id AS c, v AS ccv, nrm AS ccn FROM n
+         |          ORDER BY vec_id LIMIT 8),
+         |sim AS (SELECT n.vec_id AS vec_id, c,
+         |          list_aggregate(list_transform(generate_series(1, 64),
+         |            i -> v[i]*ccv[i]), 'sum') / (nrm*ccn) AS cs
+         |        FROM n, cents),
+         |rankedc AS (SELECT vec_id, c, row_number() OVER (
+         |              PARTITION BY vec_id ORDER BY cs DESC, c ASC) AS rk
+         |            FROM sim),
+         |tb AS (SELECT vec_id, c AS bucket FROM rankedc WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM ev
+         |      WHERE vec_id % 20 = 0 AND vec_id < 4000),
+         |qp AS (SELECT vec_id AS qid, c AS probe FROM rankedc
+         |       WHERE rk <= 2 AND vec_id % 20 = 0 AND vec_id < 4000),
+         |adc0 AS (SELECT qp.qid, t.vec_id AS tid, cd.s,
+         |          list_aggregate(list_transform(generate_series(1, 4),
+         |            d -> (qv[cd.s*4+d] - cv[d]) * (qv[cd.s*4+d] - cv[d])),
+         |            'sum') AS d2
+         |        FROM qp JOIN tb t ON t.bucket = qp.probe
+         |        JOIN codes cd ON cd.vec_id = t.vec_id
+         |        JOIN cb ON cb.s = cd.s AND cb.c = cd.c
+         |        JOIN q ON q.qid = qp.qid
+         |        WHERE t.vec_id <> qp.qid),
+         |adc AS (SELECT qid, tid,
+         |          list_aggregate(list(d2 ORDER BY s), 'sum') AS adist
+         |        FROM adc0 GROUP BY qid, tid),
+         |cand AS (SELECT qid, tid FROM (
+         |          SELECT qid, tid, row_number() OVER (PARTITION BY qid
+         |                 ORDER BY adist ASC, tid ASC) AS rk FROM adc)
+         |        WHERE rk <= 96),
+         |p AS (SELECT qid AS vec_id, tid AS neighbor,
+         |        list_aggregate(list_transform(generate_series(1, 64),
+         |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+         |      FROM cand JOIN n a ON a.vec_id = cand.qid
+         |      JOIN n b ON b.vec_id = cand.tid)
+         |SELECT vec_id, rnk, neighbor, cos FROM (
+         |  SELECT vec_id, neighbor, cos,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rnk
+         |  FROM p)
+         |WHERE rnk <= 3""".stripMargin,
     "emb_pq_topk" ->
       s"""WITH $pqCte,
          |q AS (SELECT vec_id AS qid, v AS qv FROM ev

@@ -835,6 +835,115 @@ object VectorOps {
       enc(toDouble(col("embedding"))).as("pq_code"))
   }
 
+  /** collect + bound the PQ query side (same guard as [[cosineTopK]]):
+    * (vec_id, raw-double vector, Catalyst-fold norm), id-sorted.
+    */
+  private def pqCollectQueries(e: DataFrame,
+                               queryFilter: Column): Array[(Long, Array[Double], Double)] = {
+    val qRows = e.where(queryFilter).limit(MaxBroadcastQueries + 1).collect()
+    require(qRows.length <= MaxBroadcastQueries,
+      s"PQ query filter matched > $MaxBroadcastQueries vectors: " +
+        "the broadcast-query path is for small fixed query sets")
+    require(qRows.nonEmpty, "PQ query filter matched no vectors")
+    qRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+  }
+
+  /** per-query ADC lookup tables over the NORMALIZED query:
+    * tab(q)(s)(c) = ||q̂_sub(s) − cb(s)(c)||² (left-fold order).
+    */
+  private def pqAdcTables(qArr: Array[(Long, Array[Double], Double)],
+                          codebook: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+    val nSub = codebook.length
+    val nCent = codebook(0).length
+    val subDim = codebook(0)(0).length
+    qArr.map { case (_, qv0, _) =>
+      val qv = normalizeArr(qv0)
+      Array.tabulate(nSub, nCent) { (s, c) =>
+        val off = s * subDim
+        val cb = codebook(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) { val x = qv(off + i) - cb(i); d += x * x; i += 1 }
+        d
+      }
+    }
+  }
+
+  /** per-partition per-query insertion top-R by (adc asc, id asc) —
+    * partition-local results are exact supersets of the global top-R,
+    * so the window merge downstream is exact. Constructed inside
+    * mapPartitions (never serialized).
+    */
+  private final class AdcTopR(nQ: Int, rerank: Int) {
+    val topId: Array[Array[Long]] = Array.fill(nQ)(new Array[Long](rerank))
+    val topD: Array[Array[Double]] = Array.fill(nQ)(new Array[Double](rerank))
+    val sizes: Array[Int] = new Array[Int](nQ)
+    def offer(qi: Int, tid: Long, adc: Double): Unit = {
+      val ids = topId(qi); val ds = topD(qi); val size = sizes(qi)
+      var pos = size
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(adc, ds(pos - 1))
+        c < 0 || (c == 0 && tid < ids(pos - 1))
+      }) pos -= 1
+      if (pos < rerank) {
+        val last = math.min(size, rerank - 1)
+        var j = last
+        while (j > pos) { ids(j) = ids(j - 1); ds(j) = ds(j - 1); j -= 1 }
+        ids(pos) = tid; ds(pos) = adc
+        if (size < rerank) sizes(qi) = size + 1
+      }
+    }
+    def emit(qIds: Array[Long]): Iterator[(Long, Long, Double)] =
+      (0 until nQ).iterator.flatMap(qi =>
+        (0 until sizes(qi)).map(i => (qIds(qi), topId(qi)(i), topD(qi)(i))))
+  }
+
+  /** ADC-sum of a packed code against one query's lookup table
+    * (ascending-subspace fold — matches the oracle's ORDER BY s sum).
+    */
+  private def adcOf(tab: Array[Array[Double]], code: Long, nSub: Int): Double = {
+    var adc = 0.0
+    var s = 0
+    while (s < nSub) {
+      adc += tab(s)((code >>> (4 * s)).toInt & 0xF)
+      s += 1
+    }
+    adc
+  }
+
+  /** merge partition-local ADC top-Rs (exact window), fetch raw vectors
+    * for the surviving ≤ Q·R candidates only (broadcast semi-fetch),
+    * exact-cosine re-rank to the final top-k — shared by [[pqTopK]] and
+    * [[ivfPqTopK]].
+    */
+  private def pqRerank(e: DataFrame, local: DataFrame,
+                       qArr: Array[(Long, Array[Double], Double)],
+                       k: Int, rerank: Int): DataFrame = {
+    val spark = e.sparkSession
+    val wAdc = Window.partitionBy("vec_id")
+      .orderBy(col("adc").asc, col("neighbor").asc)
+    val cand = local.withColumn("__r", row_number().over(wAdc))
+      .where(col("__r") <= rerank).select("vec_id", "neighbor")
+    val qMap = qArr.map { case (id, v, n) => id -> (v, n) }.toMap
+    val bcQv = spark.sparkContext.broadcast(qMap)
+    val cosQ = udf { (qid: Long, te: Seq[Double], tn: Double) =>
+      val (qv, qn) = bcQv.value(qid)
+      var d = 0.0
+      var i = 0
+      while (i < qv.length) { d += qv(i) * te(i); i += 1 }
+      d / (qn * tn)
+    }
+    val fetched = e.withColumnRenamed("vec_id", "neighbor")
+      .join(broadcast(cand), Seq("neighbor"))
+    val wCos = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor").asc)
+    fetched.withColumn("cos", cosQ(col("vec_id"), col("e"), col("nrm")))
+      .withColumn("rnk", row_number().over(wCos)).where(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor"), col("cos"))
+  }
+
   /** PQ approximate top-k with asymmetric distance + exact re-rank.
     *
     * Scale shape: the (small, bounded — [[MaxBroadcastQueries]]) query
@@ -855,92 +964,134 @@ object VectorOps {
     val spark = embs.sparkSession
     import spark.implicits._
     val nSub = codebook.length
-    val nCent = codebook(0).length
-    val subDim = codebook(0)(0).length
     val e = withNorm(embs)
-    val qRows = e.where(queryFilter).limit(MaxBroadcastQueries + 1).collect()
-    require(qRows.length <= MaxBroadcastQueries,
-      s"pqTopK query filter matched > $MaxBroadcastQueries vectors: " +
-        "the broadcast-query path is for small fixed query sets")
-    require(qRows.nonEmpty, "pqTopK: query filter matched no vectors")
-    val qArr = qRows
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    // per-query ADC tables over the NORMALIZED query:
-    // tab(q)(s)(c) = ||q̂_sub(s) − cb(s)(c)||²
-    val adcTab = qArr.map { case (_, qv0, _) =>
-      val qv = normalizeArr(qv0)
-      Array.tabulate(nSub, nCent) { (s, c) =>
-        val off = s * subDim
-        val cb = codebook(s)(c)
-        var d = 0.0
-        var i = 0
-        while (i < subDim) { val x = qv(off + i) - cb(i); d += x * x; i += 1 }
-        d
-      }
-    }
-    val bcQ = spark.sparkContext.broadcast((qArr.map(_._1), adcTab))
+    val qArr = pqCollectQueries(e, queryFilter)
+    val bcQ = spark.sparkContext.broadcast(
+      (qArr.map(_._1), pqAdcTables(qArr, codebook)))
     val codes = pqEncode(embs, codebook)
     val local = codes.as[(Long, Long)].mapPartitions { it =>
       val (qIds, tabs) = bcQ.value
       val nQ = qIds.length
-      val topId = Array.fill(nQ)(new Array[Long](rerank))
-      val topD = Array.fill(nQ)(new Array[Double](rerank))
-      val sizes = new Array[Int](nQ)
+      val top = new AdcTopR(nQ, rerank)
       it.foreach { case (tid, code) =>
         var qi = 0
         while (qi < nQ) {
-          if (tid != qIds(qi)) {
-            val tab = tabs(qi)
-            var adc = 0.0
-            var s = 0
-            while (s < nSub) {
-              adc += tab(s)((code >>> (4 * s)).toInt & 0xF)
-              s += 1
-            }
-            // insertion top-R by (adc asc, id asc)
-            val ids = topId(qi); val ds = topD(qi); val size = sizes(qi)
-            var pos = size
-            while (pos > 0 && {
-              val c = java.lang.Double.compare(adc, ds(pos - 1))
-              c < 0 || (c == 0 && tid < ids(pos - 1))
-            }) pos -= 1
-            if (pos < rerank) {
-              val last = math.min(size, rerank - 1)
-              var j = last
-              while (j > pos) { ids(j) = ids(j - 1); ds(j) = ds(j - 1); j -= 1 }
-              ids(pos) = tid; ds(pos) = adc
-              if (size < rerank) sizes(qi) = size + 1
-            }
-          }
+          if (tid != qIds(qi)) top.offer(qi, tid, adcOf(tabs(qi), code, nSub))
           qi += 1
         }
       }
-      (0 until nQ).iterator.flatMap(qi =>
-        (0 until sizes(qi)).map(i => (qIds(qi), topId(qi)(i), topD(qi)(i))))
+      top.emit(qIds)
     }.toDF("vec_id", "neighbor", "adc")
-    val wAdc = Window.partitionBy("vec_id")
-      .orderBy(col("adc").asc, col("neighbor").asc)
-    val cand = local.withColumn("__r", row_number().over(wAdc))
-      .where(col("__r") <= rerank).select("vec_id", "neighbor")
-    // exact re-rank: fetch raw vectors for the ≤ Q·R candidates only
-    val qMap = qArr.map { case (id, v, n) => id -> (v, n) }.toMap
-    val bcQv = spark.sparkContext.broadcast(qMap)
-    val cosQ = udf { (qid: Long, te: Seq[Double], tn: Double) =>
-      val (qv, qn) = bcQv.value(qid)
+    pqRerank(e, local, qArr, k, rerank)
+  }
+
+
+  /** IVF-PQ composite index — the production ANN shape at 10^12
+    * vectors, where even [[pqTopK]]'s full scan of 8 B/vec codes is
+    * ~8 TB per query batch. The corpus is partitioned by an IVF coarse
+    * quantizer (argmax-cosine centroid, exactly [[ivfTopK]]'s
+    * assignment incl. the tie→lowest-index rule); each vector carries
+    * its PQ code; a query ADC-scans ONLY its `nProbe` probed buckets'
+    * codes — cost falls from N to ~N·nProbe/nCoarse — then pays the
+    * same bounded exact-cosine re-rank as [[pqTopK]].
+    *
+    * Scale shape: the (bucket, vec_id, pq_code) relation is the lake
+    * index — ~9 B/row, written once per corpus build, PARTITIONED BY
+    * bucket so the probe filter is partition pruning (here expressed as
+    * a pushed scan filter). The query side broadcasts its ADC tables
+    * plus a bucket→queries routing map; each scanned code row is
+    * offered only to the queries probing its bucket. Each vector lives
+    * in exactly ONE bucket, so no candidate dedup is needed across a
+    * query's probes (the [[ivfTopK]] argument).
+    *
+    * Default `coarse` = the `nCoarse` lowest-id vectors (deterministic,
+    * oracle-reproducible — [[ivfTopK]]'s convention); pass
+    * [[trainCentroidsDistributed]] output at production scale. Recall
+    * vs [[pqTopK]] trades through nProbe exactly as IVF trades through
+    * its probe count — pinned in the spec.
+    */
+  /** coarse IVF centroids: the `nCoarse` lowest-id vectors by default
+    * (deterministic, oracle-reproducible — [[ivfTopK]]'s convention) or
+    * a trained codebook.
+    */
+  private def coarseCentroids(e: DataFrame, nCoarse: Int,
+                              coarse: Option[Array[(Int, Seq[Double], Double)]]): Array[(Int, Array[Double], Double)] = {
+    val cents = coarse.getOrElse(
+      e.orderBy("vec_id").limit(nCoarse).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getDouble(2))))
+    require(cents.nonEmpty, "empty coarse codebook")
+    cents.map { case (c, cv, cn) => (c, cv.toArray, cn) }
+  }
+
+  /** coarse probe ORDER for one vector: IDENTICAL primitive loop +
+    * (cos desc, id asc) order as ivfTopK's probesUdf, on RAW vectors +
+    * Catalyst norms — the oracle mirrors it relationally.
+    */
+  private def probeOrderOf(centArr: Array[(Int, Array[Double], Double)],
+                           v: Array[Double], nrm: Double): Array[Int] =
+    centArr.map { case (c, cv, cn) =>
       var d = 0.0
       var i = 0
-      while (i < qv.length) { d += qv(i) * te(i); i += 1 }
-      d / (qn * tn)
+      while (i < cv.length) { d += v(i) * cv(i); i += 1 }
+      (d / (nrm * cn), c)
+    }.sortBy { case (cs, c) => (-cs, c) }.map(_._2)
+
+  /** Build the IVF-PQ index relation `(vec_id, pq_code, bucket)` — the
+    * once-per-corpus artifact a pipeline writes to the lake PARTITIONED
+    * BY bucket (probe filters then prune partitions). ~9 B/row.
+    */
+  def buildIvfPqIndex(embs: DataFrame, codebook: Array[Array[Array[Double]]],
+                      nCoarse: Int = 8,
+                      coarse: Option[Array[(Int, Seq[Double], Double)]] = None): DataFrame = {
+    val e = withNorm(embs)
+    val centArr = coarseCentroids(e, nCoarse, coarse)
+    val bucketUdf = udf { (ev: Seq[Double], nrm: Double) =>
+      probeOrderOf(centArr, ev.toArray, nrm)(0)
     }
-    val fetched = e.withColumnRenamed("vec_id", "neighbor")
-      .join(broadcast(cand), Seq("neighbor"))
-    val wCos = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("neighbor").asc)
-    fetched.withColumn("cos", cosQ(col("vec_id"), col("e"), col("nrm")))
-      .withColumn("rnk", row_number().over(wCos)).where(col("rnk") <= k)
-      .select(col("vec_id"), col("rnk").cast("long").as("rnk"),
-        col("neighbor"), col("cos"))
+    pqEncode(embs, codebook)
+      .join(e.select(col("vec_id"),
+        bucketUdf(col("e"), col("nrm")).as("bucket")), Seq("vec_id"))
+  }
+
+  def ivfPqTopK(embs: DataFrame, codebook: Array[Array[Array[Double]]],
+                queryFilter: Column, k: Int = 3, nCoarse: Int = 8,
+                nProbe: Int = 2, rerank: Int = 96,
+                coarse: Option[Array[(Int, Seq[Double], Double)]] = None,
+                index: Option[DataFrame] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val nSub = codebook.length
+    val e = withNorm(embs)
+    val centArr = coarseCentroids(e, nCoarse, coarse)
+    def probeOrder(v: Array[Double], nrm: Double): Array[Int] =
+      probeOrderOf(centArr, v, nrm)
+    // the lake index relation — prebuilt (persisted) or derived in-query
+    val idx = index.getOrElse(buildIvfPqIndex(embs, codebook, nCoarse, coarse))
+    val qArr = pqCollectQueries(e, queryFilter)
+    val tabs = pqAdcTables(qArr, codebook)
+    val qProbes = qArr.map { case (_, qv, qn) => probeOrder(qv, qn).take(nProbe) }
+    val bucketQs: Map[Int, Array[Int]] = qProbes.zipWithIndex
+      .flatMap { case (ps, qi) => ps.map(_ -> qi) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted }
+    val bcQ = spark.sparkContext.broadcast((qArr.map(_._1), tabs, bucketQs))
+    val probed = bucketQs.keySet.toSeq.sorted
+    val local = idx.where(col("bucket").isInCollection(probed))
+      .select(col("vec_id"), col("pq_code"), col("bucket"))
+      .as[(Long, Long, Int)].mapPartitions { it =>
+        val (qIds, tb, bq) = bcQ.value
+        val top = new AdcTopR(qIds.length, rerank)
+        it.foreach { case (tid, code, bucket) =>
+          val qs = bq.getOrElse(bucket, Array.empty[Int])
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            if (tid != qIds(qi)) top.offer(qi, tid, adcOf(tb(qi), code, nSub))
+            i += 1
+          }
+        }
+        top.emit(qIds)
+      }.toDF("vec_id", "neighbor", "adc")
+    pqRerank(e, local, qArr, k, rerank)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket, refined
