@@ -558,6 +558,20 @@ object SparkEntry {
       GridOps.binPointPresence(geo, "lon", "lat", "cls", Seq("0", "1", "2"), 3)
         .select(col("name"), col("presence"), col("num_classes"))
     }),
+    "dggs_distinct_docs" -> ((s, dir) => {
+      // per-cell DISTINCT-doc estimation via the native KMV sketch
+      // aggregate (TypedImperativeAggregate — ~k·8 B of state per group,
+      // map-side partial, the shuffle carries sketches not distinct
+      // keys) next to the exact count it estimates; the oracle
+      // recomputes the sketch BIT-FOR-BIT (k smallest 12-hex-char md5
+      // prefixes per group, same (k−1)/kth·2^48 formula)
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      import graft.spark.{DggsFunctions => F, SketchFunctions}
+      GridOps.cellsForGeoPoints(geo, "lon", "lat", 5)
+        .groupBy(F.z7String(F.z7AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(SketchFunctions.kmvDistinct(col("doc_id"), 32).as("kmv_est"),
+          countDistinct(col("doc_id")).as("n_exact"))
+    }),
     "dggs_extent_ids" -> ((s, _) => {
       GridOps.gridCellIdsForExtent(s, 4, Some((20.2, 57.0, 28.4, 60.0)))
         .select(graft.spark.DggsFunctions.z7String(col("cell_id")).as("name"))
@@ -1367,6 +1381,30 @@ object SparkEntry {
       s"""WITH $geoCellsCte
          |SELECT substr(c5, 1, 4) AS name2, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_distinct_docs" ->
+      // the sketch recomputed relationally: 12 lowercase hex chars are
+      // order-isomorphic to the 48-bit hash, so ORDER BY h12 ASC ranks
+      // identically to the aggregate's numeric TreeSet; the estimate is
+      // the same single division then multiplication
+      s"""WITH $geoCellsCte,
+         |g AS (SELECT substr(c5, 1, 4) AS name2, doc_id FROM gc),
+         |hh AS (SELECT DISTINCT name2,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS h12
+         |       FROM g),
+         |rk AS (SELECT name2, h12, row_number() OVER (
+         |         PARTITION BY name2 ORDER BY h12 ASC) AS r FROM hh),
+         |nd AS (SELECT name2, count(*) AS nh FROM hh GROUP BY 1),
+         |kth AS (SELECT name2, h12 FROM rk WHERE r = 32),
+         |est AS (SELECT nd.name2,
+         |          CASE WHEN nd.nh < 32 THEN CAST(nd.nh AS DOUBLE)
+         |               ELSE (31.0 / CAST(('0x' || kth.h12) AS BIGINT))
+         |                    * 281474976710656.0
+         |          END AS kmv_est
+         |        FROM nd LEFT JOIN kth ON nd.name2 = kth.name2),
+         |ex AS (SELECT name2, count(DISTINCT doc_id) AS n_exact
+         |       FROM g GROUP BY 1)
+         |SELECT est.name2 AS name2, est.kmv_est, ex.n_exact
+         |FROM est JOIN ex ON est.name2 = ex.name2""".stripMargin,
     "dggs_extent_ids" -> OracleFixtures.extentIdsSql,
     "dggs_wrap_extent_ids" -> OracleFixtures.wrapExtentSql,
     "dggs_bin_values_all" ->
