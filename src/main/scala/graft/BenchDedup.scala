@@ -525,6 +525,34 @@ object BenchDedupScaling {
       VectorOps.trainCentroidsDistributed(embs, k, iters = 5).length.toLong
     }
 
+    // KMV sketch vs exact count(distinct) — the shuffle-volume claim
+    // measured: high-cardinality per-group distinct (nVecs rows, 64
+    // groups, values ~unique). count(distinct) rewrites to an expand
+    // that exchanges every distinct key; the sketch exchanges ≤ k·8 B
+    // of state per (partition, group). Walls AND the tally's shuffle
+    // bytes are the evidence.
+    if (only.isEmpty || only.exists(_.startsWith("agg_distinct"))) {
+      import graft.spark.SketchFunctions
+      def card(n: Long) = spark.range(n).select(
+        pmod(col("id"), lit(64)).as("g"),
+        concat(lit("u"), (col("id") / 3).cast("long")).as("v"))
+      // the filter on the aggregate VALUE keeps column pruning from
+      // dropping the aggregate under the count (measured: a bare
+      // .count() reduced both legs to counting 64 group keys)
+      def evalDistinct(src: DataFrame): Long =
+        src.groupBy("g").agg(countDistinct(col("v")).as("d"))
+          .where(col("d") >= 0).count()
+      def evalKmv(src: DataFrame): Long =
+        src.groupBy("g").agg(SketchFunctions.kmvDistinct(col("v"), 256).as("d"))
+          .where(col("d") >= 0).count()
+      run("agg_distinct_exact", evalDistinct(card(20000))) {
+        evalDistinct(card(nVecs * 4))
+      }
+      run("agg_distinct_kmv", evalKmv(card(20000))) {
+        evalKmv(card(nVecs * 4))
+      }
+    }
+
     // media-modality near-dup at corpus scale: REAL codec decode
     // (RIFF/PCM16, concatenated-PNM frames) + 64-bit signature + the
     // shared banding engine, end-to-end. The decode+hash pass is

@@ -27,7 +27,7 @@ object GraftSql {
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm",
     "audiohash64_wav", "hamming64",
     "mix_bucket6", "redact_pii", "sig_match_frac", "wkt_intersects",
-    "haversine_km", "wkt_contains_point", "z7_family_size")
+    "haversine_km", "wkt_contains_point", "z7_family_size", "kmv_distinct")
 
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -204,6 +204,10 @@ object GraftSql {
     // where count(*) = z7_family_size(z7_parent(any child))
     r.register("z7_family_size", (z: Long) =>
       if (Z7.isPentagon(z)) 6 else 7)
+    // the KMV distinct sketch is a native AGGREGATE — registered via the
+    // FunctionRegistry (spark.udf cannot install one); k must be an
+    // integer literal
+    org.apache.spark.sql.graft.AggRegistrar.registerKmv(spark)
     ()
   }
 }

@@ -220,6 +220,26 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
           "3.0D, 1.0D)") == false)
         assert(one("wkt_contains_point(CAST(NULL AS STRING), 0.0D, 0.0D)") == null)
       }),
+      "kmv_distinct" -> (() => {
+        // exact below k; agrees with count(distinct) there
+        val r = spark.sql("SELECT kmv_distinct(CAST(id % 40 AS STRING), 64) AS v " +
+          "FROM range(200)").head().getDouble(0)
+        assert(r == 40.0, r)
+        // grouped + partial-aggregated (the plan shape is pinned in
+        // KmvSketchSpec; here the SQL surface contract)
+        val g = spark.sql("SELECT id % 2 AS g, " +
+          "kmv_distinct(CAST(id AS STRING), 128) AS v FROM range(100) GROUP BY 1")
+          .collect().map(x => (x.getLong(0), x.getDouble(1))).toMap
+        assert(g == Map(0L -> 50.0, 1L -> 50.0), g)
+        // k must be a literal — a column k cannot size the buffer
+        val e = intercept[Exception](spark.sql(
+          "SELECT kmv_distinct(CAST(id AS STRING), CAST(id AS INT)) FROM range(5)")
+          .collect())
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+          .mkString(" | ")
+        assert(msgs.contains("integer literal"), msgs)
+      }),
       "z7_family_size" -> (() => {
         // the hex cell from the shared sweep context is no pentagon → 7;
         // base cell 0's digit-0 descendant chain stays pentagonal → 6
