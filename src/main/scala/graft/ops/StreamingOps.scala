@@ -61,6 +61,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** streaming per-cell, per-window DISTINCT-id estimates via the
+    * native KMV sketch aggregate ([[graft.spark.SketchFunctions]]):
+    * a TypedImperativeAggregate composes with watermarked streaming
+    * aggregation like any built-in sketch — its serialized buffer is
+    * the state-store value, so per-(window, cell) state stays ≤ k·8 B
+    * no matter how many events the group sees across micro-batches
+    * (an exact streaming count-distinct would grow state with every
+    * distinct key). Exact below k distinct ids per group; merge across
+    * micro-batches is the sketch's exact merge.
+    */
+  def cellDistinctWindowed(stream: DataFrame, tsCol: String, lonCol: String,
+                           latCol: String, idCol: String, res: Int,
+                           windowDur: String, watermarkDur: String,
+                           k: Int = 64): DataFrame =
+    assignCells(stream, lonCol, latCol, res)
+      .withWatermark(tsCol, watermarkDur)
+      .groupBy(window(col(tsCol), windowDur), col("cell_id"))
+      .agg(graft.spark.SketchFunctions.kmvDistinct(col(idCol), k)
+        .as("distinct_est"), count(lit(1)).as("n"))
+
   /** per-content-hash dedup state: the first doc that claimed the hash +
     * how many duplicates have been seen since
     */

@@ -1470,6 +1470,34 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("n") == 2))
   }
 
+  test("streaming per-cell distinct estimates: sketch state merges across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double, Double, String)]
+    val out = StreamingOps.cellDistinctWindowed(
+      mem.toDF().toDF("ts", "lon", "lat", "uid"), "ts", "lon", "lat", "uid",
+      3, "10 minutes", "5 minutes", k = 64)
+    val q = out.writeStream.format("memory").queryName("celldist")
+      .outputMode("update").start()
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // batch 1: three events in one Tallinn cell, two DISTINCT users
+    mem.addData((base, 24.7, 59.4, "u1"), (base, 24.7, 59.4, "u2"),
+      (base, 24.7, 59.4, "u1"))
+    q.processAllAvailable()
+    // batch 2, same window+cell: one repeat user + one new → the sketch
+    // state must MERGE across micro-batches (3 distinct total, not 2)
+    mem.addData((base, 24.7, 59.4, "u2"), (base, 24.7, 59.4, "u3"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT distinct_est, n FROM celldist ORDER BY n DESC").collect()
+    q.stop()
+    // update mode emits the group after each batch; the LAST emission
+    // (n = 5 events) carries the merged estimate — exact below k
+    assert(rows.head.getLong(1) == 5L, rows.mkString(";"))
+    assert(rows.head.getDouble(0) == 3.0, rows.mkString(";"))
+  }
+
   test("streaming zonal counts: static cover join + windowed per-zone agg") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
