@@ -152,10 +152,15 @@ object SparkEntry {
           .collect().toSeq: _*)
         q.processAllAvailable()
       }
-      feed(b1)
-      feed(b2)
-      q.stop()
-      prints.unpersist(false)
+      try {
+        feed(b1)
+        feed(b2)
+      } finally {
+        // a failed feed must not leak the streaming query (it would
+        // keep polling the memory source for the session's lifetime)
+        q.stop()
+        prints.unpersist(false)
+      }
       s.read.parquet(outDir.toString)
         .select(col("doc_id"), col("batch_id"), col("verdict"),
           col("match_id"), col("est_jaccard"))

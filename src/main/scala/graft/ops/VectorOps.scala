@@ -1009,6 +1009,13 @@ object VectorOps {
     * [[trainCentroidsDistributed]] output at production scale. Recall
     * vs [[pqTopK]] trades through nProbe exactly as IVF trades through
     * its probe count — pinned in the spec.
+    *
+    * CONTRACT on `index`: a prebuilt relation must have been produced
+    * by [[buildIvfPqIndex]] with the SAME codebook and the SAME coarse
+    * centroids passed here — the engine cannot detect a mismatch (codes
+    * and buckets are opaque integers) and a stale index silently
+    * returns wrong candidates. Version the index artifact next to its
+    * codebook on the lake, as with any embedding-model artifact.
     */
   /** coarse IVF centroids: the `nCoarse` lowest-id vectors by default
     * (deterministic, oracle-reproducible — [[ivfTopK]]'s convention) or
