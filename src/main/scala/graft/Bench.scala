@@ -99,7 +99,12 @@ object Bench {
         java.nio.file.Paths.get(bandPath)), "UTF-8")
       raw""""([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: java.io.IOException => Map.empty }
+    } catch {
+      // a missing band file AND a malformed one both degrade to "no
+      // adjudication" — a corrupt value must not take down the gate
+      // metric the band exists to protect
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     // untimed JIT/codegen warmup so the first timed query isn't cold
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()

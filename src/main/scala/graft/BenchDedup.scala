@@ -483,7 +483,8 @@ object BenchDedupScaling {
     // smaller than the float64 vectors an uncompressed index scans),
     // the SEARCH leg is the broadcast-query ADC scan over codes + the
     // bounded exact re-rank fetch
-    if (only.isEmpty || only.exists(_.startsWith("emb_pq"))) {
+    if (only.isEmpty || only.exists(x =>
+      x.startsWith("emb_pq") || x.startsWith("emb_ivfpq"))) {
       val pqCb = VectorOps.pqCodebookFromMicro(
         VectorOps.trainPqCodebookMicro(embs))
       run("emb_pq_encode",
@@ -502,7 +503,7 @@ object BenchDedupScaling {
       // timed leg is search-only, directly comparable to emb_pq_topk's
       // full-codes scan: 8 of 64 buckets probed = 1/8 of the codes
       val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq")
-      try {
+      try if (only.isEmpty || only.contains("emb_ivfpq_topk")) {
         VectorOps.buildIvfPqIndex(embs, pqCb, nCoarse = 64)
           .write.mode("overwrite").parquet(idxDir.toString)
         spark.catalog.clearCache()

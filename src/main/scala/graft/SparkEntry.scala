@@ -139,6 +139,10 @@ object SparkEntry {
           val (verdicts, updated) = TextOps.ingestBatch(batch, prints)
           verdicts.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir.toString)
+          // ingestBatch caches the verdicts it returns; they are fully
+          // consumed by the write above — drop them so two invocations
+          // per bench rep don't pin dead relations in executor storage
+          verdicts.unpersist(false)
           // materialize the appended snapshot BEFORE this micro-batch's
           // frame goes out of scope — the union's new leg derives from it
           val next = updated.cache()

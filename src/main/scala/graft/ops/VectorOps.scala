@@ -672,8 +672,8 @@ object VectorOps {
   // ---- Product quantization (compressed-embedding ANN) --------------
   // The economics piece of the similarity stack (round-6 verdict #3):
   // at 10^12 docs × 64 float64 dims the embedding column alone is
-  // ~0.5 PB; an 8-subspace × 16-centroid PQ code is 4 BYTES/vec (packed
-  // into one int), 128× smaller — the ANN index scan reads codes only,
+  // ~0.5 PB; a 16-subspace × 16-centroid PQ code is 8 BYTES/vec (packed
+  // into one long), 64× smaller — the ANN index scan reads codes only,
   // and raw vectors are touched for the top re-rank candidates alone.
 
   /** PQ geometry shared by the engine, the frozen codebook and the
@@ -801,15 +801,23 @@ object VectorOps {
     * subspace with the strict-< tie rule; the left-fold distance order
     * matches the oracle's `list_aggregate('sum')`. Narrow projection —
     * zero shuffle; at 10^12 rows this is the one full-corpus pass that
-    * builds the 4-byte/row index relation.
+    * builds the 8-byte/row index relation.
     */
-  def pqEncode(embs: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame = {
+  def pqEncode(embs: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame =
+    embs.select(col("vec_id"),
+      pqEncodeUdf(codebook)(toDouble(col("embedding"))).as("pq_code"))
+
+  /** the encode kernel as a reusable UDF over raw-double vectors —
+    * shared by [[pqEncode]] and [[buildIvfPqIndex]]'s single-projection
+    * form.
+    */
+  private def pqEncodeUdf(codebook: Array[Array[Array[Double]]]) = {
     val nSub = codebook.length
     val nCent = codebook(0).length
     val subDim = codebook(0)(0).length
     require(nCent <= 16, s"pqEncode packs 4-bit codes; nCent $nCent > 16")
     require(nSub <= 16, s"pqEncode packs into one 64-bit word; nSub $nSub > 16")
-    val enc = udf { (ev: Seq[Double]) =>
+    udf { (ev: Seq[Double]) =>
       val v = normalizeArr(ev.toArray)
       var code = 0L
       var s = 0
@@ -831,8 +839,6 @@ object VectorOps {
       }
       code
     }
-    embs.select(col("vec_id"),
-      enc(toDouble(col("embedding"))).as("pq_code"))
   }
 
   /** collect + bound the PQ query side (same guard as [[cosineTopK]]):
@@ -1055,9 +1061,12 @@ object VectorOps {
     val bucketUdf = udf { (ev: Seq[Double], nrm: Double) =>
       probeOrderOf(centArr, ev.toArray, nrm)(0)
     }
-    pqEncode(embs, codebook)
-      .join(e.select(col("vec_id"),
-        bucketUdf(col("e"), col("nrm")).as("bucket")), Seq("vec_id"))
+    // ONE narrow projection — code and bucket both derive from the same
+    // scan row; the former join-of-two-derivations planned a full-corpus
+    // self-join (two scans + two exchanges) just to attach a column
+    e.select(col("vec_id"),
+      pqEncodeUdf(codebook)(col("e")).as("pq_code"),
+      bucketUdf(col("e"), col("nrm")).as("bucket"))
   }
 
   def ivfPqTopK(embs: DataFrame, codebook: Array[Array[Array[Double]]],
