@@ -1022,6 +1022,13 @@ object VectorOps {
     * and buckets are opaque integers) and a stale index silently
     * returns wrong candidates. Version the index artifact next to its
     * codebook on the lake, as with any embedding-model artifact.
+    *
+    * Known quality knob not implemented here: classical IVF-PQ encodes
+    * the RESIDUAL (v − coarse centroid) rather than v, shrinking
+    * quantization error per bucket at the cost of a per-bucket frozen
+    * residual codebook (and a second oracle). With this corpus's
+    * recall already carried by the exact re-rank, the residual variant
+    * buys little; revisit if probe-recall at scale disappoints.
     */
   /** coarse IVF centroids: the `nCoarse` lowest-id vectors by default
     * (deterministic, oracle-reproducible — [[ivfTopK]]'s convention) or
