@@ -663,3 +663,65 @@ object BenchSkew {
     spark.stop()
   }
 }
+
+/** Clustered-store REGION-READ economics (north_rule "adaptive
+  * partitioning on cell-index prefixes", measured): cells written
+  * Z7-range-clustered once (CorpusStore.writeClustered), then the same
+  * aggregate over (a) the full table and (b) one res-1 region via the
+  * contiguous BETWEEN that parquet min/max + file pruning satisfy. The
+  * leg reports wall AND bytes actually read — at lake scale the region
+  * read is the difference between scanning 100 TB and scanning the
+  * region's share of it.
+  *
+  *   sbt "runMain graft.BenchStore <cpus> [nPts] [files]"
+  */
+object BenchStore {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val nPts = if (args.length > 1) args(1).toLong else 40000000L
+    val files = if (args.length > 2) args(2).toInt else 256
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pts = spark.range(nPts).select(col("id"),
+      ((pmod(col("id") * 9973L, lit(360000L)) / lit(1000.0)) - 180.0).as("lon"),
+      ((pmod(col("id") * 6271L, lit(180000L)) / lit(1000.0)) - 90.0).as("lat"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    graft.ops.CorpusStore.writeClustered(
+      graft.ops.GridOps.cellsForGeoPoints(pts, "lon", "lat", 6)
+        .select("id", "cell_id"), "cell_id", dir, files)
+    // bytes addressed = sum of sizes of the files the scan touches —
+    // the file-pruning term that dominates at lake scale (row-group
+    // min/max pruning inside touched files comes on top; task-level
+    // inputMetrics under-report for this local-fs scan path)
+    def fileMb(paths: Seq[String]): Long = paths.map(p =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(
+        p.stripPrefix("file:")))).sum / 1048576
+    def leg(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      // sum(id), not a bare count: parquet satisfies count(*) from
+      // row-group METADATA alone — the sum forces real column pages
+      def agg(d: org.apache.spark.sql.DataFrame) =
+        d.agg(sum(col("id")), count(lit(1))).collect().head.getLong(1)
+      agg(df) // warm (page cache fair on both legs)
+      val t0 = System.nanoTime()
+      val n = agg(df)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val touched = df.select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSeq
+      println(f"""{"bench":"store","leg":"$label","cpus":$cpus,"pts":$nPts,""" +
+        f""""rows":$n,"wall_sec":$wall%.2f,"files":${touched.size},""" +
+        f""""file_mb":${fileMb(touched)}}""")
+    }
+    leg("full_scan") { spark.read.parquet(dir) }
+    val parent = graft.dggs.Z7.fromZ7String("023")
+    leg("region_range") {
+      graft.ops.CorpusStore.readCellRange(spark, dir, "cell_id", parent)
+    }
+    graft.tools.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.stop()
+  }
+}
