@@ -200,6 +200,21 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, f"PQ recall $recall%.3f < 0.9")
   }
 
+  test("frozen PQ codebook equals a fresh deterministic training run") {
+    // the FreezePq artifact and the trainer must never drift: training
+    // is zero-RNG (farthest-first init + strict-< Lloyd's on the
+    // id-ordered sample), so regeneration is bit-reproducible — a
+    // mismatch here means the committed fixture no longer describes
+    // the shipped trainer (or the input table changed under it)
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val fresh = VectorOps.trainPqCodebookMicro(embs)
+    assert(java.util.Arrays.deepEquals(
+      fresh.asInstanceOf[Array[AnyRef]],
+      graft.PqFixtures.codebookMicro.asInstanceOf[Array[AnyRef]]),
+      "PqFixtures.codebookMicro drifted from trainPqCodebookMicro — " +
+        "regenerate via graft.tools.FreezePq")
+  }
+
   test("IVF-PQ: full-probe equals pqTopK exactly; partial probe trades recall") {
     import spark.implicits._
     val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
