@@ -97,8 +97,15 @@ object Bench {
     val band: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(bandPath)), "UTF-8")
+      // keys are validated against the query registry (+ the two named
+      // whole-pipeline legs) so pointing SPARK_GRAFT_BAND at an arbitrary
+      // JSON with numeric fields cannot absorb unrelated keys into the
+      // adjudication map (round-7 ADVICE)
+      val known = SparkEntry.queries.keySet ++
+        Set("flagship_assign_join_rollup", "raster_to_cells_full")
       raw""""([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) => known.contains(k) }.toMap
     } catch {
       // a missing band file AND a malformed one both degrade to "no
       // adjudication" — a corrupt value must not take down the gate

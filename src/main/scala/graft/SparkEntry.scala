@@ -132,13 +132,22 @@ object SparkEntry {
       implicit val sq = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      var prints = TextOps.corpusFingerprints(corpus).cache()
-      prints.count()
+      // the snapshot handoff crosses threads — written by the stream
+      // execution thread inside foreachBatch, read by the driver thread
+      // (next feed + finally) — so hold it in an AtomicReference rather
+      // than relying on processAllAvailable's internal locking for
+      // visibility (round-7 ADVICE)
+      val prints = new java.util.concurrent.atomic.AtomicReference(
+        TextOps.corpusFingerprints(corpus).cache())
+      prints.get().count()
       val q = mem.toDF().toDF("doc_id", "text").writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val (verdicts, updated) = TextOps.ingestBatch(batch, prints)
-          verdicts.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir.toString)
+          val (verdicts, updated) = TextOps.ingestBatch(batch, prints.get())
+          // idempotent per-batch sink: a replayed micro-batch OVERWRITES
+          // its own batchId-named partition dir instead of appending
+          // duplicate verdict rows (round-7 ADVICE)
+          verdicts.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
           // ingestBatch caches the verdicts it returns; they are fully
           // consumed by the write above — drop them so two invocations
           // per bench rep don't pin dead relations in executor storage
@@ -147,8 +156,7 @@ object SparkEntry {
           // frame goes out of scope — the union's new leg derives from it
           val next = updated.cache()
           next.count()
-          prints.unpersist(false)
-          prints = next
+          prints.getAndSet(next).unpersist(false)
           ()
         }.start()
       def feed(b: DataFrame): Unit = {
@@ -159,15 +167,24 @@ object SparkEntry {
       try {
         feed(b1)
         feed(b2)
+        // materialize off the temp files (localCheckpoint) so the dir can
+        // be deleted in the finally block — Bench/Verify run this query
+        // repeatedly and the dirs used to accumulate (round-7 ADVICE)
+        s.read.parquet(outDir.toString)
+          .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+            col("verdict"), col("match_id"), col("est_jaccard"))
+          .localCheckpoint(eager = true)
       } finally {
         // a failed feed must not leak the streaming query (it would
         // keep polling the memory source for the session's lifetime)
         q.stop()
-        prints.unpersist(false)
+        prints.get().unpersist(false)
+        val dir = outDir.toFile
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
       }
-      s.read.parquet(outDir.toString)
-        .select(col("doc_id"), col("batch_id"), col("verdict"),
-          col("match_id"), col("est_jaccard"))
     }),
     "dedup_clusters" -> ((s, dir) =>
       TextOps.nearDupClusters(

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
@@ -47,7 +47,12 @@ final class KmvState(val k: Int) {
 case class KmvSketchAgg(child: Expression, k: Int,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvState] with ExpectsInputTypes {
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes): kmv_distinct
+  // over a numeric/date column coerces to STRING at analysis instead of
+  // failing, so call sites don't each need an explicit CAST (round-7
+  // ADVICE). The hash value is computed over the cast's string image —
+  // identical to what an explicit CAST would produce.
+  extends TypedImperativeAggregate[KmvState] with ImplicitCastInputTypes {
 
   require(k >= 2, s"kmv sketch needs k >= 2, got $k")
 
