@@ -866,6 +866,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ---- ISEA3H (aperture-3 hexagon kernel, round 8) ----
+    "dggs_3h_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15, 3, "HEXAGON")
+        .select(col("Resolution").cast("long").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_3h_cell_assign" -> ((s, dir) => {
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints3H(geo, "lon", "lat", 6)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_3h_parent_rollup" -> ((s, dir) => {
+      // index-space rollup: Z3 paths are prefix-hierarchical even though
+      // aperture-3 hexagons don't nest geometrically, so the oracle's
+      // substr over the frozen res-6 column is the exact semantics
+      import graft.spark.{Z3Functions => H}
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints3H(geo, "lon", "lat", 6)
+        .groupBy(H.z3String(H.z3AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_3h_children" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z3Functions => H}
+      // a quad subtree, a deep quad subtree, and a cap subtree (caps
+      // have exactly one child per level — the engine contract)
+      val parents = Seq(("05", 2), ("070210", 8), ("00", 3)).toDF("parent", "to_res")
+      parents
+        .withColumn("cell_id",
+          explode(H.z3DescendantsAt(H.z3FromString(col("parent")), col("to_res"))))
+        .select(col("parent"), H.z3String(col("cell_id")).as("name"))
+    }),
+    "dggs_3h_addr_transform" -> ((s, dir) => {
+      // hop chain Z3_STRING → ZORDER → Q2DI → Z3 → Z3_STRING: the middle
+      // hops exercise the bit-interleaved and (quad,i,j) frames both
+      // directions end-to-end; the round-trip identity keeps the frozen
+      // h6 oracle valid (the VERTEX2DD pattern of dggs_addr_transform)
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      val cells = GridOps.cellsForGeoPoints3H(geo, "lon", "lat", 6)
+        .select(col("doc_id"), col("offset"), col("name"))
+      val zo = GridOps.addressTransform3H(cells, "name", "Z3_STRING", "ZORDER", 6)
+        .withColumnRenamed("out_addr", "zo")
+      val qij = GridOps.addressTransform3H(zo, "zo", "ZORDER", "Q2DI", 6)
+        .withColumnRenamed("out_addr", "qij")
+      val z3 = GridOps.addressTransform3H(qij, "qij", "Q2DI", "Z3", 6)
+        .withColumnRenamed("out_addr", "z3")
+      GridOps.addressTransform3H(z3, "z3", "Z3", "Z3_STRING", 6)
+        .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
+    }),
+
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
@@ -1043,7 +1093,7 @@ object SparkEntry {
        |${OracleFixtures.geoCellCte},
        |gc AS (SELECT doc_id, "offset", lon, lat, geo.lon_mdeg AS lon_mdeg,
        |              geo.lat_mdeg AS lat_mdeg, c3, c4, c5, c6,
-       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6
+       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6, h6
        |       FROM geo JOIN cells
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
@@ -1582,6 +1632,38 @@ object SparkEntry {
       s"""WITH $geoCellsCte
          |SELECT substr(d6, 1, 4) AS name2, count(*) AS n
          |FROM gc GROUP BY 1""".stripMargin,
+    // ---- ISEA3H oracles: frozen h6 column (round 8). Z3 paths are
+    // prefix-hierarchical (index space), so ancestors are substrs; the
+    // assignment itself is the frozen kernel map, like Z7/T4/D4 ----
+    "dggs_3h_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(10 * power(3, r) + 2 AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / (10.0 * power(3, r)) AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / (10.0 * power(3, r)))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
+    "dggs_3h_cell_assign" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", h6 AS name FROM gc""".stripMargin,
+    "dggs_3h_parent_rollup" ->
+      s"""WITH $geoCellsCte
+         |SELECT substr(h6, 1, 4) AS name2, count(*) AS n
+         |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_3h_children" ->
+      """WITH d AS (SELECT CAST(unnest(generate_series(0, 2)) AS VARCHAR) AS x)
+        |SELECT '05' AS parent, '05' || d1.x || d2.x AS name
+        |FROM d d1, d d2
+        |UNION ALL
+        |SELECT '070210' AS parent, '070210' || d1.x || d2.x || d3.x || d4.x AS name
+        |FROM d d1, d d2, d d3, d d4
+        |UNION ALL
+        |SELECT '00' AS parent, '00000' AS name""".stripMargin,
+    "dggs_3h_addr_transform" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", h6 AS name FROM gc""".stripMargin,
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

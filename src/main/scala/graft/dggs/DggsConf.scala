@@ -19,21 +19,29 @@ final case class DggsConf(
   require(azimuthDeg >= 0 && azimuthDeg <= 360, s"azimuth $azimuthDeg out of [0,360]")
 
   /** true when a geometry kernel supports this preset: aperture-7
-    * hexagonal ISEA (IGEO7/ISEA7H, the Z7 kernel) or aperture-4 triangle
-    * ISEA (ISEA4T, the T4 kernel). Stats are supported for all
-    * hex/triangle/diamond apertures (closed form).
+    * hexagonal ISEA (IGEO7/ISEA7H, the Z7 kernel), aperture-3 hexagonal
+    * ISEA (ISEA3H, the Z3 kernel), or aperture-4 triangle/diamond ISEA
+    * (ISEA4T/ISEA4D). Stats are supported for all hex/triangle/diamond
+    * apertures (closed form).
     */
   def kernelSupported: Boolean =
-    (projection == "ISEA" && topology == "HEXAGON" && aperture == 7) ||
+    (projection == "ISEA" && topology == "HEXAGON" && (aperture == 7 || aperture == 3)) ||
       (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4) ||
       (projection == "ISEA" && topology == "DIAMOND" && aperture == 4)
 
   def grid: IGeo7 = {
     require(projection == "ISEA" && topology == "HEXAGON" && aperture == 7,
-      s"hex geometry kernel not implemented for $dggsType (ISEA aperture-7 hex; " +
-        s"ISEA4T has its own kernel via `triangleGrid`; stats tables are " +
+      s"aperture-7 hex kernel not applicable to $dggsType (ISEA3H has its own " +
+        s"kernel via `hexGrid3`, ISEA4T via `triangleGrid`; stats tables are " +
         "available for all presets)")
     new IGeo7(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  /** the aperture-3 hexagon kernel (ISEA3H) */
+  def hexGrid3: Isea3H = {
+    require(projection == "ISEA" && topology == "HEXAGON" && aperture == 3,
+      s"aperture-3 hex kernel not implemented for $dggsType (ISEA3H only)")
+    new Isea3H(vert0LatDeg, vert0LonDeg, azimuthDeg)
   }
 
   /** the aperture-4 triangle kernel (ISEA4T) */

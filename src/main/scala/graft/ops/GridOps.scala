@@ -548,6 +548,92 @@ object GridOps {
       .withColumn("name", D.d4String(col("cell_id")))
   }
 
+  // ------------------------------------------------------------------
+  // ISEA3H (aperture-3 hexagon) variants — Isea3H kernel / Z3 ids
+  // ------------------------------------------------------------------
+
+  /** H6 for ISEA3H: point→hex-cell assignment (`cell_id` Z3 int64 +
+    * `name` Z3 string). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints3H(points: DataFrame, lonCol: String, latCol: String, res: Int,
+                          lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                          az: Double = Grids.DefaultAz): DataFrame = {
+    import graft.spark.{Z3Functions => H}
+    points
+      .withColumn("cell_id", H.cellForPoint(col(lonCol), col(latCol), lit(res), lat0, lon0, az))
+      .withColumn("name", H.z3String(col("cell_id")))
+  }
+
+  /** whole-earth / box-clipped ISEA3H cell generation at `res`
+    * (levelwise Z3 children expansion with center-in-expanded-box
+    * pruning like the Z7/T4 variants; the Z3 index-space children
+    * enumerate the cell set bijectively even though aperture-3 hexagons
+    * do not nest geometrically — the margin covers the one-child-unit
+    * parent-to-child drift on top of the circumradius).
+    */
+  def gridCellIdsForExtent3H(spark: SparkSession, res: Int,
+                             clip: Option[(Double, Double, Double, Double)] = None,
+                             lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                             az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    import graft.spark.{Z3Functions => H}
+    var df = ((0 to 11).map(b => graft.dggs.Z3.pack(b, Seq.empty))).toDF("cell_id")
+    for (k <- 1 to res) {
+      df = df.select(explode(H.z3Children(col("cell_id"))).as("cell_id"))
+      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+        // hex circumradius at res k ≈ 0.64/3^(k/2) rad; 3× safety: the
+        // aperture-3 index hierarchy drifts one child-unit per level
+        // (children sit on parent vertices), and deeper descendants of a
+        // pruned cell stay within the geometric series of that drift
+        val marginDeg = math.toDegrees(0.64 / math.pow(3.0, k / 2.0)) * 3.0
+        val c = H.cellCenter(col("cell_id"), lat0, lon0, az)
+        val lonMargin = lit(marginDeg) /
+          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+        df = df.where(
+          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
+            c.getField("lat") >= lit(latMin - marginDeg) &&
+            c.getField("lat") <= lit(latMax + marginDeg))
+      }
+      if (lineageStopAt(k, res)) df = lineageStop(df)
+    }
+    df
+  }
+
+  /** address transform on the ISEA3H grid: Z3 int64, Z3_STRING, ZORDER,
+    * ZORDER_STRING, Q2DI, GEO in/out + INTERLEAVE out-only (the
+    * reference marks INTERLEAVE output-only, dggrid_runner.py:124).
+    */
+  def addressTransform3H(cells: DataFrame, idCol: String,
+                         from: String, to: String, res: Int): DataFrame = {
+    import graft.spark.{Z3Functions => H}
+    val c = col(idCol)
+    val asZ3: Column = from match {
+      case "Z3" => c
+      case "Z3_STRING" => H.z3FromString(c)
+      case "ZORDER" => H.zorderToZ3(c)
+      case "ZORDER_STRING" => H.zorderStringToZ3(c)
+      case "Q2DI" => H.q2diToZ3(c.getField("q"), c.getField("i"), c.getField("j"), lit(res))
+      case "GEO" => H.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
+      case "INTERLEAVE" =>
+        // reference contract: INTERLEAVE is output-only (dggrid_runner.py:124)
+        throw new IllegalArgumentException(
+          "INTERLEAVE is only supported as an output_address_type " +
+            "(reference dggrid_runner.py:124)")
+      case other => throw new IllegalArgumentException(s"unsupported 3H input $other")
+    }
+    val out: Column = to match {
+      case "Z3" => asZ3
+      case "Z3_STRING" => H.z3String(asZ3)
+      case "ZORDER" => H.z3ToZorder(asZ3)
+      case "ZORDER_STRING" => H.z3ToZorderString(asZ3)
+      case "INTERLEAVE" => H.z3ToZorderString(asZ3)
+      case "Q2DI" => H.z3ToQ2di(asZ3)
+      case "GEO" => H.cellCenter(asZ3)
+      case other => throw new IllegalArgumentException(s"unsupported 3H output $other")
+    }
+    cells.withColumn("out_addr", out)
+  }
+
   /** H7: address transform between Z7 int64, Z7_STRING, SEQNUM (engine
     * canonical), and GEO center (dggrid_runner.py:1962-2025).
     */
@@ -609,13 +695,14 @@ object GridOps {
       case "AIGEN" => F.cellAigen(asZ7)
       case "INTERLEAVE" | "Z3" | "Z3_STRING" | "ZORDER" | "ZORDER_STRING" =>
         // parity with the reference's own constraint: these exist only
-        // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236),
-        // which have no geometry kernel here (ISEA3H/4H documented out of
-        // scope) — same contract as the reference's CUSTOM error path
+        // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236) —
+        // on the aperture-7 grid they are invalid; the aperture-3 grid
+        // supports them via addressTransform3H (ISEA4H remains out of
+        // scope, so the aperture-4-hex reading of INTERLEAVE stays out)
         throw new IllegalArgumentException(
           s"$to is defined for aperture-3/4 hexagon grids only " +
-            "(reference dggrid_runner.py:125); the engine kernels are " +
-            "aperture-7 hexagon (Z7) and aperture-4 triangle (T4)")
+            "(reference dggrid_runner.py:125); this is the aperture-7 " +
+            "grid — use addressTransform3H for ISEA3H Z3/ZORDER forms")
       case other => throw new IllegalArgumentException(s"unsupported output $other")
     }
     cells.withColumn("out_addr", out)

@@ -510,3 +510,79 @@ object AddrFunctions {
     udf((x: Double, y: Double, r: Int) => Addr.planeToZ7(Grids.default, x, y, r))
   def planeToZ7(x: Column, y: Column, res: Column): Column = planeInvUdf(x, y, res)
 }
+
+/** Column functions for the ISEA3H aperture-3 hexagon kernel (Z3 ids;
+  * graft.dggs.Isea3H). Same narrow-map UDF design as T4Functions; all
+  * hierarchy ops are pure integer arithmetic on the Z3 layout, so they
+  * need no kernel instance.
+  */
+object Z3Functions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.{Isea3HGrids, Z3}
+
+  def cellForPoint(lon: Column, lat: Column, res: Column,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Isea3HGrids.get(lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  private lazy val toStringUdf = udf((id: Long) => Z3.toZ3String(id))
+  def z3String(cell: Column): Column = toStringUdf(cell)
+  private lazy val fromStringUdf = udf((s: String) => Z3.fromZ3String(s))
+  def z3FromString(s: Column): Column = fromStringUdf(s)
+  private lazy val parentUdf = udf((id: Long) => Z3.parent(id))
+  def z3Parent(cell: Column): Column = parentUdf(cell)
+  private lazy val ancestorUdf = udf((id: Long, r: Int) => Z3.ancestorAt(id, r))
+  def z3AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  private lazy val resolutionUdf = udf((id: Long) => Z3.resolution(id))
+  def z3Resolution(cell: Column): Column = resolutionUdf(cell)
+  private lazy val childrenUdf = udf((id: Long) => Z3.children(id))
+  def z3Children(cell: Column): Column = childrenUdf(cell)
+  private lazy val descendantsUdf = udf((id: Long, r: Int) => Z3.descendants(id, r))
+  def z3DescendantsAt(cell: Column, r: Column): Column = descendantsUdf(cell, r)
+
+  def cellCenter(cell: Column, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val c = Isea3HGrids.get(lat0, lon0, az).cellCenter(id)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  /** hexagon (6) / pentagon (5) corners as array<struct<lon,lat>> */
+  def cellBoundary(cell: Column, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      Isea3HGrids.get(lat0, lon0, az).cellBoundary(id).toSeq.map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+
+  // ---- address forms (ZORDER / Q2DI / INTERLEAVE over the 3H grid) ----
+  private lazy val zorderUdf =
+    udf((id: Long) => Isea3HGrids.default.toZorder(id))
+  def z3ToZorder(cell: Column): Column = zorderUdf(cell)
+  private lazy val zorderInvUdf =
+    udf((zo: Long) => Isea3HGrids.default.fromZorder(zo))
+  def zorderToZ3(zo: Column): Column = zorderInvUdf(zo)
+  private lazy val zorderStrUdf =
+    udf((id: Long) => Isea3HGrids.default.toZorderString(id))
+  def z3ToZorderString(cell: Column): Column = zorderStrUdf(cell)
+  private lazy val zorderStrInvUdf =
+    udf((sx: String) => Isea3HGrids.default.fromZorderString(sx))
+  def zorderStringToZ3(sx: Column): Column = zorderStrInvUdf(sx)
+  private lazy val q2diUdf = udf { (id: Long) =>
+    val (q, i, j) = Isea3HGrids.default.toQ2di(id)
+    (q, i, j)
+  }
+  def z3ToQ2di(cell: Column): Column =
+    q2diUdf(cell).cast("struct<q:int,i:bigint,j:bigint>")
+  private lazy val q2diInvUdf =
+    udf((q: Int, i: Long, j: Long, r: Int) => Isea3HGrids.default.fromQ2di(q, i, j, r))
+  def q2diToZ3(q: Column, i: Column, j: Column, res: Column): Column =
+    q2diInvUdf(q, i, j, res)
+}

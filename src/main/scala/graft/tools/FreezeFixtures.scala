@@ -43,15 +43,21 @@ object FreezeFixtures {
     val g = Grids.default
     val t4g = graft.dggs.Isea4TGrids.default
     val d4g = graft.dggs.Isea4DGrids.default
+    val h3g = graft.dggs.Isea3HGrids.default
     val mapRows = geo.map { case (lonM, latM, lon, lat) =>
       val p = GeoRad.fromDeg(lat, lon)
       val cs = (3 to 6).map(r => Z7.toZ7String(g.cellForPoint(p, r)))
       val seq4 = Seqnum.toSeqnum(g.cellForPoint(p, 4))
       // T4/D4 res-6 strings: both nest exactly, so substr gives every
-      // coarser resolution (Isea4TSpec / Isea4DSpec nesting tests)
+      // coarser resolution (Isea4TSpec / Isea4DSpec nesting tests).
+      // h6 = ISEA3H res-6 Z3_STRING: index-space ancestors are substrs
+      // (Z3 paths are prefix-hierarchical) but aperture-3 assignment
+      // does NOT nest geometrically, so coarser-res ASSIGNMENT queries
+      // need their own frozen column, not a substr
       val t6 = graft.dggs.T4.toT4String(t4g.cellForPoint(p, 6))
       val d6 = graft.dggs.D4.toD4String(d4g.cellForPoint(p, 6))
-      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6')"
+      val h6 = graft.dggs.Z3.toZ3String(h3g.cellForPoint(p, 6))
+      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6', '$h6')"
     }
 
     val extent = GridOps.gridCellIdsForExtent(spark, 4, Some((20.2, 57.0, 28.4, 60.0)))
@@ -125,8 +131,15 @@ object FreezeFixtures {
          |    * engine-canonical SEQNUM at res 4, for every distinct geo-span
          |    * point of the sf0.01 corpus (${mapRows.length} points).
          |    */
-         |  val geoCellCte: String = ${q3}cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6) AS (VALUES
-         |${mapRows.mkString(",\n")})${q3}
+         |  // the VALUES body is split into <64 KB chunks: a single
+         |  // triple-quoted literal would exceed the JVM string-constant
+         |  // limit (classfile UTF8 max 65535 bytes)
+         |${mapRows.grouped(250).zipWithIndex.map { case (chunk, i) =>
+             s"  private val geoRows$i: String = ${q3}${chunk.mkString(",\n")}${q3}"
+           }.mkString("\n")}
+         |  val geoCellCte: String =
+         |    "cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6, h6) AS (VALUES\\n" +
+         |    Seq(${mapRows.grouped(250).zipWithIndex.map(t => s"geoRows${t._2}").mkString(", ")}).mkString(",\\n") + ")"
          |
          |  /** grid_cellids_for_extent((20.2,57.0)-(28.4,60.0), res 4) */
          |  val extentIdsSql: String =

@@ -69,6 +69,57 @@ class AddrSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unsupported input"))
   }
 
+  test("3H transform: full Z3/ZORDER/Q2DI round-trips; INTERLEAVE output-only") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import graft.ops.GridOps.addressTransform3H
+    val g = graft.dggs.Isea3HGrids.default
+    val names = (for (q <- 1 to 10; d1 <- 0 to 2; d2 <- 0 to 2)
+      yield f"$q%02d$d1$d2${(d1 + d2) % 3}") ++ Seq("00000", "11000")
+    val cells = names.toDF("name")
+    // hop chain Z3_STRING -> ZORDER -> ZORDER_STRING -> Q2DI -> Z3 -> Z3_STRING
+    val h1 = addressTransform3H(cells, "name", "Z3_STRING", "ZORDER", 3)
+      .withColumnRenamed("out_addr", "zo")
+    val h2 = addressTransform3H(h1, "zo", "ZORDER", "ZORDER_STRING", 3)
+      .withColumnRenamed("out_addr", "zs")
+    val h3 = addressTransform3H(h2, "zs", "ZORDER_STRING", "Q2DI", 3)
+      .withColumnRenamed("out_addr", "qij")
+    val h4 = addressTransform3H(h3, "qij", "Q2DI", "Z3", 3)
+      .withColumnRenamed("out_addr", "z3")
+    val h5 = addressTransform3H(h4, "z3", "Z3", "Z3_STRING", 3)
+    h5.select("name", "out_addr").collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), r)
+    }
+    // GEO hop: center of each cell assigns back to the cell
+    val geo = addressTransform3H(cells, "name", "Z3_STRING", "GEO", 3)
+      .withColumnRenamed("out_addr", "geo")
+    val back = addressTransform3H(geo, "geo", "GEO", "Z3_STRING", 3)
+    back.select("name", "out_addr").collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1), r)
+    }
+    // INTERLEAVE = the interleaved-digit string, output-only
+    val il = addressTransform3H(cells, "name", "Z3_STRING", "INTERLEAVE", 3)
+      .withColumnRenamed("out_addr", "il")
+    val zs = addressTransform3H(cells, "name", "Z3_STRING", "ZORDER_STRING", 3)
+    assert(il.select("il").collect().map(_.getString(0)).toSeq ==
+      zs.select("out_addr").collect().map(_.getString(0)).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      addressTransform3H(il, "il", "INTERLEAVE", "Z3", 3)
+    }
+    assert(e.getMessage.contains("output_address_type"))
+    // kernel-level deep round-trip: every sampled res-8 cell hops
+    // Z3 -> ZORDER -> Z3 and Z3 -> Q2DI -> Z3 exactly
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val id = g.cellForPoint(Sphere.GeoRad(
+        math.asin(rng.nextDouble() * 2 - 1), (rng.nextDouble() * 2 - 1) * math.Pi), 8)
+      assert(g.fromZorder(g.toZorder(id)) == id)
+      val (q, i, j) = g.toQ2di(id)
+      assert(g.fromQ2di(q, i, j, 8) == id)
+    }
+  }
+
   test("Q2DD chart coords land inside the unit quad chart (deep res spot check)") {
     val ids = (0 until 100).map(i => Z7.pack(i % 12, Seq(1, 3, 0, (i % 7), 5, (i * 3) % 7)))
       .filter(z => !Z7.isPentagon(Z7.ancestorAt(z, 0)) || Z7.digits(z).forall(_ != 2))

@@ -132,7 +132,11 @@ class DggsConfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DggsConf("ISEA7H", 5).kernelSupported)
     assert(DggsConf("IGEO7", 5).kernelSupported)
     assert(DggsConf("ISEA4T", 5).kernelSupported) // T4 kernel (round 2)
-    assert(!DggsConf("ISEA3H", 5).kernelSupported)
+    assert(DggsConf("ISEA3H", 5).kernelSupported) // Isea3H kernel (round 8)
+    assert(DggsConf("ISEA3H", 5).hexGrid3.capVerts == (0, 11))
+    intercept[IllegalArgumentException](DggsConf("ISEA3H", 5).grid)
+    intercept[IllegalArgumentException](DggsConf("ISEA7H", 5).hexGrid3)
+    assert(!DggsConf("ISEA4H", 5).kernelSupported) // aperture-4 hex: stats only
     // resolution selection by area / intercell distance (round 2; the
     // reference's own helpers raise `not yet implemented`): res-5 ISEA7H
     // cell area ≈ 3034 km², CLS ≈ 75.9 km
