@@ -515,6 +515,28 @@ object BenchDedupScaling {
             3, nCoarse = 64, nProbe = 8, index = Some(idx)).count()
         }
       } finally graft.tools.Fs.deleteRecursively(idxDir)
+      // residual IVF-PQ (round-8): per-bucket books trained untimed on
+      // the bounded driver sample (a deployment artifact, like the flat
+      // codebook), index prebuilt untimed — the timed leg is the routed
+      // residual-ADC search, directly comparable to emb_ivfpq_topk
+      val residIdxDir = java.nio.file.Files.createTempDirectory("graft_ivfpqr")
+      try if (only.isEmpty || only.contains("emb_ivfpq_residual_topk")) {
+        val books = VectorOps.residualBooksFromMicro(
+          VectorOps.trainResidualPqBooksMicro(embs, nCoarse = 64))
+        VectorOps.buildIvfPqResidualIndex(embs, books, nCoarse = 64)
+          .write.mode("overwrite").parquet(residIdxDir.toString)
+        spark.catalog.clearCache()
+        val idx = spark.read.parquet(residIdxDir.toString)
+        val warmBooks = VectorOps.residualBooksFromMicro(
+          VectorOps.trainResidualPqBooksMicro(embsWarm, nCoarse = 8))
+        run("emb_ivfpq_residual_topk",
+          VectorOps.ivfPqResidualTopK(embsWarm, warmBooks,
+            col("vec_id") % 125 === 0, 3, nCoarse = 8, nProbe = 2).count()) {
+          VectorOps.ivfPqResidualTopK(embs, books,
+            pmod(col("vec_id"), lit(qStep)) === 0,
+            3, nCoarse = 64, nProbe = 8, index = Some(idx)).count()
+        }
+      } finally graft.tools.Fs.deleteRecursively(residIdxDir)
     }
     // DISTRIBUTED k-means training at codebook sizes past the driver
     // sample (round-4 verdict #2): √N centroids rounded up to a power of

@@ -423,6 +423,13 @@ object SparkEntry {
       VectorOps.ivfPqTopK(Tables.tbl(s, dir, "embeddings"),
         VectorOps.pqCodebookFromMicro(PqFixtures.codebookMicro),
         col("vec_id") % 20 === 0 && col("vec_id") < 4000)),
+    "emb_ivfpq_residual_topk" -> ((s, dir) =>
+      // classical residual IVF-PQ: per-bucket frozen codebooks quantize
+      // v̂ − ĉ(bucket); the query ADC runs on the query's residual per
+      // probed bucket (round-8, the round-7 verdict's documented knob)
+      VectorOps.ivfPqResidualTopK(Tables.tbl(s, dir, "embeddings"),
+        VectorOps.residualBooksFromMicro(PqFixtures.residualBooksMicro),
+        col("vec_id") % 20 === 0 && col("vec_id") < 4000)),
 
     // ---- interleaved-doc corpus (input_hint schema) ----
     "corpus_span_digest" -> ((s, dir) =>
@@ -1311,7 +1318,96 @@ object SparkEntry {
        |         WHERE rk = 1)""".stripMargin
   }
 
+  /** residual IVF-PQ oracle CTE: coarse assignment as in emb_ivfpq_topk
+    * (ranked by id so the per-bucket book literal joins on POSITION p),
+    * residual r = v̂ − ĉ over the normalized vector and centroid, codes
+    * = argmin-L2 of r against bucket p's book, query residual per probed
+    * bucket. Ends with relations tb3(vec_id, p), codes3(vec_id, s, c),
+    * rcb(p, s, c, cv), qp3(qid, pp), qres(qid, pp, r).
+    */
+  private val pqResidualCte: String = {
+    val rows = for {
+      (book, b) <- PqFixtures.residualBooksMicro.zipWithIndex
+      (sub, s2) <- book.zipWithIndex
+      (cent, c) <- sub.zipWithIndex
+    } yield s"($b, $s2, $c, [${cent.map(m => s"$m/1000000.0").mkString(", ")}])"
+    s"""ev0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nr AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(generate_series(1, 64),
+       |           i -> v[i]*v[i]), 'sum')) AS nrm
+       |       FROM ev0),
+       |ev AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v ELSE
+       |         list_transform(generate_series(1, 64), i -> v[i] / nrm)
+       |       END AS v FROM nr),
+       |cents AS (SELECT vec_id AS b,
+       |            CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS p,
+       |            v AS ccv, nrm AS ccn
+       |          FROM (SELECT * FROM nr ORDER BY vec_id LIMIT 8)),
+       |sim3 AS (SELECT n.vec_id AS vec_id, b, p,
+       |          list_aggregate(list_transform(generate_series(1, 64),
+       |            i -> v[i]*ccv[i]), 'sum') / (nrm*ccn) AS cs
+       |        FROM nr n, cents),
+       |rankedc3 AS (SELECT vec_id, b, p, row_number() OVER (
+       |               PARTITION BY vec_id ORDER BY cs DESC, b ASC) AS rk
+       |             FROM sim3),
+       |tb3 AS (SELECT vec_id, p FROM rankedc3 WHERE rk = 1),
+       |rcb(p, s, c, cv) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |res3 AS (SELECT t.vec_id, t.p,
+       |          list_transform(generate_series(1, 64),
+       |            i -> ev.v[i] - ccv[i]/ccn) AS r
+       |        FROM tb3 t JOIN ev ON ev.vec_id = t.vec_id
+       |        JOIN cents ON cents.p = t.p),
+       |subd3 AS (SELECT res3.vec_id, rcb.s, rcb.c,
+       |           list_aggregate(list_transform(generate_series(1, 4),
+       |             d -> (r[rcb.s*4+d] - cv[d]) * (r[rcb.s*4+d] - cv[d])),
+       |             'sum') AS d2
+       |         FROM res3 JOIN rcb ON rcb.p = res3.p),
+       |codes3 AS (SELECT vec_id, s, c FROM (
+       |            SELECT vec_id, s, c, row_number() OVER (
+       |                   PARTITION BY vec_id, s ORDER BY d2 ASC, c ASC) AS rk
+       |            FROM subd3)
+       |          WHERE rk = 1),
+       |qp3 AS (SELECT vec_id AS qid, p AS pp FROM rankedc3
+       |        WHERE rk <= 2 AND vec_id % 20 = 0 AND vec_id < 4000),
+       |qres AS (SELECT qp3.qid, qp3.pp,
+       |          list_transform(generate_series(1, 64),
+       |            i -> ev.v[i] - ccv[i]/ccn) AS r
+       |        FROM qp3 JOIN ev ON ev.vec_id = qp3.qid
+       |        JOIN cents ON cents.p = qp3.pp)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "emb_ivfpq_residual_topk" ->
+      s"""WITH $pqResidualCte,
+         |adc0 AS (SELECT qp3.qid, t.vec_id AS tid, cd.s,
+         |          list_aggregate(list_transform(generate_series(1, 4),
+         |            d -> (qr.r[cd.s*4+d] - cv[d]) * (qr.r[cd.s*4+d] - cv[d])),
+         |            'sum') AS d2
+         |        FROM qp3 JOIN tb3 t ON t.p = qp3.pp
+         |        JOIN codes3 cd ON cd.vec_id = t.vec_id
+         |        JOIN rcb ON rcb.p = qp3.pp AND rcb.s = cd.s AND rcb.c = cd.c
+         |        JOIN qres qr ON qr.qid = qp3.qid AND qr.pp = qp3.pp
+         |        WHERE t.vec_id <> qp3.qid),
+         |adc AS (SELECT qid, tid,
+         |          list_aggregate(list(d2 ORDER BY s), 'sum') AS adist
+         |        FROM adc0 GROUP BY qid, tid),
+         |cand AS (SELECT qid, tid FROM (
+         |          SELECT qid, tid, row_number() OVER (PARTITION BY qid
+         |                 ORDER BY adist ASC, tid ASC) AS rk FROM adc)
+         |        WHERE rk <= 96),
+         |n AS (SELECT vec_id, v, nrm FROM nr),
+         |p2 AS (SELECT qid AS vec_id, tid AS neighbor,
+         |        list_aggregate(list_transform(generate_series(1, 64),
+         |          i -> a.v[i]*b.v[i]), 'sum') / (a.nrm*b.nrm) AS cos
+         |      FROM cand JOIN n a ON a.vec_id = cand.qid
+         |      JOIN n b ON b.vec_id = cand.tid)
+         |SELECT vec_id, rnk, neighbor, cos FROM (
+         |  SELECT vec_id, neighbor, cos,
+         |         CAST(row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY cos DESC, neighbor ASC) AS BIGINT) AS rnk
+         |  FROM p2)
+         |WHERE rnk <= 3""".stripMargin,
     "emb_pq_codes" ->
       s"""WITH $pqCte
          |SELECT vec_id,

@@ -736,6 +736,17 @@ object VectorOps {
       .map(r => normalizeArr(r.getSeq[Double](1).toArray))
     require(sample.length >= nCent,
       s"trainPqCodebookMicro: ${sample.length} sample vectors < $nCent centroids")
+    subspaceKMeansMicro(sample, nSub, nCent, iters)
+  }
+
+  /** the shared subspace-k-means trainer over full-length sample vectors
+    * — [[trainPqCodebookMicro]] feeds it normalized vectors, the
+    * residual trainer feeds it per-bucket residuals. Arithmetic is
+    * byte-identical to the pre-refactor inline body (the frozen-codebook
+    * pin in VectorOpsSpec holds across it).
+    */
+  private def subspaceKMeansMicro(sample: Array[Array[Double]], nSub: Int,
+                                  nCent: Int, iters: Int): Array[Array[Array[Int]]] = {
     val dim = sample.head.length
     require(dim % nSub == 0, s"dim $dim not divisible by $nSub subspaces")
     val subDim = dim / nSub
@@ -1023,12 +1034,11 @@ object VectorOps {
     * returns wrong candidates. Version the index artifact next to its
     * codebook on the lake, as with any embedding-model artifact.
     *
-    * Known quality knob not implemented here: classical IVF-PQ encodes
-    * the RESIDUAL (v − coarse centroid) rather than v, shrinking
-    * quantization error per bucket at the cost of a per-bucket frozen
-    * residual codebook (and a second oracle). With this corpus's
-    * recall already carried by the exact re-rank, the residual variant
-    * buys little; revisit if probe-recall at scale disappoints.
+    * Quality knob: classical IVF-PQ encodes the RESIDUAL (v − coarse
+    * centroid) rather than v, shrinking quantization error per bucket —
+    * implemented as [[ivfPqResidualTopK]] / [[buildIvfPqResidualIndex]]
+    * with per-bucket frozen codebooks (round-8; the recall comparison
+    * under re-rank pressure is pinned in VectorOpsSpec).
     */
   /** coarse IVF centroids: the `nCoarse` lowest-id vectors by default
     * (deterministic, oracle-reproducible — [[ivfTopK]]'s convention) or
@@ -1109,6 +1119,173 @@ object VectorOps {
           while (i < qs.length) {
             val qi = qs(i)
             if (tid != qIds(qi)) top.offer(qi, tid, adcOf(tb(qi), code, nSub))
+            i += 1
+          }
+        }
+        top.emit(qIds)
+      }.toDF("vec_id", "neighbor", "adc")
+    pqRerank(e, local, qArr, k, rerank)
+  }
+
+  // -------------------------------------------------------------------
+  // RESIDUAL IVF-PQ (the classical Jégou et al. 2011 refinement): PQ
+  // quantizes r = v̂ − ĉ(bucket) instead of v̂, so each bucket's codebook
+  // covers only that bucket's residual cloud — smaller quantization
+  // error at the same code width. Engine convention: per-bucket frozen
+  // residual codebooks (books indexed by coarse-centroid POSITION in
+  // id order), residual defined on the normalized vector minus the
+  // normalized centroid (single portable divisions, oracle-matchable).
+  // -------------------------------------------------------------------
+
+  /** Train per-bucket residual codebooks on a bounded driver-side
+    * sample: assign each sample vector its coarse bucket (the IDENTICAL
+    * probe-order primitive the search uses), form residuals, run the
+    * shared subspace k-means per bucket. Returns micro-int entries
+    * indexed `books(bucketPos)(s)(c)(d)` with bucketPos = the
+    * centroid's position in id order (coarseCentroids' order).
+    */
+  def trainResidualPqBooksMicro(embs: DataFrame, nCoarse: Int = 8,
+                                nSub: Int = PqSubspaces, nCent: Int = PqCentroids,
+                                iters: Int = 20,
+                                maxSample: Int = 16384): Array[Array[Array[Array[Int]]]] = {
+    val e = withNorm(embs)
+    val centArr = coarseCentroids(e, nCoarse, None)
+    val sample = e.orderBy("vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"))
+      .limit(maxSample).collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val byBucket = sample.groupBy { case (v, n) => probeOrderOf(centArr, v, n)(0) }
+    centArr.map { case (cid, ccv, ccn) =>
+      val vs = byBucket.getOrElse(cid, Array.empty)
+      require(vs.length >= nCent,
+        s"trainResidualPqBooksMicro: bucket $cid has ${vs.length} sample " +
+          s"vectors < $nCent centroids — lower nCoarse or raise maxSample")
+      val residuals = vs.map { case (v, _) =>
+        val vh = normalizeArr(v)
+        Array.tabulate(vh.length)(i => vh(i) - ccv(i) / ccn)
+      }
+      subspaceKMeansMicro(residuals, nSub, nCent, iters)
+    }
+  }
+
+  def residualBooksFromMicro(micro: Array[Array[Array[Array[Int]]]]): Array[Array[Array[Array[Double]]]] =
+    micro.map(pqCodebookFromMicro)
+
+  /** residual encode kernel: bucket assignment + argmin-L2 of the
+    * residual against THAT bucket's codebook, packed like [[pqEncode]];
+    * returns struct(pq_code, bucket).
+    */
+  private def residualEncodeUdf(books: Array[Array[Array[Array[Double]]]],
+                                centArr: Array[(Int, Array[Double], Double)]) = {
+    val posOf = centArr.map(_._1).zipWithIndex.toMap
+    udf { (ev: Seq[Double], nrm: Double) =>
+      val v = ev.toArray
+      val b = probeOrderOf(centArr, v, nrm)(0)
+      val pos = posOf(b)
+      val (_, ccv, ccn) = centArr(pos)
+      val vh = normalizeArr(v)
+      val r = Array.tabulate(vh.length)(i => vh(i) - ccv(i) / ccn)
+      val book = books(pos)
+      val nSub = book.length
+      val subDim = book(0)(0).length
+      var code = 0L
+      var s = 0
+      while (s < nSub) {
+        val off = s * subDim
+        var bc = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < book(s).length) {
+          val cb = book(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) { val x = r(off + i) - cb(i); d += x * x; i += 1 }
+          if (d < bd) { bd = d; bc = c } // strict < : ties keep lowest c
+          c += 1
+        }
+        code |= bc.toLong << (4 * s)
+        s += 1
+      }
+      (code, b)
+    }
+  }
+
+  /** Build the residual IVF-PQ lake index `(vec_id, pq_code, bucket)` —
+    * same shape/contract as [[buildIvfPqIndex]] (one narrow projection,
+    * ~9 B/row, write PARTITIONED BY bucket; the index is only valid with
+    * the books + coarse centroids it was built from).
+    */
+  def buildIvfPqResidualIndex(embs: DataFrame,
+                              books: Array[Array[Array[Array[Double]]]],
+                              nCoarse: Int = 8,
+                              coarse: Option[Array[(Int, Seq[Double], Double)]] = None): DataFrame = {
+    val e = withNorm(embs)
+    val centArr = coarseCentroids(e, nCoarse, coarse)
+    require(books.length == centArr.length,
+      s"residual books (${books.length}) must match nCoarse (${centArr.length})")
+    val enc = residualEncodeUdf(books, centArr)(col("e"), col("nrm"))
+    e.select(col("vec_id"), enc.getField("_1").as("pq_code"),
+      enc.getField("_2").as("bucket"))
+  }
+
+  /** Residual IVF-PQ top-k: [[ivfPqTopK]]'s routed-scan shape with
+    * per-(query, probed-bucket) ADC tables over the QUERY residual
+    * q̂ − ĉ(probe) — the classical asymmetric residual distance. Same
+    * bounded exact-cosine re-rank; same prebuilt-`index` contract
+    * (books + coarse must match or results are silently wrong — version
+    * the artifacts together on the lake).
+    */
+  def ivfPqResidualTopK(embs: DataFrame, books: Array[Array[Array[Array[Double]]]],
+                        queryFilter: Column, k: Int = 3, nCoarse: Int = 8,
+                        nProbe: Int = 2, rerank: Int = 96,
+                        coarse: Option[Array[(Int, Seq[Double], Double)]] = None,
+                        index: Option[DataFrame] = None): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val e = withNorm(embs)
+    val centArr = coarseCentroids(e, nCoarse, coarse)
+    require(books.length == centArr.length,
+      s"residual books (${books.length}) must match nCoarse (${centArr.length})")
+    val posOf = centArr.map(_._1).zipWithIndex.toMap
+    val nSub = books(0).length
+    val subDim = books(0)(0)(0).length
+    val idx = index.getOrElse(buildIvfPqResidualIndex(embs, books, nCoarse, coarse))
+    val qArr = pqCollectQueries(e, queryFilter)
+    val qProbes = qArr.map { case (_, qv, qn) => probeOrderOf(centArr, qv, qn).take(nProbe) }
+    // per-(query, probed bucket) ADC tables over the query residual
+    val tabs: Map[(Int, Int), Array[Array[Double]]] =
+      (for ((ps, qi) <- qProbes.zipWithIndex; b <- ps) yield {
+        val pos = posOf(b)
+        val (_, ccv, ccn) = centArr(pos)
+        val qh = normalizeArr(qArr(qi)._2)
+        val qr = Array.tabulate(qh.length)(i => qh(i) - ccv(i) / ccn)
+        val book = books(pos)
+        val tab = Array.tabulate(nSub, book(0).length) { (s, c) =>
+          val off = s * subDim
+          val cb = book(s)(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) { val x = qr(off + i) - cb(i); d += x * x; i += 1 }
+          d
+        }
+        (qi, b) -> tab
+      }).toMap
+    val bucketQs: Map[Int, Array[Int]] = qProbes.zipWithIndex
+      .flatMap { case (ps, qi) => ps.map(_ -> qi) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted }
+    val bcQ = spark.sparkContext.broadcast((qArr.map(_._1), tabs, bucketQs))
+    val probed = bucketQs.keySet.toSeq.sorted
+    val local = idx.where(col("bucket").isInCollection(probed))
+      .select(col("vec_id"), col("pq_code"), col("bucket"))
+      .as[(Long, Long, Int)].mapPartitions { it =>
+        val (qIds, tb, bq) = bcQ.value
+        val top = new AdcTopR(qIds.length, rerank)
+        it.foreach { case (tid, code, bucket) =>
+          val qs = bq.getOrElse(bucket, Array.empty[Int])
+          var i = 0
+          while (i < qs.length) {
+            val qi = qs(i)
+            if (tid != qIds(qi)) top.offer(qi, tid, adcOf(tb((qi, bucket)), code, nSub))
             i += 1
           }
         }

@@ -254,4 +254,75 @@ class VectorOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // knob for more recall is nProbe, pinned equal-at-full-probe above
     assert(rTrained >= 0.5, f"trained partial-probe recall $rTrained%.3f collapsed")
   }
+
+  test("residual IVF-PQ beats the plain variant under re-rank pressure " +
+    "(round-7 verdict #3)") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cb = VectorOps.pqCodebookFromMicro(graft.PqFixtures.codebookMicro)
+    val books = VectorOps.residualBooksFromMicro(graft.PqFixtures.residualBooksMicro)
+    val filter = col("vec_id") % 20 === 0 && col("vec_id") < 4000
+    val truth = VectorOps.cosineTopK(embs, 3, Some(filter))
+      .select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor").as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    // the exact re-rank must NOT be the safety net: rerank barely above
+    // k makes the ADC ordering itself carry recall. Full probe isolates
+    // pure code quality (bucket routing identical in both variants) —
+    // measured 0.573 plain vs 0.720 residual at rerank=8
+    val plainFull = recallOf(VectorOps.ivfPqTopK(embs, cb, filter, 3,
+      nCoarse = 8, nProbe = 8, rerank = 8))
+    val residFull = recallOf(VectorOps.ivfPqResidualTopK(embs, books, filter, 3,
+      nCoarse = 8, nProbe = 8, rerank = 8))
+    info(f"rerank=8 full-probe: plain $plainFull%.3f, residual $residFull%.3f")
+    assert(residFull >= plainFull + 0.05,
+      f"residual recall $residFull%.3f did not clearly beat plain $plainFull%.3f")
+    // fixed nProbe=2 (the driver default): probe misses hit both
+    // variants identically, residual still wins inside probed buckets
+    val plainP2 = recallOf(VectorOps.ivfPqTopK(embs, cb, filter, 3,
+      nCoarse = 8, nProbe = 2, rerank = 4))
+    val residP2 = recallOf(VectorOps.ivfPqResidualTopK(embs, books, filter, 3,
+      nCoarse = 8, nProbe = 2, rerank = 4))
+    info(f"rerank=4 nProbe=2: plain $plainP2%.3f, residual $residP2%.3f")
+    assert(residP2 >= plainP2,
+      f"residual recall $residP2%.3f below plain $plainP2%.3f at fixed nProbe")
+  }
+
+  test("residual IVF-PQ: prebuilt lake index equals the in-query build; " +
+    "frozen residual books equal fresh training") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val books = VectorOps.residualBooksFromMicro(graft.PqFixtures.residualBooksMicro)
+    val filter = col("vec_id") % 20 === 0 && col("vec_id") < 2000
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rnk", "neighbor").as[(Long, Long, Long)].collect().toSet
+    val inQuery = rowsOf(VectorOps.ivfPqResidualTopK(embs, books, filter, 3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_residx").toString
+    try {
+      // the production shape: the index written once, PARTITIONED BY
+      // bucket, read back for the query
+      VectorOps.buildIvfPqResidualIndex(embs, books)
+        .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      val prebuilt = rowsOf(VectorOps.ivfPqResidualTopK(embs, books, filter, 3,
+        index = Some(spark.read.parquet(dir))))
+      assert(prebuilt == inQuery, "prebuilt residual index diverged from in-query build")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    // zero-RNG training: the committed fixture must equal regeneration
+    val fresh = VectorOps.trainResidualPqBooksMicro(embs)
+    assert(fresh.length == graft.PqFixtures.residualBooksMicro.length)
+    fresh.indices.foreach { b =>
+      assert(java.util.Arrays.deepEquals(
+        fresh(b).asInstanceOf[Array[AnyRef]],
+        graft.PqFixtures.residualBooksMicro(b).asInstanceOf[Array[AnyRef]]),
+        s"residual book $b drifted from trainResidualPqBooksMicro — " +
+          "regenerate via graft.tools.FreezePq")
+    }
+  }
 }
