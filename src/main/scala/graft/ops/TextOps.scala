@@ -1186,22 +1186,57 @@ object TextOps {
     (surv, stats)
   }
 
+  /** The quality-filter → exact-dedup prefix shared by every clean-
+    * pipeline form: returns (q, exq-uncached). Factored out so
+    * [[cleanCorpusPairs]] derives its stage-1 artifact from the
+    * IDENTICAL relation the in-query composition dedups — any drift
+    * between the two would silently change which pairs exist.
+    */
+  private def qualityExactStage(docs: DataFrame, minChars: Long,
+                                minUniqTokens: Long, cacheQ: Boolean)
+      : (DataFrame, DataFrame) = {
+    val q0 = docs.where(length(col("text")) >= minChars &&
+      size(array_distinct(words(col("text")))) >= minUniqTokens)
+    // staged (observability) calls cache the quality filter — its count
+    // plus both exq consumers then share one materialization; the
+    // default path stays cache-free (exq is the only relation
+    // consumed by multiple branches there)
+    val q = if (cacheQ) q0.cache() else q0
+    val exKeep = q.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .drop("h")
+    (q, q.join(exKeep, "doc_id"))
+  }
+
+  /** Stage-1 LAKE ARTIFACT of the clean pipeline (round-7 verdict #4):
+    * the near-dup pair table over the quality+exact survivors — the
+    * relation a production pipeline materializes ONCE per corpus
+    * snapshot and feeds to every downstream composition via
+    * [[precomputedPairSource]], instead of re-running the pair pipeline
+    * (80–90% of [[cleanCorpus]]'s wall) inside each job. Built over the
+    * same `(minChars, minUniqTokens)` prefix [[cleanCorpus]] applies,
+    * so the precomputed path is pair-for-pair identical to the
+    * in-query default (the DF caps inside the pair pipeline are
+    * corpus-relative — computing pairs over a DIFFERENT relation, e.g.
+    * the raw corpus, would NOT be: see [[cappedShingles]]).
+    *
+    * Scale shape: exactly one run of the pair pipeline; the artifact is
+    * matches-proportional (pairs, not docs). Version it with the corpus
+    * snapshot it was built from, like any derived lake table.
+    */
+  def cleanCorpusPairs(docs: DataFrame, minChars: Long = 50,
+                       minUniqTokens: Long = 10,
+                       pairSource: DataFrame => DataFrame = minhashPairSource())
+      : DataFrame =
+    pairSource(qualityExactStage(docs, minChars, minUniqTokens, cacheQ = false)._2)
+
   private def cleanCorpusPlan(docs: DataFrame, minChars: Long, minUniqTokens: Long,
                               pairSource: DataFrame => DataFrame,
                               cacheStages: Boolean,
                               keepPolicy: String = "min_id")
       : (DataFrame, DataFrame, DataFrame) = {
-    val q0 = docs.where(length(col("text")) >= minChars &&
-      size(array_distinct(words(col("text")))) >= minUniqTokens)
-    // staged (observability) calls cache the quality filter — its count
-    // plus both exq consumers then share one materialization; the
-    // default path stays cache-free (exq below is the only relation
-    // consumed by multiple branches there)
-    val q = if (cacheStages) q0.cache() else q0
-    val exKeep = q.groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .drop("h")
-    val exq = q.join(exKeep, "doc_id").cache()
+    val (q, exq0) = qualityExactStage(docs, minChars, minUniqTokens, cacheStages)
+    val exq = exq0.cache()
     val clusters = nearDupClusters(pairSource(exq))
     val survivors = keepPolicy match {
       case "min_id" =>
