@@ -83,18 +83,30 @@ object TextOps {
     * and the co-shingle counts ONLY over the docs appearing in `pairs`
     * (semi-join on doc id) — the filter-refine contract that keeps LSH
     * refinement proportional to the candidate set, not the corpus.
+    *
+    * The co-shingle count is PAIR-DRIVEN: each pair fans out over
+    * doc_a's shingles, then equi-joins (doc_b, s) — intermediate rows ∝
+    * |pairs| × shingles/doc. The pre-round-8 shape (self-join of candSh
+    * on the shingle key restricted to pairs AFTERWARDS) was Σ_s df_s² in
+    * the intermediate: on a dense shingle space where every shingle sits
+    * near the df cap it materialized ~10^10 rows at 500k docs and OOM'd
+    * the sf10 stress leg (BenchSf1) while the true candidate set was
+    * only 4.2M pairs. Both shapes compute the identical |A∩B| (shingles
+    * are distinct per doc); only the join order changed.
     */
   private def jaccardForPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    // cached: consumed by both sides of the co-shingle self-join and the
+    // cached: consumed by both legs of the pair-driven join and the
     // per-doc counts — without this the upstream LSH pipeline recomputes
     // once per consumer (measured 2× bench regression)
     val candSh = sh.join(candDocs, "doc_id").cache()
     val cnt = candSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = candSh.as("a")
-      .join(candSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val common = pairs
+      .join(candSh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(candSh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs.join(common, Seq("doc_a", "doc_b"))
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
