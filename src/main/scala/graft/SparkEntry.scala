@@ -997,6 +997,57 @@ object SparkEntry {
         .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
     }),
 
+    // ---- ISEA4H (aperture-4 hexagon kernel, round 8) ----
+    "dggs_4h_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15, 4, "HEXAGON")
+        .select(col("Resolution").cast("long").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_4h_cell_assign" -> ((s, dir) => {
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints4H(geo, "lon", "lat", 6)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_4h_parent_rollup" -> ((s, dir) => {
+      // index-space rollup: Z4 paths are prefix-hierarchical (aperture-4
+      // hexagons don't nest geometrically either, though all 4 child
+      // centers sit inside the parent), so the oracle's substr over the
+      // frozen res-6 column is the exact semantics
+      import graft.spark.{Z4Functions => H}
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints4H(geo, "lon", "lat", 6)
+        .groupBy(H.z4String(H.z4AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_4h_children" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z4Functions => H}
+      // a quad subtree, a deep quad subtree, and a cap subtree (caps
+      // have exactly one child per level — the engine contract)
+      val parents = Seq(("05", 2), ("070310", 8), ("00", 3)).toDF("parent", "to_res")
+      parents
+        .withColumn("cell_id",
+          explode(H.z4DescendantsAt(H.z4FromString(col("parent")), col("to_res"))))
+        .select(col("parent"), H.z4String(col("cell_id")).as("name"))
+    }),
+    "dggs_4h_addr_transform" -> ((s, dir) => {
+      // hop chain Z4_STRING → ZORDER → Q2DI → Z4 → Z4_STRING: the middle
+      // hops exercise the bit-interleaved and (quad,i,j) frames both
+      // directions end-to-end; the round-trip identity keeps the frozen
+      // f6 oracle valid (the 3H/VERTEX2DD pattern)
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      val cells = GridOps.cellsForGeoPoints4H(geo, "lon", "lat", 6)
+        .select(col("doc_id"), col("offset"), col("name"))
+      val zo = GridOps.addressTransform4H(cells, "name", "Z4_STRING", "ZORDER", 6)
+        .withColumnRenamed("out_addr", "zo")
+      val qij = GridOps.addressTransform4H(zo, "zo", "ZORDER", "Q2DI", 6)
+        .withColumnRenamed("out_addr", "qij")
+      val z4 = GridOps.addressTransform4H(qij, "qij", "Q2DI", "Z4", 6)
+        .withColumnRenamed("out_addr", "z4")
+      GridOps.addressTransform4H(z4, "z4", "Z4", "Z4_STRING", 6)
+        .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
+    }),
+
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
@@ -1174,7 +1225,7 @@ object SparkEntry {
        |${OracleFixtures.geoCellCte},
        |gc AS (SELECT doc_id, "offset", lon, lat, geo.lon_mdeg AS lon_mdeg,
        |              geo.lat_mdeg AS lat_mdeg, c3, c4, c5, c6,
-       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6, h6
+       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6, h6, f6
        |       FROM geo JOIN cells
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
@@ -1834,6 +1885,38 @@ object SparkEntry {
     "dggs_3h_addr_transform" ->
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", h6 AS name FROM gc""".stripMargin,
+    // ---- ISEA4H oracles: frozen f6 column (round 8). Z4 paths are
+    // prefix-hierarchical (index space), so ancestors are substrs; the
+    // assignment itself is the frozen kernel map, like Z7/T4/D4/Z3 ----
+    "dggs_4h_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(10 * power(4, r) + 2 AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / (10.0 * power(4, r)) AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / (10.0 * power(4, r)))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
+    "dggs_4h_cell_assign" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", f6 AS name FROM gc""".stripMargin,
+    "dggs_4h_parent_rollup" ->
+      s"""WITH $geoCellsCte
+         |SELECT substr(f6, 1, 4) AS name2, count(*) AS n
+         |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_4h_children" ->
+      """WITH d AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x)
+        |SELECT '05' AS parent, '05' || d1.x || d2.x AS name
+        |FROM d d1, d d2
+        |UNION ALL
+        |SELECT '070310' AS parent, '070310' || d1.x || d2.x || d3.x || d4.x AS name
+        |FROM d d1, d d2, d d3, d d4
+        |UNION ALL
+        |SELECT '00' AS parent, '00000' AS name""".stripMargin,
+    "dggs_4h_addr_transform" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", f6 AS name FROM gc""".stripMargin,
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

@@ -19,13 +19,14 @@ final case class DggsConf(
   require(azimuthDeg >= 0 && azimuthDeg <= 360, s"azimuth $azimuthDeg out of [0,360]")
 
   /** true when a geometry kernel supports this preset: aperture-7
-    * hexagonal ISEA (IGEO7/ISEA7H, the Z7 kernel), aperture-3 hexagonal
-    * ISEA (ISEA3H, the Z3 kernel), or aperture-4 triangle/diamond ISEA
-    * (ISEA4T/ISEA4D). Stats are supported for all hex/triangle/diamond
-    * apertures (closed form).
+    * hexagonal ISEA (IGEO7/ISEA7H, the Z7 kernel), aperture-3/4
+    * hexagonal ISEA (ISEA3H/ISEA4H, the Z3/Z4 kernels), or aperture-4
+    * triangle/diamond ISEA (ISEA4T/ISEA4D). Stats are supported for all
+    * hex/triangle/diamond apertures (closed form).
     */
   def kernelSupported: Boolean =
-    (projection == "ISEA" && topology == "HEXAGON" && (aperture == 7 || aperture == 3)) ||
+    (projection == "ISEA" && topology == "HEXAGON" &&
+      (aperture == 7 || aperture == 3 || aperture == 4)) ||
       (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4) ||
       (projection == "ISEA" && topology == "DIAMOND" && aperture == 4)
 
@@ -42,6 +43,13 @@ final case class DggsConf(
     require(projection == "ISEA" && topology == "HEXAGON" && aperture == 3,
       s"aperture-3 hex kernel not implemented for $dggsType (ISEA3H only)")
     new Isea3H(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  /** the aperture-4 hexagon kernel (ISEA4H) */
+  def hexGrid4: Isea4H = {
+    require(projection == "ISEA" && topology == "HEXAGON" && aperture == 4,
+      s"aperture-4 hex kernel not implemented for $dggsType (ISEA4H only)")
+    new Isea4H(vert0LatDeg, vert0LonDeg, azimuthDeg)
   }
 
   /** the aperture-4 triangle kernel (ISEA4T) */

@@ -3,67 +3,52 @@ package graft.dggs
 import Sphere._
 import Lattice._
 
-/** ISEA3H kernel: aperture-3 hexagonal DGGS on the Snyder ISEA
+/** ISEA4H kernel: aperture-4 hexagonal DGGS on the Snyder ISEA
   * projection, pure JVM, ENGINE-CANONICAL ids (the reference preset at
-  * dggrid_runner.py:70, aperture parse :414-427 — DGGRID publishes no
-  * golden ISEA3H cell ids in the reference tests or examples, so like
-  * ISEA4T/ISEA4D the id convention is ours: documented here and pinned
-  * by property tests, Isea3HSpec).
+  * dggrid_runner.py:71, aperture parse :414-427 — DGGRID publishes no
+  * golden ISEA4H cell ids in the reference tests or examples, so like
+  * ISEA3H/ISEA4T/ISEA4D the id convention is ours: documented here and
+  * pinned by property tests, Isea4HSpec).
   *
   * == Lattice structure ==
-  * Res-r cell centers are the Eisenstein lattice points of density 3^r
-  * per quad rhombus: descending one level multiplies the lattice by a
-  * norm-3 ring element, alternating `2−ω` (odd levels, child lattice
-  * rotated −30°: class II) and `1+ω` (even levels, +30°: class I back in
-  * alignment) — the published ISEA3H class-I/class-II alternation
-  * (Sahr, White & Kimerling 2003, §4.1). All hierarchy arithmetic is
+  * Res-r cell centers are the Eisenstein lattice points of density 4^r
+  * per quad rhombus: descending one level multiplies the lattice by the
+  * REAL factor 2 (norm 4) — no rotation, so every resolution is class I
+  * (the published aperture-4 hex property: same orientation at every
+  * level, Sahr, White & Kimerling 2003 §4.1; contrast the aperture-3
+  * class-I/class-II alternation in Isea3H). All hierarchy arithmetic is
   * exact integer math in Z[ω]:
   *
-  *  - the three residues of Z[ω] mod a norm-3 factor f are the digit
-  *    values {0, 1, 2}; for BOTH factors the quad-basis steps E1=(1,0)
-  *    and E2=(0,1) represent classes 1 and 2 (mod 1+ω: a−b; mod 2−ω:
-  *    a+2b — each ≡ 1 for E1 and ≡ 2 for E2, mod 3);
-  *  - digit extraction: d = class(v mod f), parent = (v − step(d))/f
-  *    (exact division). Digits depend only on v mod F_r (the product of
-  *    level factors), so every chart representative of a cell yields the
-  *    same digit string;
-  *  - child centers sit at distance one child-unit from the parent
-  *    center — exactly the deep holes of the parent lattice, i.e. ON the
-  *    parent hexagon's boundary (its vertices). Aperture-3 hexagons do
-  *    not nest; the hierarchy is index-space with this exact geometric
-  *    child-on-parent-boundary relation (see the seam caveat below).
+  *  - the four residues of Z[ω] mod 2 are the digit values {0, 1, 2, 3}
+  *    with canonical steps 0 / E1=(1,0) / E2=(0,1) / E3=(−1,1) — the
+  *    parity classes of (a, b); E3 is chosen as the UNIT representative
+  *    of the (odd, odd) class (the naive (1,1) is at distance √3);
+  *  - digit extraction: d from the parities of v, parent =
+  *    (v − step(d))/2 (exact division). Digits depend only on v mod 2^r,
+  *    so every chart representative of a cell yields the same digits;
+  *  - all four child centers lie INSIDE the closed parent hexagon: the
+  *    center child at distance 0, digits 1-3 at exactly one child unit
+  *    (the parent circumradius is 2/√3 ≈ 1.155 child units). Aperture-4
+  *    hexagons still do not nest exactly; the hierarchy is index-space
+  *    with this exact geometric child-in-parent relation.
   *
   * == Cell identity and ownership ==
-  * A res-r cell is (base, digit string) in the Z3 codec. Quad bases 1-10
-  * each own exactly 3^r cells — the residue classes mod F_r of their
+  * A res-r cell is (base, digit string) in the Z4 codec. Quad bases 1-10
+  * each own exactly 4^r cells — the residue classes mod 2^r of their
   * chart lattice — so ids are bijective by construction; the 2 extra
-  * cells (10·3^r + 2 total, matching the closed-form stats) are the two
-  * cap vertices v0/v11 (bases 0 and 11), the only icosahedron vertices
-  * that are no quad's owned corner.
+  * cells (10·4^r + 2 total, matching the closed-form stats) are the two
+  * cap vertices v0/v11 (bases 0 and 11). Boundary classes are routed to
+  * ONE canonical owner by the shared QuadOwnership rules (identical to
+  * Isea3H — ownership depends only on the quad layout, not the
+  * aperture); `isPentagon ⇔ digits all 0`, the same rule as Z7/Z3.
   *
-  * Because a residue class's geometric representative can fall on the
-  * quad boundary (shared with a neighbour quad on the sphere), each
-  * boundary point is assigned ONE canonical owner:
-  *
-  *  - polar edges around v0 (near edges of two northern quads): owned by
-  *    the quad where the edge is O-A; the loser re-homes those classes
-  *    on the opposite far edge A-C (their exact F_r-translate);
-  *  - ring edges: owned by the northern quad that re-homed onto them
-  *    (as A-C), else by the southern quad where they are near edges;
-  *  - v11 edges: owned by the southern quad that lost the corresponding
-  *    near ring edge (re-homed on its far-edge translate);
-  *  - corners (residue 0): northern quads own their corner C (vertices
-  *    v6-v10), southern quads their corner O (v1-v5); v0/v11 are the cap
-  *    bases. A quad's all-zero digit path is therefore its owned corner
-  *    — `isPentagon ⇔ digits all 0`, the same rule as Z7.
-  *
-  * Seam caveat: for the re-homed boundary classes (an O(3^{-r/2})
-  * fraction of cells), the index parent-child step crosses the quad seam
-  * — the child-on-parent-boundary relation holds through the chart
-  * translate, not raw chart adjacency. Isea3HSpec quantifies this: every
-  * non-seam cell satisfies the relation exactly.
+  * Seam caveat: for the re-homed boundary classes (an O(2^{-r}) fraction
+  * of cells), the index parent-child step crosses the quad seam — the
+  * child-in-parent relation holds through the chart translate, not raw
+  * chart adjacency. Isea4HSpec quantifies this: every non-seam cell
+  * satisfies the relation exactly.
   */
-final class Isea3H(vert0LatDeg: Double = 58.28252559,
+final class Isea4H(vert0LatDeg: Double = 58.28252559,
                    vert0LonDeg: Double = 11.25,
                    azimuthDeg: Double = 0.0) extends Serializable {
 
@@ -73,75 +58,52 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
 
   import quads.s
 
-  val maxRes = 20
+  val maxRes: Int = Z4.MaxRes
 
-  /** norm-3 level factors: odd levels 2−ω (−30°, class II), even levels
-    * 1+ω (+30°, restoring class-I alignment).
-    */
-  val ThreeCW: Eis = Eis(1, 1)   // 1+ω, arg +30°
-  val ThreeCCW: Eis = Eis(2, -1) // 2−ω, arg −30°
-  def levelFactor3(k: Int): Eis = if (k % 2 == 1) ThreeCCW else ThreeCW
-
-  private val factorEis: Array[Eis] = {
-    val arr = new Array[Eis](maxRes + 1)
-    var f = Eis(1, 0)
-    arr(0) = f
-    for (k <- 1 to maxRes) { f = f * levelFactor3(k); arr(k) = f }
-    arr
-  }
-  private val factorC: Array[(Double, Double)] = factorEis.map(_.toXY)
-  /** the res-r factor product F_r (spec access: class alternation) */
-  def factorProductAt(r: Int): Eis = factorEis(r)
-  private val pow3: Array[Long] = {
+  private val pow2: Array[Long] = {
     val arr = new Array[Long](maxRes + 1)
     arr(0) = 1L
-    for (k <- 1 to maxRes) arr(k) = arr(k - 1) * 3L
+    for (k <- 1 to maxRes) arr(k) = arr(k - 1) * 2L
     arr
   }
 
-  /** residue class (digit) of `v` mod the level-k factor */
-  @inline def residueAt(v: Eis, k: Int): Int = {
-    val m = if (k % 2 == 1) v.a + 2 * v.b else v.a - v.b // 2−ω : 1+ω
-    (((m % 3) + 3) % 3).toInt
-  }
-  /** canonical step for digit d (both factor parities): 0 / E1 / E2 */
+  /** the level factor is the real integer 2 at every level (class I) */
+  val Two: Eis = Eis(2, 0)
+
+  /** digit of `v` mod 2: the parity class of (a, b) */
+  @inline def residueOf(v: Eis): Int =
+    ((v.a & 1L) + 2L * (v.b & 1L)).toInt
+  /** canonical step for digit d: 0 / E1 / E2 / E3 = −1+ω (all units) */
   @inline def stepFor(d: Int): Eis = d match {
-    case 0 => Zero; case 1 => Eis(1, 0); case 2 => Eis(0, 1)
+    case 0 => Zero; case 1 => Eis(1, 0); case 2 => Eis(0, 1); case 3 => Eis(-1, 1)
   }
 
-  /** real chart position of lattice point `v` at res r: s·v/F_r */
+  /** real chart position of lattice point `v` at res r: s·v/2^r */
   def latticeToChart(v: Eis, r: Int): (Double, Double) = {
     val (vx, vy) = v.toXY
-    val (fx, fy) = factorC(r)
-    val n2 = fx * fx + fy * fy
-    (s * (vx * fx + vy * fy) / n2, s * (vy * fx - vx * fy) / n2)
+    val n = pow2(r).toDouble
+    (s * vx / n, s * vy / n)
   }
 
-  /** fractional lattice coords of a chart position at res r: p·F_r/s */
+  /** fractional lattice coords of a chart position at res r: p·2^r/s */
   def chartToLattice(x: Double, y: Double, r: Int): (Double, Double) = {
-    val (fx, fy) = factorC(r)
-    val wx = (x * fx - y * fy) / s
-    val wy = (x * fy + y * fx) / s
+    val n = pow2(r).toDouble
+    val wx = x * n / s
+    val wy = y * n / s
     val b = wy / Sqrt3Over2
     (wx - 0.5 * b, b)
   }
 
-  /** exact rhombus numerators (i, j) of `v` at res r: uv = (i, j)/3^r,
-    * i along quad basis A, j along B. v = ((i + jω)·F_r)/3^r.
+  /** rhombus numerators of `v` at res r: uv = (i, j)/2^r — with the real
+    * factor 2^r these are just the Eisenstein coordinates, i along quad
+    * basis A, j along B (every integer pair is a res-r point, unlike the
+    * rotated aperture-3 lattice).
     */
-  def ijOf(v: Eis, r: Int): (Long, Long) = {
-    val w = v * factorEis(r).conj
-    (w.a, w.b)
-  }
-  /** inverse of ijOf (exact) */
-  def fromIJ(i: Long, j: Long, r: Int): Eis = {
-    val n = Eis(i, j) * factorEis(r)
-    require(n.a % pow3(r) == 0 && n.b % pow3(r) == 0, s"($i,$j) not a res-$r point")
-    Eis(n.a / pow3(r), n.b / pow3(r))
-  }
+  @inline def ijOf(v: Eis): (Long, Long) = (v.a, v.b)
+  @inline def fromIJ(i: Long, j: Long): Eis = Eis(i, j)
 
   // -------------------------------------------------------------------
-  // Canonical boundary ownership (shared with Isea4H — see QuadOwnership)
+  // Canonical boundary ownership (shared with Isea3H)
   // -------------------------------------------------------------------
 
   val ownership = new QuadOwnership(quads)
@@ -156,20 +118,20 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
   // Point -> cell
   // -------------------------------------------------------------------
 
-  final case class Fix3(quad: Int, v: Eis, res: Int)
+  final case class Fix4(quad: Int, v: Eis, res: Int)
 
   /** nearest res-r cell center to a sphere point: hex Voronoi in the
     * point's quad chart, with cross-quad candidates near boundaries
-    * (IGeo7.fixForPoint's pattern at the aperture-3 spacing).
+    * (Isea3H.fixForPoint's pattern at the aperture-4 spacing).
     */
-  def fixForPoint(p: GeoRad, r: Int): Fix3 = {
+  def fixForPoint(p: GeoRad, r: Int): Fix4 = {
     val (q0, x0, y0) = quads.sphereToQuad(p)
     val (fa, fb) = chartToLattice(x0, y0, r)
     val v0 = hexRound(fa, fb)
     val (cx, cy) = latticeToChart(v0, r)
     val d0 = math.hypot(cx - x0, cy - y0)
     val (u, w) = quads.rhombusUV(x0, y0)
-    val dr = s / math.pow(3.0, r / 2.0)
+    val dr = s / pow2(r).toDouble
     val margin = 1.5 * dr / s
     var best = (q0, v0, d0)
     if (u < margin || w < margin || u > 1 - margin || w > 1 - margin) {
@@ -189,19 +151,19 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
         if (in && nd < best._3 - 1e-14) best = (nq, nv, nd)
       }
     }
-    Fix3(best._1, best._2, r)
+    Fix4(best._1, best._2, r)
   }
 
   /** fold a fix across quad edges until its rep lies in the CLOSED
     * rhombus of its chart (exact isometries re-rounded to the lattice).
     */
-  def foldToRhombus(fix: Fix3): Fix3 = {
+  def foldToRhombus(fix: Fix4): Fix4 = {
     var q = fix.quad; var v = fix.v
     var guard = 0
     while (guard < 12) {
-      val (i, j) = ijOf(v, fix.res)
-      val n = pow3(fix.res)
-      if (i >= 0 && i <= n && j >= 0 && j <= n) return Fix3(q, v, fix.res)
+      val (i, j) = ijOf(v)
+      val n = pow2(fix.res)
+      if (i >= 0 && i <= n && j >= 0 && j <= n) return Fix4(q, v, fix.res)
       val cs = quads.corners(q)
       val e0 =
         if (j < 0) (cs(0), cs(1))      // below O-A
@@ -224,44 +186,44 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
   /** re-express a rhombus-boundary fix in the chart of quad `toQ`
     * (which shares the boundary edge).
     */
-  private def foldToQuad(fix: Fix3, toQ: Int, edge: (Int, Int)): Fix3 = {
+  private def foldToQuad(fix: Fix4, toQ: Int, edge: (Int, Int)): Fix4 = {
     val (nq, rot, t) = quads.edgeNeighbors((fix.quad, edge))
     require(nq == toQ, s"edge $edge of quad ${fix.quad} leads to $nq, not $toQ")
     val (x, y) = latticeToChart(fix.v, fix.res)
     val nx = rot._1 * x - rot._2 * y + t._1
     val ny = rot._1 * y + rot._2 * x + t._2
     val (na, nb) = chartToLattice(nx, ny, fix.res)
-    Fix3(toQ, hexRound(na, nb), fix.res)
+    Fix4(toQ, hexRound(na, nb), fix.res)
   }
 
   /** digit string of `v` in its chart (pure integer walk; digits depend
-    * only on v mod F_r, so any chart representative works).
+    * only on v mod 2^r, so any chart representative works).
     */
   def digitsOf(v: Eis, r: Int): Array[Int] = {
     val out = new Array[Int](r)
     var cur = v
     var k = r
     while (k >= 1) {
-      val d = residueAt(cur, k)
+      val d = residueOf(cur)
       out(k - 1) = d
-      cur = (cur - stepFor(d)).divExact(levelFactor3(k))
+      cur = (cur - stepFor(d)).divExact(Two)
       k -= 1
     }
     out
   }
 
-  /** point -> Z3 cell id at res r */
+  /** point -> Z4 cell id at res r */
   def cellForPoint(p: GeoRad, r: Int): Long = {
     require(r >= 0 && r <= maxRes, s"res $r out of [0,$maxRes]")
     val fix = foldToRhombus(fixForPoint(p, r))
     cellForFix(fix)
   }
 
-  /** canonical Z3 id of a closed-rhombus fix */
-  def cellForFix(fix: Fix3): Long = {
+  /** canonical Z4 id of a closed-rhombus fix */
+  def cellForFix(fix: Fix4): Long = {
     val r = fix.res
-    val n = pow3(r)
-    val (i, j) = ijOf(fix.v, r)
+    val n = pow2(r)
+    val (i, j) = ijOf(fix.v)
     val cs = quads.corners(fix.quad)
     def norm(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
     // corners: vertex pentagons (all-zero paths of their owning base)
@@ -273,7 +235,7 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
       else -1
     if (cornerIdx >= 0) {
       val base = vertexBase(cs(cornerIdx))
-      return Z3.pack(base, Seq.fill(r)(0))
+      return Z4.pack(base, Seq.fill(r)(0))
     }
     // edges: route to the canonical owner quad, then walk digits there
     val edge =
@@ -286,9 +248,9 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
       case Some(e) =>
         val q2 = edgeOwner(e)
         val f2 = if (q2 == fix.quad) fix else foldToQuad(fix, q2, e)
-        Z3.pack(q2, digitsOf(f2.v, r).toSeq)
+        Z4.pack(q2, digitsOf(f2.v, r).toSeq)
       case None =>
-        Z3.pack(fix.quad, digitsOf(fix.v, r).toSeq)
+        Z4.pack(fix.quad, digitsOf(fix.v, r).toSeq)
     }
   }
 
@@ -301,18 +263,18 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     * translates and residue 0 on the owned corner.
     */
   def ownedIJ(z: Long): (Int, Long, Long) = {
-    val base = Z3.baseCell(z)
+    val base = Z4.baseCell(z)
     require(base >= 1 && base <= 10, s"ownedIJ on cap base $base")
-    val r = Z3.resolution(z)
-    val n = pow3(r)
-    // principal value of the digit recurrence v_k = v_{k-1}·f_k + s(d_k)
+    val r = Z4.resolution(z)
+    val n = pow2(r)
+    // principal value of the digit recurrence v_k = v_{k-1}·2 + s(d_k)
     var v = Zero
     var k = 1
     while (k <= r) {
-      v = v * levelFactor3(k) + stepFor(Z3.digit(z, k))
+      v = v * Two + stepFor(Z4.digit(z, k))
       k += 1
     }
-    val (i0, j0) = ijOf(v, r)
+    val (i0, j0) = ijOf(v)
     val i = ((i0 % n) + n) % n
     val j = ((j0 % n) + n) % n
     if (i == 0L && j == 0L) {
@@ -325,21 +287,21 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
 
   /** cell center on the sphere */
   def cellCenter(z: Long): GeoRad = {
-    val base = Z3.baseCell(z)
+    val base = Z4.baseCell(z)
     if (base == 0) ico.vertices(capVerts._1)
     else if (base == 11) ico.vertices(capVerts._2)
     else {
-      val r = Z3.resolution(z)
+      val r = Z4.resolution(z)
       val (_, i, j) = ownedIJ(z)
       // owned reps lie in the closed rhombus (edge reps are shared
       // sphere points — the owner's chart gives the same position)
-      val (x, y) = latticeToChart(fromIJ(i, j, r), r)
+      val (x, y) = latticeToChart(fromIJ(i, j), r)
       quads.quadToSphere(base, x, y)
     }
   }
 
   /** chart position -> sphere, re-charting across edges when outside
-    * (IGeo7.chartToSphere's fold loop).
+    * (Isea3H.chartToSphere's fold loop).
     */
   def chartToSphere(quad: Int, x: Double, y: Double): GeoRad = {
     var q = quad; var px = x; var py = y
@@ -368,9 +330,9 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     * sums, the hex Voronoi vertices), 5 for the vertex pentagons.
     */
   def cellBoundary(z: Long): Array[GeoRad] = {
-    val base = Z3.baseCell(z)
-    val r = Z3.resolution(z)
-    if (Z3.isPentagon(z)) {
+    val base = Z4.baseCell(z)
+    val r = Z4.resolution(z)
+    if (Z4.isPentagon(z)) {
       val vtx =
         if (base == 0) capVerts._1
         else if (base == 11) capVerts._2
@@ -378,7 +340,7 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
       return pentagonBoundary(vtx, r)
     }
     val (q, i, j) = ownedIJ(z)
-    val v = fromIJ(i, j, r)
+    val v = fromIJ(i, j)
     val (cx, cy) = latticeToChart(v, r)
     (0 until 6).map { k =>
       val su = Eis(Units(k).a + Units((k + 1) % 6).a, Units(k).b + Units((k + 1) % 6).b)
@@ -395,7 +357,7 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
       val cBase = corner match {
         case 0 => Eis(0, 0); case 1 => Eis(1, 0); case 2 => Eis(0, 1); case 3 => Eis(1, 1)
       }
-      val c = cBase * factorEis(r)
+      val c = Eis(cBase.a * pow2(r), cBase.b * pow2(r))
       for (u <- Units) {
         val nb = Eis(c.a + u.a, c.b + u.b)
         val (x, y) = latticeToChart(nb, r)
@@ -415,25 +377,25 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
   }
 
   // -------------------------------------------------------------------
-  // ZORDER / Q2DI address forms
+  // ZORDER / INTERLEAVE / Q2DI address forms
   // -------------------------------------------------------------------
 
   /** Q2DI address "q i j" of a cell: the HALF-OPEN rhombus rep (i, j ∈
-    * [0, 3^r)) for quad bases; "0 0 0" / "11 0 0" for the caps. The
+    * [0, 2^r)) for quad bases; "0 0 0" / "11 0 0" for the caps. The
     * reference's Q2DI output splits the same three fields
     * (igeo7_ext.py:69-72); the (i, j) origin convention is
-    * engine-canonical, like Q2DI on the Z7 grid (see SeqProbe).
+    * engine-canonical, like Q2DI on the Z7/Z3 grids (see SeqProbe).
     */
   def toQ2di(z: Long): (Int, Long, Long) = {
-    val base = Z3.baseCell(z)
+    val base = Z4.baseCell(z)
     if (base == 0 || base == 11) (base, 0L, 0L)
     else {
-      val r = Z3.resolution(z)
-      val n = pow3(r)
+      val r = Z4.resolution(z)
+      val n = pow2(r)
       var v = Zero
       var k = 1
-      while (k <= r) { v = v * levelFactor3(k) + stepFor(Z3.digit(z, k)); k += 1 }
-      val (i0, j0) = ijOf(v, r)
+      while (k <= r) { v = v * Two + stepFor(Z4.digit(z, k)); k += 1 }
+      val (i0, j0) = ijOf(v)
       (base, ((i0 % n) + n) % n, ((j0 % n) + n) % n)
     }
   }
@@ -442,28 +404,27 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     require(base >= 0 && base <= 11, s"bad quad $base")
     if (base == 0 || base == 11) {
       require(i == 0 && j == 0, s"cap base $base requires (0,0), got ($i,$j)")
-      Z3.pack(base, Seq.fill(r)(0))
+      Z4.pack(base, Seq.fill(r)(0))
     } else {
-      val n = pow3(r)
+      val n = pow2(r)
       require(i >= 0 && i < n && j >= 0 && j < n, s"($i,$j) out of [0,$n) at res $r")
-      Z3.pack(base, digitsOf(fromIJ(i, j, r), r).toSeq)
+      Z4.pack(base, digitsOf(fromIJ(i, j), r).toSeq)
     }
   }
 
   /** ZORDER int64: [4b base][5b res][bit-interleaved i,j] — the
     * digit-interleaved Q2DI form (dggrid_runner.py:134 'especially
-    * useful for ISEA3H'; engine-canonical layout). i bits at even
-    * offsets. res ≤ 17 (3^17 < 2^27; two 27-bit fields + 9 header bits).
+    * useful for ISEA3H, ISEA4H and mixed aperture'; engine-canonical
+    * layout, same header shape as the aperture-3 ZORDER). i bits at even
+    * offsets. Aperture-4 digits are single bits, so the full codec range
+    * res ≤ 20 fits (2·20 = 40 digit bits < 55).
     */
-  val ZorderMaxRes = 17
-
   def toZorder(z: Long): Long = {
-    val r = Z3.resolution(z)
-    require(r <= ZorderMaxRes, s"ZORDER supports res <= $ZorderMaxRes, got $r")
+    val r = Z4.resolution(z)
     val (base, i, j) = toQ2di(z)
     var bits = 0L
     var k = 0
-    while (k < 27) {
+    while (k < r) {
       bits |= ((i >>> k) & 1L) << (2 * k)
       bits |= ((j >>> k) & 1L) << (2 * k + 1)
       k += 1
@@ -474,10 +435,10 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
   def fromZorder(zo: Long): Long = {
     val base = ((zo >>> 60) & 0xFL).toInt
     val r = ((zo >>> 55) & 0x1FL).toInt
-    require(r <= ZorderMaxRes, s"bad ZORDER res $r")
+    require(r <= maxRes, s"bad ZORDER res $r")
     var i = 0L; var j = 0L
     var k = 0
-    while (k < 27) {
+    while (k < r) {
       i |= ((zo >>> (2 * k)) & 1L) << k
       j |= ((zo >>> (2 * k + 1)) & 1L) << k
       k += 1
@@ -485,20 +446,21 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     fromQ2di(base, i, j, r)
   }
 
-  /** ZORDER_STRING: 2-digit base + r interleaved base-3 digit pairs of
-    * (i, j), most significant first (i digit before j digit).
+  /** ZORDER_STRING: 2-digit base + r interleaved binary digit pairs of
+    * (i, j), most significant first (i digit before j digit) — the
+    * aperture-4 reading of the aperture-3 convention (base-2 digits
+    * instead of base-3).
     */
   def toZorderString(z: Long): String = {
-    val r = Z3.resolution(z)
-    require(r <= ZorderMaxRes, s"ZORDER supports res <= $ZorderMaxRes, got $r")
+    val r = Z4.resolution(z)
     val (base, i, j) = toQ2di(z)
     val sb = new StringBuilder(2 + 2 * r)
     if (base < 10) sb.append('0')
     sb.append(base)
     var k = r - 1
     while (k >= 0) {
-      sb.append(('0' + ((i / pow3(k)) % 3).toInt).toChar)
-      sb.append(('0' + ((j / pow3(k)) % 3).toInt).toChar)
+      sb.append(('0' + ((i >>> k) & 1L)).toChar)
+      sb.append(('0' + ((j >>> k) & 1L)).toChar)
       k -= 1
     }
     sb.toString
@@ -511,8 +473,8 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     var i = 0L; var j = 0L
     var k = 0
     while (k < r) {
-      i = i * 3 + (sx.charAt(2 + 2 * k) - '0')
-      j = j * 3 + (sx.charAt(3 + 2 * k) - '0')
+      i = i * 2 + (sx.charAt(2 + 2 * k) - '0')
+      j = j * 2 + (sx.charAt(3 + 2 * k) - '0')
       k += 1
     }
     fromQ2di(base, i, j, r)
@@ -521,18 +483,18 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
   /** INTERLEAVE: the reference marks it output-only
     * (dggrid_runner.py:124 'only supported for parameter
     * output_address_type; only available for hexagonal aperture 3 and 4
-    * grids'). For the aperture-3 grid it is the interleaved-digit string
+    * grids'). For the aperture-4 grid it is the interleaved-digit string
     * (= ZORDER_STRING here); there is no input direction, matching the
     * reference contract.
     */
   def toInterleave(z: Long): String = toZorderString(z)
 }
 
-/** per-JVM kernel cache (mirrors spark.Grids / Isea4TGrids) */
-object Isea3HGrids extends Serializable {
+/** per-JVM kernel cache (mirrors spark.Grids / Isea3HGrids) */
+object Isea4HGrids extends Serializable {
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), Isea3H]()
-  def get(lat0: Double, lon0: Double, az: Double): Isea3H =
-    cache.computeIfAbsent((lat0, lon0, az), k => new Isea3H(k._1, k._2, k._3))
-  def default: Isea3H = get(58.28252559, 11.25, 0.0)
+    new java.util.concurrent.ConcurrentHashMap[(Double, Double, Double), Isea4H]()
+  def get(lat0: Double, lon0: Double, az: Double): Isea4H =
+    cache.computeIfAbsent((lat0, lon0, az), k => new Isea4H(k._1, k._2, k._3))
+  def default: Isea4H = get(58.28252559, 11.25, 0.0)
 }

@@ -634,6 +634,90 @@ object GridOps {
     cells.withColumn("out_addr", out)
   }
 
+  // ------------------------------------------------------------------
+  // ISEA4H (aperture-4 hexagon) variants — Isea4H kernel / Z4 ids
+  // ------------------------------------------------------------------
+
+  /** H6 for ISEA4H: point→hex-cell assignment (`cell_id` Z4 int64 +
+    * `name` Z4 string). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints4H(points: DataFrame, lonCol: String, latCol: String, res: Int,
+                          lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                          az: Double = Grids.DefaultAz): DataFrame = {
+    import graft.spark.{Z4Functions => H}
+    points
+      .withColumn("cell_id", H.cellForPoint(col(lonCol), col(latCol), lit(res), lat0, lon0, az))
+      .withColumn("name", H.z4String(col("cell_id")))
+  }
+
+  /** whole-earth / box-clipped ISEA4H cell generation at `res`
+    * (levelwise Z4 children expansion with center-in-expanded-box
+    * pruning like the Z7/Z3 variants; the Z4 index-space children
+    * enumerate the cell set bijectively; aperture-4 child centers lie
+    * INSIDE the closed parent hexagon, so the drift term is one child
+    * unit per level with ratio 1/2 — a 2-unit geometric tail).
+    */
+  def gridCellIdsForExtent4H(spark: SparkSession, res: Int,
+                             clip: Option[(Double, Double, Double, Double)] = None,
+                             lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                             az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    import graft.spark.{Z4Functions => H}
+    var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
+    for (k <- 1 to res) {
+      df = df.select(explode(H.z4Children(col("cell_id"))).as("cell_id"))
+      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+        // hex circumradius at res k ≈ 0.64/2^k rad; 3× safety covers the
+        // child-in-parent drift tail (≤2 child units) on top of it
+        val marginDeg = math.toDegrees(0.64 / math.pow(2.0, k)) * 3.0
+        val c = H.cellCenter(col("cell_id"), lat0, lon0, az)
+        val lonMargin = lit(marginDeg) /
+          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+        df = df.where(
+          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
+            c.getField("lat") >= lit(latMin - marginDeg) &&
+            c.getField("lat") <= lit(latMax + marginDeg))
+      }
+      if (lineageStopAt(k, res)) df = lineageStop(df)
+    }
+    df
+  }
+
+  /** address transform on the ISEA4H grid: Z4 int64, Z4_STRING, ZORDER,
+    * ZORDER_STRING, Q2DI, GEO in/out + INTERLEAVE out-only (the
+    * reference marks INTERLEAVE output-only, dggrid_runner.py:124).
+    */
+  def addressTransform4H(cells: DataFrame, idCol: String,
+                         from: String, to: String, res: Int): DataFrame = {
+    import graft.spark.{Z4Functions => H}
+    val c = col(idCol)
+    val asZ4: Column = from match {
+      case "Z4" => c
+      case "Z4_STRING" => H.z4FromString(c)
+      case "ZORDER" => H.zorderToZ4(c)
+      case "ZORDER_STRING" => H.zorderStringToZ4(c)
+      case "Q2DI" => H.q2diToZ4(c.getField("q"), c.getField("i"), c.getField("j"), lit(res))
+      case "GEO" => H.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res))
+      case "INTERLEAVE" =>
+        // reference contract: INTERLEAVE is output-only (dggrid_runner.py:124)
+        throw new IllegalArgumentException(
+          "INTERLEAVE is only supported as an output_address_type " +
+            "(reference dggrid_runner.py:124)")
+      case other => throw new IllegalArgumentException(s"unsupported 4H input $other")
+    }
+    val out: Column = to match {
+      case "Z4" => asZ4
+      case "Z4_STRING" => H.z4String(asZ4)
+      case "ZORDER" => H.z4ToZorder(asZ4)
+      case "ZORDER_STRING" => H.z4ToZorderString(asZ4)
+      case "INTERLEAVE" => H.z4ToZorderString(asZ4)
+      case "Q2DI" => H.z4ToQ2di(asZ4)
+      case "GEO" => H.cellCenter(asZ4)
+      case other => throw new IllegalArgumentException(s"unsupported 4H output $other")
+    }
+    cells.withColumn("out_addr", out)
+  }
+
   /** H7: address transform between Z7 int64, Z7_STRING, SEQNUM (engine
     * canonical), and GEO center (dggrid_runner.py:1962-2025).
     */
@@ -696,13 +780,13 @@ object GridOps {
       case "INTERLEAVE" | "Z3" | "Z3_STRING" | "ZORDER" | "ZORDER_STRING" =>
         // parity with the reference's own constraint: these exist only
         // for aperture-3/4 hex grids (dggrid_runner.py:125, 121-236) —
-        // on the aperture-7 grid they are invalid; the aperture-3 grid
-        // supports them via addressTransform3H (ISEA4H remains out of
-        // scope, so the aperture-4-hex reading of INTERLEAVE stays out)
+        // on the aperture-7 grid they are invalid; the aperture-3/4
+        // grids support them via addressTransform3H / addressTransform4H
         throw new IllegalArgumentException(
           s"$to is defined for aperture-3/4 hexagon grids only " +
             "(reference dggrid_runner.py:125); this is the aperture-7 " +
-            "grid — use addressTransform3H for ISEA3H Z3/ZORDER forms")
+            "grid — use addressTransform3H (ISEA3H) or addressTransform4H " +
+            "(ISEA4H) for Z3/Z4/ZORDER forms")
       case other => throw new IllegalArgumentException(s"unsupported output $other")
     }
     cells.withColumn("out_addr", out)

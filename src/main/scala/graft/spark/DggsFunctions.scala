@@ -586,3 +586,79 @@ object Z3Functions {
   def q2diToZ3(q: Column, i: Column, j: Column, res: Column): Column =
     q2diInvUdf(q, i, j, res)
 }
+
+/** Column functions for the ISEA4H aperture-4 hexagon kernel (Z4 ids;
+  * graft.dggs.Isea4H). Same narrow-map UDF design as Z3Functions; all
+  * hierarchy ops are pure integer arithmetic on the Z4 layout, so they
+  * need no kernel instance.
+  */
+object Z4Functions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.{Isea4HGrids, Z4}
+
+  def cellForPoint(lon: Column, lat: Column, res: Column,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Isea4HGrids.get(lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  private lazy val toStringUdf = udf((id: Long) => Z4.toZ4String(id))
+  def z4String(cell: Column): Column = toStringUdf(cell)
+  private lazy val fromStringUdf = udf((s: String) => Z4.fromZ4String(s))
+  def z4FromString(s: Column): Column = fromStringUdf(s)
+  private lazy val parentUdf = udf((id: Long) => Z4.parent(id))
+  def z4Parent(cell: Column): Column = parentUdf(cell)
+  private lazy val ancestorUdf = udf((id: Long, r: Int) => Z4.ancestorAt(id, r))
+  def z4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  private lazy val resolutionUdf = udf((id: Long) => Z4.resolution(id))
+  def z4Resolution(cell: Column): Column = resolutionUdf(cell)
+  private lazy val childrenUdf = udf((id: Long) => Z4.children(id))
+  def z4Children(cell: Column): Column = childrenUdf(cell)
+  private lazy val descendantsUdf = udf((id: Long, r: Int) => Z4.descendants(id, r))
+  def z4DescendantsAt(cell: Column, r: Column): Column = descendantsUdf(cell, r)
+
+  def cellCenter(cell: Column, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val c = Isea4HGrids.get(lat0, lon0, az).cellCenter(id)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  /** hexagon (6) / pentagon (5) corners as array<struct<lon,lat>> */
+  def cellBoundary(cell: Column, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      Isea4HGrids.get(lat0, lon0, az).cellBoundary(id).toSeq.map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+
+  // ---- address forms (ZORDER / Q2DI / INTERLEAVE over the 4H grid) ----
+  private lazy val zorderUdf =
+    udf((id: Long) => Isea4HGrids.default.toZorder(id))
+  def z4ToZorder(cell: Column): Column = zorderUdf(cell)
+  private lazy val zorderInvUdf =
+    udf((zo: Long) => Isea4HGrids.default.fromZorder(zo))
+  def zorderToZ4(zo: Column): Column = zorderInvUdf(zo)
+  private lazy val zorderStrUdf =
+    udf((id: Long) => Isea4HGrids.default.toZorderString(id))
+  def z4ToZorderString(cell: Column): Column = zorderStrUdf(cell)
+  private lazy val zorderStrInvUdf =
+    udf((sx: String) => Isea4HGrids.default.fromZorderString(sx))
+  def zorderStringToZ4(sx: Column): Column = zorderStrInvUdf(sx)
+  private lazy val q2diUdf = udf { (id: Long) =>
+    val (q, i, j) = Isea4HGrids.default.toQ2di(id)
+    (q, i, j)
+  }
+  def z4ToQ2di(cell: Column): Column =
+    q2diUdf(cell).cast("struct<q:int,i:bigint,j:bigint>")
+  private lazy val q2diInvUdf =
+    udf((q: Int, i: Long, j: Long, r: Int) => Isea4HGrids.default.fromQ2di(q, i, j, r))
+  def q2diToZ4(q: Column, i: Column, j: Column, res: Column): Column =
+    q2diInvUdf(q, i, j, res)
+}

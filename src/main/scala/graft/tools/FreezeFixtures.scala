@@ -44,6 +44,7 @@ object FreezeFixtures {
     val t4g = graft.dggs.Isea4TGrids.default
     val d4g = graft.dggs.Isea4DGrids.default
     val h3g = graft.dggs.Isea3HGrids.default
+    val h4g = graft.dggs.Isea4HGrids.default
     val mapRows = geo.map { case (lonM, latM, lon, lat) =>
       val p = GeoRad.fromDeg(lat, lon)
       val cs = (3 to 6).map(r => Z7.toZ7String(g.cellForPoint(p, r)))
@@ -57,7 +58,11 @@ object FreezeFixtures {
       val t6 = graft.dggs.T4.toT4String(t4g.cellForPoint(p, 6))
       val d6 = graft.dggs.D4.toD4String(d4g.cellForPoint(p, 6))
       val h6 = graft.dggs.Z3.toZ3String(h3g.cellForPoint(p, 6))
-      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6', '$h6')"
+      // f6 = ISEA4H res-6 Z4_STRING ('f' = four-hex; Z4 paths are
+      // prefix-hierarchical, so index-space ancestors are substrs —
+      // the same contract as h6)
+      val f6 = graft.dggs.Z4.toZ4String(h4g.cellForPoint(p, 6))
+      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6', '$h6', '$f6')"
     }
 
     val extent = GridOps.gridCellIdsForExtent(spark, 4, Some((20.2, 57.0, 28.4, 60.0)))
@@ -138,7 +143,7 @@ object FreezeFixtures {
              s"  private val geoRows$i: String = ${q3}${chunk.mkString(",\n")}${q3}"
            }.mkString("\n")}
          |  val geoCellCte: String =
-         |    "cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6, h6) AS (VALUES\\n" +
+         |    "cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6, h6, f6) AS (VALUES\\n" +
          |    Seq(${mapRows.grouped(250).zipWithIndex.map(t => s"geoRows${t._2}").mkString(", ")}).mkString(",\\n") + ")"
          |
          |  /** grid_cellids_for_extent((20.2,57.0)-(28.4,60.0), res 4) */

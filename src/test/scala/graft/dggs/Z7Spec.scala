@@ -136,7 +136,10 @@ class DggsConfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(DggsConf("ISEA3H", 5).hexGrid3.capVerts == (0, 11))
     intercept[IllegalArgumentException](DggsConf("ISEA3H", 5).grid)
     intercept[IllegalArgumentException](DggsConf("ISEA7H", 5).hexGrid3)
-    assert(!DggsConf("ISEA4H", 5).kernelSupported) // aperture-4 hex: stats only
+    assert(DggsConf("ISEA4H", 5).kernelSupported) // Isea4H kernel (round 8)
+    assert(DggsConf("ISEA4H", 5).hexGrid4.capVerts == (0, 11))
+    intercept[IllegalArgumentException](DggsConf("ISEA4H", 5).hexGrid3)
+    intercept[IllegalArgumentException](DggsConf("ISEA3H", 5).hexGrid4)
     // resolution selection by area / intercell distance (round 2; the
     // reference's own helpers raise `not yet implemented`): res-5 ISEA7H
     // cell area ≈ 3034 km², CLS ≈ 75.9 km
