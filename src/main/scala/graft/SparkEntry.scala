@@ -1048,6 +1048,58 @@ object SparkEntry {
         .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
     }),
 
+    // ---- ISEA43H (MIXED-aperture hexagon kernel, round 8; gate config
+    // mixed_aperture_level = 3: levels 1-3 aperture 4, 4+ aperture 3) ----
+    "dggs_43h_stats" -> ((s, _) => {
+      GridOps.gridStatsTable(s, 15, 43, "HEXAGON", mixedN4 = 3)
+        .select(col("Resolution").cast("long").as("resolution"), col("Cells").as("cells"),
+          col("Area (km^2)").as("area_km2"), round(col("CLS (km)"), 6).as("cls_km"))
+    }),
+    "dggs_43h_cell_assign" -> ((s, dir) => {
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints43H(geo, "lon", "lat", 6, 3)
+        .select(col("doc_id"), col("offset"), col("name"))
+    }),
+    "dggs_43h_parent_rollup" -> ((s, dir) => {
+      // rollup to res 2 — INSIDE the aperture-4 prefix of the gate
+      // config, so the substr oracle crosses the 4→3 boundary between
+      // the frozen res-6 digits and the res-2 ancestor
+      import graft.spark.{Z43Functions => H}
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      GridOps.cellsForGeoPoints43H(geo, "lon", "lat", 6, 3)
+        .groupBy(H.z43String(H.z43AncestorAt(col("cell_id"), lit(2))).as("name2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "dggs_43h_children" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z43Functions => H}
+      // "0531" res-2 → res-4 CROSSES the aperture boundary (level 3 is
+      // aperture 4: digits 0-3; level 4 is aperture 3: digits 0-2), plus
+      // a cap subtree (one child per level)
+      val parents = Seq(("0531", 4), ("00", 3)).toDF("parent", "to_res")
+      parents
+        .withColumn("cell_id",
+          explode(H.z43DescendantsAt(H.z43FromString(col("parent")), col("to_res"), 3)))
+        .select(col("parent"), H.z43String(col("cell_id")).as("name"))
+    }),
+    "dggs_43h_addr_transform" -> ((s, dir) => {
+      // hop chain Z43_STRING → ZORDER_STRING → Q2DI → Z43 → Z43_STRING:
+      // the middle hops exercise the mixed-radix interleave and the
+      // reduced (quad,i,j) frame both directions end-to-end; the
+      // round-trip identity keeps the frozen m6 oracle valid
+      val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
+      val cells = GridOps.cellsForGeoPoints43H(geo, "lon", "lat", 6, 3)
+        .select(col("doc_id"), col("offset"), col("name"))
+      val zo = GridOps.addressTransform43H(cells, "name", "Z43_STRING", "ZORDER_STRING", 6, 3)
+        .withColumnRenamed("out_addr", "zo")
+      val qij = GridOps.addressTransform43H(zo, "zo", "ZORDER_STRING", "Q2DI", 6, 3)
+        .withColumnRenamed("out_addr", "qij")
+      val z43 = GridOps.addressTransform43H(qij, "qij", "Q2DI", "Z43", 6, 3)
+        .withColumnRenamed("out_addr", "z43")
+      GridOps.addressTransform43H(z43, "z43", "Z43", "Z43_STRING", 6, 3)
+        .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
+    }),
+
     "dggs_addr_transform" -> ((s, dir) => {
       val geo = fixtureGeoSpans(s, dir) // fixture-key-restricted (oracle joins the frozen CTE)
       val cells = GridOps.cellsForGeoPoints(geo, "lon", "lat", 4)
@@ -1225,7 +1277,7 @@ object SparkEntry {
        |${OracleFixtures.geoCellCte},
        |gc AS (SELECT doc_id, "offset", lon, lat, geo.lon_mdeg AS lon_mdeg,
        |              geo.lat_mdeg AS lat_mdeg, c3, c4, c5, c6,
-       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6, h6, f6
+       |              CAST(seq4 AS BIGINT) AS seq4, t6, d6, h6, f6, m6
        |       FROM geo JOIN cells
        |         ON geo.lon_mdeg = cells.lon_mdeg AND geo.lat_mdeg = cells.lat_mdeg)"""
       .stripMargin
@@ -1917,6 +1969,38 @@ object SparkEntry {
     "dggs_4h_addr_transform" ->
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", f6 AS name FROM gc""".stripMargin,
+    // ---- ISEA43H oracles: frozen m6 column (round 8, mixed level 3).
+    // The packed digit paths are prefix-hierarchical regardless of the
+    // per-level aperture, so ancestors are substrs ----
+    "dggs_43h_stats" ->
+      """SELECT r AS resolution,
+        |       CAST(10 * power(4, least(r, 3)) * power(3, greatest(r - 3, 0))
+        |            + 2 AS BIGINT) AS cells,
+        |       4 * pi() * 6371.00718091847 * 6371.00718091847
+        |         / (10.0 * power(4, least(r, 3)) * power(3, greatest(r - 3, 0)))
+        |         AS area_km2,
+        |       round(2 * 6371.00718091847 * acos(1 -
+        |         (4 * pi() * 6371.00718091847 * 6371.00718091847
+        |            / (10.0 * power(4, least(r, 3)) * power(3, greatest(r - 3, 0))))
+        |         / (2 * pi() * 6371.00718091847 * 6371.00718091847)), 6) AS cls_km
+        |FROM (SELECT unnest(generate_series(0, 15)) AS r)""".stripMargin,
+    "dggs_43h_cell_assign" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", m6 AS name FROM gc""".stripMargin,
+    "dggs_43h_parent_rollup" ->
+      s"""WITH $geoCellsCte
+         |SELECT substr(m6, 1, 4) AS name2, count(*) AS n
+         |FROM gc GROUP BY 1""".stripMargin,
+    "dggs_43h_children" ->
+      """WITH d4 AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x),
+        |     d3 AS (SELECT CAST(unnest(generate_series(0, 2)) AS VARCHAR) AS x)
+        |SELECT '0531' AS parent, '0531' || a.x || b.x AS name
+        |FROM d4 a, d3 b
+        |UNION ALL
+        |SELECT '00' AS parent, '00000' AS name""".stripMargin,
+    "dggs_43h_addr_transform" ->
+      s"""WITH $geoCellsCte
+         |SELECT doc_id, "offset", m6 AS name FROM gc""".stripMargin,
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

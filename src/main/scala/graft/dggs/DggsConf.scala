@@ -26,7 +26,7 @@ final case class DggsConf(
     */
   def kernelSupported: Boolean =
     (projection == "ISEA" && topology == "HEXAGON" &&
-      (aperture == 7 || aperture == 3 || aperture == 4)) ||
+      (aperture == 7 || aperture == 3 || aperture == 4 || aperture == 43)) ||
       (projection == "ISEA" && topology == "TRIANGLE" && aperture == 4) ||
       (projection == "ISEA" && topology == "DIAMOND" && aperture == 4)
 
@@ -50,6 +50,21 @@ final case class DggsConf(
     require(projection == "ISEA" && topology == "HEXAGON" && aperture == 4,
       s"aperture-4 hex kernel not implemented for $dggsType (ISEA4H only)")
     new Isea4H(vert0LatDeg, vert0LonDeg, azimuthDeg)
+  }
+
+  /** the MIXED-aperture hex kernel (ISEA43H): `n4` leading aperture-4
+    * resolutions, then aperture-3 — the reference's
+    * `mixed_aperture_level` / dggs_num_aperture_4_res parameter
+    * (dggrid_runner.py:447-449, 533, 555). PLANETRISK parses to the
+    * same (ISEA, 43, HEXAGON) triple here, but DGGRID's preset aperture
+    * SEQUENCE is not published in the reference tree, so PLANETRISK
+    * callers must supply their own n4 explicitly — the engine does not
+    * guess the preset's sequence.
+    */
+  def hexGridMixed(n4: Int): Isea43H = {
+    require(projection == "ISEA" && topology == "HEXAGON" && aperture == 43,
+      s"mixed-aperture hex kernel not applicable to $dggsType (ISEA43H only)")
+    new Isea43H(n4, vert0LatDeg, vert0LonDeg, azimuthDeg)
   }
 
   /** the aperture-4 triangle kernel (ISEA4T) */

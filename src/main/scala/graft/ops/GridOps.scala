@@ -24,7 +24,8 @@ object GridOps {
     * ISEA7H/IGEO7: N(r) = 10·7^r + 2 on the authalic sphere.
     */
   def gridStatsTable(spark: SparkSession, maxRes: Int,
-                     aperture: Int = 7, topology: String = "HEXAGON"): DataFrame = {
+                     aperture: Int = 7, topology: String = "HEXAGON",
+                     mixedN4: Int = 3): DataFrame = {
     import spark.implicits._
     val R = Sphere.EarthRadiusKm
     val earthArea = 4.0 * math.Pi * R * R
@@ -38,6 +39,11 @@ object GridOps {
         var v = 1L; var i = 0; while (i < k) { v *= a; i += 1 }; v
       }
       val (cells: Long, area: Double) = (aperture, topology) match {
+        case (43, "HEXAGON") =>
+          // MIXED43: mixedN4 leading aperture-4 resolutions, then 3s
+          val a4 = math.min(r, mixedN4); val a3 = math.max(0, r - mixedN4)
+          (10L * powL(4, a4) * powL(3, a3) + 2,
+            earthArea / (10.0 * math.pow(4, a4) * math.pow(3, a3)))
         case (a, "HEXAGON") =>
           (10L * powL(a, r) + 2, earthArea / (10.0 * math.pow(a, r)))
         case (4, "TRIANGLE") =>
@@ -714,6 +720,95 @@ object GridOps {
       case "Q2DI" => H.z4ToQ2di(asZ4)
       case "GEO" => H.cellCenter(asZ4)
       case other => throw new IllegalArgumentException(s"unsupported 4H output $other")
+    }
+    cells.withColumn("out_addr", out)
+  }
+
+  // ------------------------------------------------------------------
+  // ISEA43H (MIXED-aperture hexagon) variants — Isea43H kernel,
+  // 3-bit-digit Z4 layout; `n4` = mixed_aperture_level
+  // ------------------------------------------------------------------
+
+  /** H6 for ISEA43H: point→hex-cell assignment (`cell_id` int64 +
+    * `name` digit string). Narrow map, no shuffle.
+    */
+  def cellsForGeoPoints43H(points: DataFrame, lonCol: String, latCol: String,
+                           res: Int, n4: Int,
+                           lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                           az: Double = Grids.DefaultAz): DataFrame = {
+    import graft.spark.{Z43Functions => H}
+    points
+      .withColumn("cell_id", H.cellForPoint(col(lonCol), col(latCol), lit(res), n4, lat0, lon0, az))
+      .withColumn("name", H.z43String(col("cell_id")))
+  }
+
+  /** whole-earth / box-clipped ISEA43H cell generation at `res`
+    * (levelwise children expansion with center-in-expanded-box pruning;
+    * the per-level margin follows the level's actual lattice spacing —
+    * 1/2 per aperture-4 level, 1/√3 per aperture-3 level).
+    */
+  def gridCellIdsForExtent43H(spark: SparkSession, res: Int, n4: Int,
+                              clip: Option[(Double, Double, Double, Double)] = None,
+                              lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                              az: Double = Grids.DefaultAz): DataFrame = {
+    import spark.implicits._
+    import graft.spark.{Z43Functions => H}
+    var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
+    for (k <- 1 to res) {
+      df = df.select(explode(H.z43Children(col("cell_id"), n4)).as("cell_id"))
+      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
+        // circumradius at res k ≈ 0.64/√(4^min(k,n4)·3^max(0,k−n4)) rad;
+        // 3× safety covers the per-level child drift tails of both
+        // aperture families (≤1 child unit per level)
+        val spacing = math.sqrt(
+          math.pow(4.0, math.min(k, n4)) * math.pow(3.0, math.max(0, k - n4)))
+        val marginDeg = math.toDegrees(0.64 / spacing) * 3.0
+        val c = H.cellCenter(col("cell_id"), n4, lat0, lon0, az)
+        val lonMargin = lit(marginDeg) /
+          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
+        df = df.where(
+          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
+            c.getField("lat") >= lit(latMin - marginDeg) &&
+            c.getField("lat") <= lit(latMax + marginDeg))
+      }
+      if (lineageStopAt(k, res)) df = lineageStop(df)
+    }
+    df
+  }
+
+  /** address transform on the ISEA43H grid: Z43 int64 (the packed
+    * 3-bit-digit layout), Z43_STRING, ZORDER, ZORDER_STRING (mixed
+    * radix), Q2DI, GEO in/out + INTERLEAVE out-only (the reference
+    * marks INTERLEAVE output-only, dggrid_runner.py:124).
+    */
+  def addressTransform43H(cells: DataFrame, idCol: String,
+                          from: String, to: String, res: Int, n4: Int): DataFrame = {
+    import graft.spark.{Z43Functions => H}
+    val c = col(idCol)
+    val asId: Column = from match {
+      case "Z43" => c
+      case "Z43_STRING" => H.z43FromString(c)
+      case "ZORDER" => H.zorderToZ43(c, n4)
+      case "ZORDER_STRING" => H.zorderStringToZ43(c, n4)
+      case "Q2DI" =>
+        H.q2diToZ43(c.getField("q"), c.getField("i"), c.getField("j"), lit(res), n4)
+      case "GEO" => H.cellForPoint(c.getField("lon"), c.getField("lat"), lit(res), n4)
+      case "INTERLEAVE" =>
+        // reference contract: INTERLEAVE is output-only (dggrid_runner.py:124)
+        throw new IllegalArgumentException(
+          "INTERLEAVE is only supported as an output_address_type " +
+            "(reference dggrid_runner.py:124)")
+      case other => throw new IllegalArgumentException(s"unsupported 43H input $other")
+    }
+    val out: Column = to match {
+      case "Z43" => asId
+      case "Z43_STRING" => H.z43String(asId)
+      case "ZORDER" => H.z43ToZorder(asId, n4)
+      case "ZORDER_STRING" => H.z43ToZorderString(asId, n4)
+      case "INTERLEAVE" => H.z43ToZorderString(asId, n4)
+      case "Q2DI" => H.z43ToQ2di(asId, n4)
+      case "GEO" => H.cellCenter(asId, n4)
+      case other => throw new IllegalArgumentException(s"unsupported 43H output $other")
     }
     cells.withColumn("out_addr", out)
   }

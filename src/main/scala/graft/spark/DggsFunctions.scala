@@ -662,3 +662,94 @@ object Z4Functions {
   def q2diToZ4(q: Column, i: Column, j: Column, res: Column): Column =
     q2diInvUdf(q, i, j, res)
 }
+
+/** Column functions for the ISEA43H MIXED-aperture hexagon kernel
+  * (graft.dggs.Isea43H — `n4` leading aperture-4 resolutions, then
+  * aperture-3; ids in the shared 3-bit-digit Z4 layout). `n4` is a
+  * plan-time Scala parameter captured by the UDF closures (a grid
+  * CONFIG, not data — the reference passes mixed_aperture_level the
+  * same way, dggrid_runner.py:447-449).
+  */
+object Z43Functions {
+  import org.apache.spark.sql.functions.udf
+  import graft.dggs.{Isea43HGrids, Z4}
+
+  def cellForPoint(lon: Column, lat: Column, res: Column, n4: Int,
+                   lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
+                   az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (lo: Double, la: Double, r: Int) =>
+      Isea43HGrids.get(n4, lat0, lon0, az).cellForPoint(GeoRad.fromDeg(la, lo), r)
+    }
+    f(lon, lat, res)
+  }
+
+  // id layout ops are the shared Z4 layout (digits 0-3, 3-bit, pad 7)
+  private lazy val toStringUdf = udf((id: Long) => Z4.toZ4String(id))
+  def z43String(cell: Column): Column = toStringUdf(cell)
+  private lazy val fromStringUdf = udf((s: String) => Z4.fromZ4String(s))
+  def z43FromString(s: Column): Column = fromStringUdf(s)
+  private lazy val parentUdf = udf((id: Long) => Z4.parent(id))
+  def z43Parent(cell: Column): Column = parentUdf(cell)
+  private lazy val ancestorUdf = udf((id: Long, r: Int) => Z4.ancestorAt(id, r))
+  def z43AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+
+  /** children / descendants need the aperture sequence (digit alphabet
+    * is per-level), so they go through the kernel.
+    */
+  def z43Children(cell: Column, n4: Int): Column = {
+    val f = udf((id: Long) => Isea43HGrids.default(n4).children(id))
+    f(cell)
+  }
+  def z43DescendantsAt(cell: Column, r: Column, n4: Int): Column = {
+    val f = udf((id: Long, toRes: Int) => Isea43HGrids.default(n4).descendants(id, toRes))
+    f(cell, r)
+  }
+
+  def cellCenter(cell: Column, n4: Int, lat0: Double = Grids.DefaultLat,
+                 lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      val c = Isea43HGrids.get(n4, lat0, lon0, az).cellCenter(id)
+      (c.lonDeg, c.latDeg)
+    }
+    f(cell).cast("struct<lon:double,lat:double>")
+  }
+
+  /** hexagon (6) / pentagon (5) corners as array<struct<lon,lat>> */
+  def cellBoundary(cell: Column, n4: Int, lat0: Double = Grids.DefaultLat,
+                   lon0: Double = Grids.DefaultLon, az: Double = Grids.DefaultAz): Column = {
+    val f = udf { (id: Long) =>
+      Isea43HGrids.get(n4, lat0, lon0, az).cellBoundary(id).toSeq.map(g => (g.lonDeg, g.latDeg))
+    }
+    f(cell).cast("array<struct<lon:double,lat:double>>")
+  }
+
+  // ---- address forms (mixed-radix ZORDER / Q2DI / INTERLEAVE) ----
+  def z43ToZorder(cell: Column, n4: Int): Column = {
+    val f = udf((id: Long) => Isea43HGrids.default(n4).toZorder(id))
+    f(cell)
+  }
+  def zorderToZ43(zo: Column, n4: Int): Column = {
+    val f = udf((z: Long) => Isea43HGrids.default(n4).fromZorder(z))
+    f(zo)
+  }
+  def z43ToZorderString(cell: Column, n4: Int): Column = {
+    val f = udf((id: Long) => Isea43HGrids.default(n4).toZorderString(id))
+    f(cell)
+  }
+  def zorderStringToZ43(sx: Column, n4: Int): Column = {
+    val f = udf((x: String) => Isea43HGrids.default(n4).fromZorderString(x))
+    f(sx)
+  }
+  def z43ToQ2di(cell: Column, n4: Int): Column = {
+    val f = udf { (id: Long) =>
+      val (q, i, j) = Isea43HGrids.default(n4).toQ2di(id)
+      (q, i, j)
+    }
+    f(cell).cast("struct<q:int,i:bigint,j:bigint>")
+  }
+  def q2diToZ43(q: Column, i: Column, j: Column, res: Column, n4: Int): Column = {
+    val f = udf((qq: Int, ii: Long, jj: Long, r: Int) =>
+      Isea43HGrids.default(n4).fromQ2di(qq, ii, jj, r))
+    f(q, i, j, res)
+  }
+}

@@ -45,6 +45,7 @@ object FreezeFixtures {
     val d4g = graft.dggs.Isea4DGrids.default
     val h3g = graft.dggs.Isea3HGrids.default
     val h4g = graft.dggs.Isea4HGrids.default
+    val h43g = graft.dggs.Isea43HGrids.default(3)
     val mapRows = geo.map { case (lonM, latM, lon, lat) =>
       val p = GeoRad.fromDeg(lat, lon)
       val cs = (3 to 6).map(r => Z7.toZ7String(g.cellForPoint(p, r)))
@@ -62,7 +63,10 @@ object FreezeFixtures {
       // prefix-hierarchical, so index-space ancestors are substrs —
       // the same contract as h6)
       val f6 = graft.dggs.Z4.toZ4String(h4g.cellForPoint(p, 6))
-      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6', '$h6', '$f6')"
+      // m6 = ISEA43H (mixed_aperture_level 3) res-6 digit string in the
+      // shared Z4 layout — prefix-hierarchical like h6/f6
+      val m6 = graft.dggs.Z4.toZ4String(h43g.cellForPoint(p, 6))
+      s"  ($lonM, $latM, '${cs(0)}', '${cs(1)}', '${cs(2)}', '${cs(3)}', $seq4, '$t6', '$d6', '$h6', '$f6', '$m6')"
     }
 
     val extent = GridOps.gridCellIdsForExtent(spark, 4, Some((20.2, 57.0, 28.4, 60.0)))
@@ -143,7 +147,7 @@ object FreezeFixtures {
              s"  private val geoRows$i: String = ${q3}${chunk.mkString(",\n")}${q3}"
            }.mkString("\n")}
          |  val geoCellCte: String =
-         |    "cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6, h6, f6) AS (VALUES\\n" +
+         |    "cells(lon_mdeg, lat_mdeg, c3, c4, c5, c6, seq4, t6, d6, h6, f6, m6) AS (VALUES\\n" +
          |    Seq(${mapRows.grouped(250).zipWithIndex.map(t => s"geoRows${t._2}").mkString(", ")}).mkString(",\\n") + ")"
          |
          |  /** grid_cellids_for_extent((20.2,57.0)-(28.4,60.0), res 4) */
