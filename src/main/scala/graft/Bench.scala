@@ -732,3 +732,49 @@ object BenchStore {
     spark.stop()
   }
 }
+
+/** Round-8 hex-kernel scaling leg: point→cell assignment throughput of
+  * the three NEW hexagon kernels (ISEA3H / ISEA4H / ISEA43H n4=3) over
+  * deterministic world-wide points, one parallelism level per run —
+  * the N-vs-4N protocol for the kernels added this round. The per-level
+  * XOR checksum of all assigned ids must be identical at every
+  * parallelism level (placement invariance).
+  *
+  *   sbt "runMain graft.BenchHexKernels <cpus> [nPoints] [res]"
+  */
+object BenchHexKernels {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "32"
+    val n = if (args.length > 1) args(1).toLong else 4000000L
+    val res = if (args.length > 2) args(2).toInt else 9
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.GridOps
+    // deterministic world-wide points (same congruence family as
+    // BenchKernel); |lat| unrestricted — pentagons and seams included
+    def pts = spark.range(n).select(
+      (col("id") * 9973L % 360000L / 1000.0 - 180.0).as("lon"),
+      (col("id") * 6271L % 180000L / 1000.0 - 90.0).as("lat"))
+    def leg(name: String, assign: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      // modular checksum: raw ids sit near 2^62, a plain sum overflows
+      def chkCol = sum(pmod(col("cell_id"), lit(1000000007L)))
+      assign(pts.limit(50000)).agg(chkCol).collect() // warmup
+      val t0 = System.nanoTime()
+      val chk = assign(pts).agg(chkCol.as("s"), count(lit(1)).as("c"))
+        .collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"""{"bench":"hex_kernels","leg":"$name","cpus":$cpus,"points":$n,"res":$res,""" +
+        s""""wall_sec":$wall,"cells_per_sec":${(n / wall).toLong},""" +
+        s""""checksum":${chk.getLong(0)},"rows":${chk.getLong(1)}}""")
+    }
+    leg("isea3h", df => GridOps.cellsForGeoPoints3H(df, "lon", "lat", res))
+    leg("isea4h", df => GridOps.cellsForGeoPoints4H(df, "lon", "lat", res))
+    leg("isea43h", df => GridOps.cellsForGeoPoints43H(df, "lon", "lat", res, 3))
+    spark.stop()
+  }
+}
