@@ -996,6 +996,37 @@ object SparkEntry {
       GridOps.addressTransform3H(z3, "z3", "Z3", "Z3_STRING", 6)
         .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
     }),
+    "dggs_3h_compact" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z3Functions => H}
+      // compaction on the aperture-3 hex INDEX hierarchy (family size 3
+      // on quad bases, 1 on the caps): the full res-3 cover under quad
+      // base "05" cascades to the base cell; res-6 descendants of
+      // "072012" minus one leaf compact 2 of 3 res-5 families and keep
+      // the punctured family's 2 survivors; a lone cap descendant
+      // ("000000") cascades through the family-1 cap rule to "00"; a
+      // 2-cell scatter passes through
+      val full = Seq("05").toDF("p")
+        .select(explode(H.z3DescendantsAt(H.z3FromString(col("p")), lit(3)))
+          .as("cell_id"))
+      val punct = Seq("072012").toDF("p")
+        .select(explode(H.z3DescendantsAt(H.z3FromString(col("p")), lit(6)))
+          .as("cell_id"))
+        .where(H.z3String(col("cell_id")) =!= "07201211")
+      val capAndScatter = Seq("000000", "0311", "0322").toDF("n")
+        .select(H.z3FromString(col("n")).as("cell_id"))
+      GridOps.compactCells3H(full.unionByName(punct).unionByName(capAndScatter))
+        .select(H.z3String(col("cell_id")).as("name"))
+    }),
+    "dggs_3h_extent_ids" -> ((s, _) => {
+      // clipped hex extent via sample-assign-refine (levelwise pruning
+      // is unsound on the hex index hierarchies — seam re-homing; the
+      // exactness property vs brute force is SparkOpsSpec "hex extent
+      // ids", the frozen fixture pins regression)
+      import graft.spark.{Z3Functions => H}
+      GridOps.gridCellIdsForExtent3H(s, 8, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z3String(col("cell_id")).as("name"))
+    }),
 
     // ---- ISEA4H (aperture-4 hexagon kernel, round 8) ----
     "dggs_4h_stats" -> ((s, _) => {
@@ -1046,6 +1077,30 @@ object SparkEntry {
         .withColumnRenamed("out_addr", "z4")
       GridOps.addressTransform4H(z4, "z4", "Z4", "Z4_STRING", 6)
         .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
+    }),
+    "dggs_4h_compact" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z4Functions => H}
+      // the 3H compact scenario on the aperture-4 hierarchy (family 4 on
+      // quad bases, 1 on the caps) — this time the cap chain runs under
+      // base 11 so both caps are covered across the two hex compact
+      // queries
+      val full = Seq("05").toDF("p")
+        .select(explode(H.z4DescendantsAt(H.z4FromString(col("p")), lit(3)))
+          .as("cell_id"))
+      val punct = Seq("072013").toDF("p")
+        .select(explode(H.z4DescendantsAt(H.z4FromString(col("p")), lit(6)))
+          .as("cell_id"))
+        .where(H.z4String(col("cell_id")) =!= "07201311")
+      val capAndScatter = Seq("110000", "0311", "0322").toDF("n")
+        .select(H.z4FromString(col("n")).as("cell_id"))
+      GridOps.compactCells4H(full.unionByName(punct).unionByName(capAndScatter))
+        .select(H.z4String(col("cell_id")).as("name"))
+    }),
+    "dggs_4h_extent_ids" -> ((s, _) => {
+      import graft.spark.{Z4Functions => H}
+      GridOps.gridCellIdsForExtent4H(s, 6, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z4String(col("cell_id")).as("name"))
     }),
 
     // ---- ISEA43H (MIXED-aperture hexagon kernel, round 8; gate config
@@ -1098,6 +1153,33 @@ object SparkEntry {
         .withColumnRenamed("out_addr", "z43")
       GridOps.addressTransform43H(z43, "z43", "Z43", "Z43_STRING", 6, 3)
         .select(col("doc_id"), col("offset"), col("out_addr").as("name"))
+    }),
+    "dggs_43h_extent_ids" -> ((s, _) => {
+      import graft.spark.{Z43Functions => H}
+      GridOps.gridCellIdsForExtent43H(s, 6, 3, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z43String(col("cell_id")).as("name"))
+    }),
+    "dggs_43h_compact" -> ((s, _) => {
+      import s.implicits._
+      import graft.spark.{Z43Functions => H}
+      // mixed-aperture compaction ACROSS the 4→3 boundary (n4=3): the
+      // full res-3 cover under "05" compacts through three aperture-4
+      // levels; the res-4 descendants of "0720" minus one leaf compact
+      // 3 of 4 level-4 families (each family size 3 — level 4 is
+      // aperture 3) but the level-3 family of 4 stays incomplete; cap
+      // chain + scatter as in the pure-aperture queries
+      val full = Seq("05").toDF("p")
+        .select(explode(H.z43DescendantsAt(H.z43FromString(col("p")), lit(3), 3))
+          .as("cell_id"))
+      val punct = Seq("0720").toDF("p")
+        .select(explode(H.z43DescendantsAt(H.z43FromString(col("p")), lit(4), 3))
+          .as("cell_id"))
+        .where(H.z43String(col("cell_id")) =!= "072032")
+      val capAndScatter = Seq("00000", "0311", "0322").toDF("n")
+        .select(H.z43FromString(col("n")).as("cell_id"))
+      GridOps.compactCells43H(
+          full.unionByName(punct).unionByName(capAndScatter), 3)
+        .select(H.z43String(col("cell_id")).as("name"))
     }),
 
     "dggs_addr_transform" -> ((s, dir) => {
@@ -1937,6 +2019,37 @@ object SparkEntry {
     "dggs_3h_addr_transform" ->
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", h6 AS name FROM gc""".stripMargin,
+    "dggs_3h_compact" -> {
+      // GENERIC aperture-3 hex compaction recomputed on names (Z3 nests
+      // by string prefix; res = len−2; family size 3 on quad bases, 1 on
+      // the caps 00/11) — the 4T mechanical per-level SQL with the
+      // cap-aware family-size CASE
+      val rounds = (6 to 1 by -1).zipWithIndex.map { case (r, i) =>
+        val (prev, cur) = (s"c$i", s"c${i + 1}")
+        val ln = r + 2
+        s"""g$i AS (SELECT substr(name, 1, ${ln - 1}) AS p, count(*) AS n
+           |       FROM $prev WHERE len(name) = $ln GROUP BY 1),
+           |f$i AS (SELECT p FROM g$i WHERE n =
+           |       CASE WHEN substr(p, 1, 2) IN ('00', '11') THEN 1 ELSE 3 END),
+           |$cur AS (SELECT name FROM $prev WHERE len(name) <> $ln
+           |       UNION ALL
+           |       SELECT name FROM $prev WHERE len(name) = $ln
+           |         AND substr(name, 1, ${ln - 1}) NOT IN (SELECT p FROM f$i)
+           |       UNION ALL SELECT p FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(unnest(generate_series(0, 2)) AS VARCHAR) AS x),
+         |c0 AS (
+         |  SELECT '05' || d1.x || d2.x || d3.x AS name FROM d d1, d d2, d d3
+         |  UNION ALL
+         |  SELECT name FROM (
+         |    SELECT '072012' || d1.x || d2.x AS name FROM d d1, d d2) t
+         |  WHERE name <> '07201211'
+         |  UNION ALL
+         |  SELECT name FROM (VALUES ('000000'), ('0311'), ('0322')) v(name)),
+         |$rounds
+         |SELECT name FROM c6""".stripMargin
+    },
+    "dggs_3h_extent_ids" -> OracleFixtures.extent3hSql,
     // ---- ISEA4H oracles: frozen f6 column (round 8). Z4 paths are
     // prefix-hierarchical (index space), so ancestors are substrs; the
     // assignment itself is the frozen kernel map, like Z7/T4/D4/Z3 ----
@@ -1969,6 +2082,35 @@ object SparkEntry {
     "dggs_4h_addr_transform" ->
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", f6 AS name FROM gc""".stripMargin,
+    "dggs_4h_compact" -> {
+      // the 3H mechanical compaction SQL with digits 0-3 and quad family
+      // size 4 (caps still 1); cap chain under base 11
+      val rounds = (6 to 1 by -1).zipWithIndex.map { case (r, i) =>
+        val (prev, cur) = (s"c$i", s"c${i + 1}")
+        val ln = r + 2
+        s"""g$i AS (SELECT substr(name, 1, ${ln - 1}) AS p, count(*) AS n
+           |       FROM $prev WHERE len(name) = $ln GROUP BY 1),
+           |f$i AS (SELECT p FROM g$i WHERE n =
+           |       CASE WHEN substr(p, 1, 2) IN ('00', '11') THEN 1 ELSE 4 END),
+           |$cur AS (SELECT name FROM $prev WHERE len(name) <> $ln
+           |       UNION ALL
+           |       SELECT name FROM $prev WHERE len(name) = $ln
+           |         AND substr(name, 1, ${ln - 1}) NOT IN (SELECT p FROM f$i)
+           |       UNION ALL SELECT p FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x),
+         |c0 AS (
+         |  SELECT '05' || d1.x || d2.x || d3.x AS name FROM d d1, d d2, d d3
+         |  UNION ALL
+         |  SELECT name FROM (
+         |    SELECT '072013' || d1.x || d2.x AS name FROM d d1, d d2) t
+         |  WHERE name <> '07201311'
+         |  UNION ALL
+         |  SELECT name FROM (VALUES ('110000'), ('0311'), ('0322')) v(name)),
+         |$rounds
+         |SELECT name FROM c6""".stripMargin
+    },
+    "dggs_4h_extent_ids" -> OracleFixtures.extent4hSql,
     // ---- ISEA43H oracles: frozen m6 column (round 8, mixed level 3).
     // The packed digit paths are prefix-hierarchical regardless of the
     // per-level aperture, so ancestors are substrs ----
@@ -2001,6 +2143,38 @@ object SparkEntry {
     "dggs_43h_addr_transform" ->
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", m6 AS name FROM gc""".stripMargin,
+    "dggs_43h_extent_ids" -> OracleFixtures.extent43hSql,
+    "dggs_43h_compact" -> {
+      // mixed-aperture mechanical compaction SQL: per-round family size
+      // follows the aperture at the CHILD level (4 through level n4=3,
+      // 3 after), caps stay 1
+      val rounds = (4 to 1 by -1).zipWithIndex.map { case (r, i) =>
+        val (prev, cur) = (s"c$i", s"c${i + 1}")
+        val ln = r + 2
+        val fam = if (r <= 3) 4 else 3
+        s"""g$i AS (SELECT substr(name, 1, ${ln - 1}) AS p, count(*) AS n
+           |       FROM $prev WHERE len(name) = $ln GROUP BY 1),
+           |f$i AS (SELECT p FROM g$i WHERE n =
+           |       CASE WHEN substr(p, 1, 2) IN ('00', '11') THEN 1 ELSE $fam END),
+           |$cur AS (SELECT name FROM $prev WHERE len(name) <> $ln
+           |       UNION ALL
+           |       SELECT name FROM $prev WHERE len(name) = $ln
+           |         AND substr(name, 1, ${ln - 1}) NOT IN (SELECT p FROM f$i)
+           |       UNION ALL SELECT p FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d4 AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS x),
+         |d3 AS (SELECT CAST(unnest(generate_series(0, 2)) AS VARCHAR) AS x),
+         |c0 AS (
+         |  SELECT '05' || a.x || b.x || c.x AS name FROM d4 a, d4 b, d4 c
+         |  UNION ALL
+         |  SELECT name FROM (
+         |    SELECT '0720' || a.x || b.x AS name FROM d4 a, d3 b) t
+         |  WHERE name <> '072032'
+         |  UNION ALL
+         |  SELECT name FROM (VALUES ('00000'), ('0311'), ('0322')) v(name)),
+         |$rounds
+         |SELECT name FROM c4""".stripMargin
+    },
     "dggs_knn" ->
       s"""WITH $geoCte,
          |q AS (SELECT doc_id AS q_doc, "offset" AS q_offset, lon AS q_lon, lat AS q_lat

@@ -264,6 +264,66 @@ object GridOps {
       graft.spark.T4Functions.t4Resolution, graft.spark.T4Functions.t4Parent,
       _ => lit(4L))
 
+  /** Z3/Z4 base-cell extraction as NATIVE column arithmetic (top nibble
+    * of the 64-bit id — both codecs put the base there) so the family
+    * test below stays inside whole-stage codegen.
+    */
+  private def hexBaseCell(c: Column): Column =
+    shiftrightunsigned(c, 60).bitwiseAND(lit(0xFL))
+
+  /** [[compactCells]] for the engine-canonical ISEA3H aperture-3
+    * hexagon hierarchy (Z3 index nesting): family size 3 on quad bases,
+    * 1 on the polar caps 0/11 (caps own only their center child chain —
+    * Z3.childDigits), so a cap's lone child always compacts upward.
+    */
+  def compactCells3H(cells: DataFrame, cellCol: String = "cell_id",
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    import graft.spark.{Z3Functions => H}
+    compactCellsLoop(cells, cellCol, keyCols, H.z3Resolution, H.z3Parent,
+      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
+        .otherwise(lit(3L)))
+  }
+
+  /** [[compactCells]] for the engine-canonical ISEA4H aperture-4
+    * hexagon hierarchy (Z4 index nesting): family size 4 on quad bases,
+    * 1 on the caps (same ownership rule as Z3 — Z4.childDigits).
+    */
+  def compactCells4H(cells: DataFrame, cellCol: String = "cell_id",
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    import graft.spark.{Z4Functions => H}
+    compactCellsLoop(cells, cellCol, keyCols, H.z4Resolution, H.z4Parent,
+      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
+        .otherwise(lit(4L)))
+  }
+
+  /** [[compactCells]] for the MIXED-aperture ISEA43H hierarchy: the
+    * family size of a parent's children follows the aperture at the
+    * CHILD level — 4 for child levels ≤ n4, 3 after — and 1 on the caps
+    * (ids share the Z4 3-bit layout, so Z4 resolution/parent apply).
+    */
+  def compactCells43H(cells: DataFrame, n4: Int, cellCol: String = "cell_id",
+                      keyCols: Seq[String] = Nil): DataFrame = {
+    import graft.spark.{Z4Functions => H}
+    compactCellsLoop(cells, cellCol, keyCols, H.z4Resolution, H.z4Parent,
+      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
+        .otherwise(when(H.z4Resolution(p) + lit(1) <= lit(n4), lit(4L))
+          .otherwise(lit(3L))))
+  }
+
+  /** Inverse of [[compactCells3H]]/[[compactCells4H]] — expand a mixed
+    * cover to uniform `res` over the hex index hierarchies (loud on
+    * finer-than-res inputs, like [[uncompactCells]]).
+    */
+  def uncompactCells3H(cells: DataFrame, res: Int,
+                       cellCol: String = "cell_id"): DataFrame =
+    cells.select(explode(
+      graft.spark.Z3Functions.z3DescendantsAt(col(cellCol), lit(res))).as("cell_id"))
+
+  def uncompactCells4H(cells: DataFrame, res: Int,
+                       cellCol: String = "cell_id"): DataFrame =
+    cells.select(explode(
+      graft.spark.Z4Functions.z4DescendantsAt(col(cellCol), lit(res))).as("cell_id"))
+
   private def compactCellsLoop(cells: DataFrame, cellCol: String,
                                keyCols: Seq[String],
                                resOf: Column => Column,
@@ -571,11 +631,13 @@ object GridOps {
   }
 
   /** whole-earth / box-clipped ISEA3H cell generation at `res`
-    * (levelwise Z3 children expansion with center-in-expanded-box
-    * pruning like the Z7/T4 variants; the Z3 index-space children
-    * enumerate the cell set bijectively even though aperture-3 hexagons
-    * do not nest geometrically — the margin covers the one-child-unit
-    * parent-to-child drift on top of the circumradius).
+    * — whole-earth via exact levelwise Z3 index expansion (bijective);
+    * clipped extents via SAMPLE-ASSIGN-REFINE ([[hexExtentClipped]]):
+    * the hex index hierarchies can NOT be clip-pruned levelwise like
+    * Z7/T4, because seam re-homing makes an index ancestor's center
+    * physically unrelated to its subtree (measured: up to 115° of
+    * parent→child center drift at every level, on all three hex
+    * kernels — the Isea3HSpec drift test documents the seam exception).
     */
   def gridCellIdsForExtent3H(spark: SparkSession, res: Int,
                              clip: Option[(Double, Double, Double, Double)] = None,
@@ -583,26 +645,72 @@ object GridOps {
                              az: Double = Grids.DefaultAz): DataFrame = {
     import spark.implicits._
     import graft.spark.{Z3Functions => H}
-    var df = ((0 to 11).map(b => graft.dggs.Z3.pack(b, Seq.empty))).toDF("cell_id")
-    for (k <- 1 to res) {
-      df = df.select(explode(H.z3Children(col("cell_id"))).as("cell_id"))
-      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
-        // hex circumradius at res k ≈ 0.64/3^(k/2) rad; 3× safety: the
-        // aperture-3 index hierarchy drifts one child-unit per level
-        // (children sit on parent vertices), and deeper descendants of a
-        // pruned cell stay within the geometric series of that drift
-        val marginDeg = math.toDegrees(0.64 / math.pow(3.0, k / 2.0)) * 3.0
-        val c = H.cellCenter(col("cell_id"), lat0, lon0, az)
-        val lonMargin = lit(marginDeg) /
-          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
-        df = df.where(
-          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
-            c.getField("lat") >= lit(latMin - marginDeg) &&
-            c.getField("lat") <= lit(latMax + marginDeg))
-      }
-      if (lineageStopAt(k, res)) df = lineageStop(df)
+    clip match {
+      case None =>
+        var df = ((0 to 11).map(b => graft.dggs.Z3.pack(b, Seq.empty))).toDF("cell_id")
+        for (k <- 1 to res) {
+          df = df.select(explode(H.z3Children(col("cell_id"))).as("cell_id"))
+          if (lineageStopAt(k, res)) df = lineageStop(df)
+        }
+        df
+      case Some(box) =>
+        hexExtentClipped(spark, box,
+          math.toDegrees(0.64 / math.pow(3.0, res / 2.0)),
+          (lon, lat) => H.cellForPoint(lon, lat, lit(res), lat0, lon0, az),
+          c => H.cellCenter(c, lat0, lon0, az),
+          c => H.cellBoundary(c, lat0, lon0, az))
     }
-    df
+  }
+
+  /** Clipped hex-grid cell enumeration by sampling: assign a point grid
+    * over the padded clip box to cells (narrow map), dedup, then refine
+    * to the exact center-or-vertex-in-box contract of the Z7 variant.
+    *
+    * Soundness (the sampling theorem of this operator): every cell
+    * whose center or vertex lies in the box has its center within the
+    * box padded by one circumradius (`nominalDeg` × 1.6 — empirical
+    * max/nominal is ≤ 1.26 across kernels and resolutions); a square
+    * sample grid with spacing 0.35 × nominal has every point of the
+    * padded box within 0.25 × nominal of a sample, which is under the
+    * empirical MIN inradius (≥ 0.72 × nominal) with 2× pentagon margin
+    * — so each such cell contains at least one sample and survives the
+    * distinct. Cost is ~16 samples per result cell, all in one
+    * evenly-partitioned `spark.range` map + one distinct — no driver
+    * iteration, no cross-level assumptions, scale-ready for region
+    * extents of millions of cells.
+    */
+  private def hexExtentClipped(spark: SparkSession,
+                               box: (Double, Double, Double, Double),
+                               nominalDeg: Double,
+                               cellFor: (Column, Column) => Column,
+                               center: Column => Column,
+                               boundary: Column => Column): DataFrame = {
+    val (lonMin, latMin, lonMax, latMax) = box
+    val pad = nominalDeg * 1.6
+    val latLo = math.max(-90.0, latMin - pad)
+    val latHi = math.min(90.0, latMax + pad)
+    val maxAbsLat = math.min(85.0, math.max(math.abs(latLo), math.abs(latHi)))
+    val lonPad = pad / math.cos(math.toRadians(maxAbsLat))
+    // lonMin > lonMax = antimeridian-crossing box (same convention as
+    // the Z7 variant): sample over the unwrapped span, wrap per-point
+    val span0 = if (lonMin <= lonMax) lonMax - lonMin else lonMax + 360.0 - lonMin
+    val fullLon = span0 + 2 * lonPad >= 360.0
+    val lonLo = if (fullLon) -180.0 else lonMin - lonPad
+    val lonSpan = if (fullLon) 360.0 else span0 + 2 * lonPad
+    val h = nominalDeg * 0.35
+    val nLon = math.max(2L, math.ceil(lonSpan / h).toLong + 1)
+    val nLat = math.max(2L, math.ceil((latHi - latLo) / h).toLong + 1)
+    val ids = spark.range(nLon * nLat).select(
+        (lit(lonLo) + (col("id") % nLon) * (lonSpan / (nLon - 1))).as("lon0"),
+        (lit(latLo) + (col("id") / nLon) * ((latHi - latLo) / (nLat - 1))).as("lat"))
+      .select((pmod(col("lon0") + lit(180.0), lit(360.0)) - lit(180.0)).as("lon"),
+        col("lat"))
+      .select(cellFor(col("lon"), col("lat")).as("cell_id"))
+      .distinct()
+    val c = center(col("cell_id"))
+    val bnd = boundary(col("cell_id"))
+    ids.where(boxContains(c, lonMin, latMin, lonMax, latMax) ||
+      exists(bnd, v => boxContains(v, lonMin, latMin, lonMax, latMax)))
   }
 
   /** address transform on the ISEA3H grid: Z3 int64, Z3_STRING, ZORDER,
@@ -656,12 +764,10 @@ object GridOps {
       .withColumn("name", H.z4String(col("cell_id")))
   }
 
-  /** whole-earth / box-clipped ISEA4H cell generation at `res`
-    * (levelwise Z4 children expansion with center-in-expanded-box
-    * pruning like the Z7/Z3 variants; the Z4 index-space children
-    * enumerate the cell set bijectively; aperture-4 child centers lie
-    * INSIDE the closed parent hexagon, so the drift term is one child
-    * unit per level with ratio 1/2 — a 2-unit geometric tail).
+  /** whole-earth / box-clipped ISEA4H cell generation at `res` — exact
+    * levelwise Z4 index expansion for whole-earth; sample-assign-refine
+    * ([[hexExtentClipped]]) for clips (seam re-homing rules out
+    * levelwise pruning — see [[gridCellIdsForExtent3H]]).
     */
   def gridCellIdsForExtent4H(spark: SparkSession, res: Int,
                              clip: Option[(Double, Double, Double, Double)] = None,
@@ -669,24 +775,21 @@ object GridOps {
                              az: Double = Grids.DefaultAz): DataFrame = {
     import spark.implicits._
     import graft.spark.{Z4Functions => H}
-    var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
-    for (k <- 1 to res) {
-      df = df.select(explode(H.z4Children(col("cell_id"))).as("cell_id"))
-      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
-        // hex circumradius at res k ≈ 0.64/2^k rad; 3× safety covers the
-        // child-in-parent drift tail (≤2 child units) on top of it
-        val marginDeg = math.toDegrees(0.64 / math.pow(2.0, k)) * 3.0
-        val c = H.cellCenter(col("cell_id"), lat0, lon0, az)
-        val lonMargin = lit(marginDeg) /
-          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
-        df = df.where(
-          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
-            c.getField("lat") >= lit(latMin - marginDeg) &&
-            c.getField("lat") <= lit(latMax + marginDeg))
-      }
-      if (lineageStopAt(k, res)) df = lineageStop(df)
+    clip match {
+      case None =>
+        var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
+        for (k <- 1 to res) {
+          df = df.select(explode(H.z4Children(col("cell_id"))).as("cell_id"))
+          if (lineageStopAt(k, res)) df = lineageStop(df)
+        }
+        df
+      case Some(box) =>
+        hexExtentClipped(spark, box,
+          math.toDegrees(0.64 / math.pow(2.0, res)),
+          (lon, lat) => H.cellForPoint(lon, lat, lit(res), lat0, lon0, az),
+          c => H.cellCenter(c, lat0, lon0, az),
+          c => H.cellBoundary(c, lat0, lon0, az))
     }
-    df
   }
 
   /** address transform on the ISEA4H grid: Z4 int64, Z4_STRING, ZORDER,
@@ -742,10 +845,10 @@ object GridOps {
       .withColumn("name", H.z43String(col("cell_id")))
   }
 
-  /** whole-earth / box-clipped ISEA43H cell generation at `res`
-    * (levelwise children expansion with center-in-expanded-box pruning;
-    * the per-level margin follows the level's actual lattice spacing —
-    * 1/2 per aperture-4 level, 1/√3 per aperture-3 level).
+  /** whole-earth / box-clipped ISEA43H cell generation at `res` — exact
+    * levelwise index expansion for whole-earth; sample-assign-refine
+    * ([[hexExtentClipped]]) for clips (seam re-homing rules out
+    * levelwise pruning — see [[gridCellIdsForExtent3H]]).
     */
   def gridCellIdsForExtent43H(spark: SparkSession, res: Int, n4: Int,
                               clip: Option[(Double, Double, Double, Double)] = None,
@@ -753,27 +856,22 @@ object GridOps {
                               az: Double = Grids.DefaultAz): DataFrame = {
     import spark.implicits._
     import graft.spark.{Z43Functions => H}
-    var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
-    for (k <- 1 to res) {
-      df = df.select(explode(H.z43Children(col("cell_id"), n4)).as("cell_id"))
-      clip.foreach { case (lonMin, latMin, lonMax, latMax) =>
-        // circumradius at res k ≈ 0.64/√(4^min(k,n4)·3^max(0,k−n4)) rad;
-        // 3× safety covers the per-level child drift tails of both
-        // aperture families (≤1 child unit per level)
-        val spacing = math.sqrt(
-          math.pow(4.0, math.min(k, n4)) * math.pow(3.0, math.max(0, k - n4)))
-        val marginDeg = math.toDegrees(0.64 / spacing) * 3.0
-        val c = H.cellCenter(col("cell_id"), n4, lat0, lon0, az)
-        val lonMargin = lit(marginDeg) /
-          cos(radians(least(lit(85.0), abs(c.getField("lat")))))
-        df = df.where(
-          lonDistToBox(c.getField("lon"), lonMin, lonMax) <= lonMargin &&
-            c.getField("lat") >= lit(latMin - marginDeg) &&
-            c.getField("lat") <= lit(latMax + marginDeg))
-      }
-      if (lineageStopAt(k, res)) df = lineageStop(df)
+    clip match {
+      case None =>
+        var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
+        for (k <- 1 to res) {
+          df = df.select(explode(H.z43Children(col("cell_id"), n4)).as("cell_id"))
+          if (lineageStopAt(k, res)) df = lineageStop(df)
+        }
+        df
+      case Some(box) =>
+        hexExtentClipped(spark, box,
+          math.toDegrees(0.64 / math.sqrt(
+            math.pow(4.0, math.min(res, n4)) * math.pow(3.0, math.max(0, res - n4)))),
+          (lon, lat) => H.cellForPoint(lon, lat, lit(res), n4, lat0, lon0, az),
+          c => H.cellCenter(c, n4, lat0, lon0, az),
+          c => H.cellBoundary(c, n4, lat0, lon0, az))
     }
-    df
   }
 
   /** address transform on the ISEA43H grid: Z43 int64 (the packed

@@ -73,6 +73,22 @@ object FreezeFixtures {
       .select(F.z7String(col("cell_id"))).as[String].collect().sorted
     val extentRows = extent.map(n => s"  ('$n')")
 
+    // hex-kernel extents over the same box (regression pins: the
+    // CORRECTNESS content — sample-assign-refine == brute-force — is the
+    // SparkOpsSpec "hex extent ids" property, which proves the operator
+    // exact against full driver-side enumeration for mid-lat and
+    // antimeridian boxes on all three kernels)
+    val hexBox = Some((20.2, 57.0, 28.4, 60.0))
+    val extent3hRows = GridOps.gridCellIdsForExtent3H(spark, 8, hexBox)
+      .select(graft.spark.Z3Functions.z3String(col("cell_id")))
+      .as[String].collect().sorted.map(n => s"  ('$n')")
+    val extent4hRows = GridOps.gridCellIdsForExtent4H(spark, 6, hexBox)
+      .select(graft.spark.Z4Functions.z4String(col("cell_id")))
+      .as[String].collect().sorted.map(n => s"  ('$n')")
+    val extent43hRows = GridOps.gridCellIdsForExtent43H(spark, 6, 3, hexBox)
+      .select(graft.spark.Z43Functions.z43String(col("cell_id")))
+      .as[String].collect().sorted.map(n => s"  ('$n')")
+
     // antimeridian-crossing box (Fiji-ish): frozen as the UNION of its
     // two split halves, each computed by the ordinary NON-wrapped path —
     // so the wrapped implementation (the dggs_wrap_extent_ids query) is
@@ -154,6 +170,21 @@ object FreezeFixtures {
          |  val extentIdsSql: String =
          |    ${q3}SELECT name FROM (VALUES
          |${extentRows.mkString(",\n")}) t(name)${q3}
+         |
+         |  /** hex-kernel extents over the same box — ISEA3H res 8 /
+         |    * ISEA4H res 6 / ISEA43H(n4=3) res 6; exactness of the
+         |    * sample-assign-refine operator vs brute force is proven in
+         |    * SparkOpsSpec "hex extent ids", these pin regression.
+         |    */
+         |  val extent3hSql: String =
+         |    ${q3}SELECT name FROM (VALUES
+         |${extent3hRows.mkString(",\n")}) t(name)${q3}
+         |  val extent4hSql: String =
+         |    ${q3}SELECT name FROM (VALUES
+         |${extent4hRows.mkString(",\n")}) t(name)${q3}
+         |  val extent43hSql: String =
+         |    ${q3}SELECT name FROM (VALUES
+         |${extent43hRows.mkString(",\n")}) t(name)${q3}
          |
          |  /** antimeridian-crossing extent (175,−20)→(−175,−10) at res 4,
          |    * frozen as the union of its two split halves (each via the

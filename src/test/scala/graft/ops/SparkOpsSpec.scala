@@ -843,6 +843,121 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("compactCells3H/4H: cascade, cap family-1 chain, puncture, roundtrip") {
+    import spark.implicits._
+    import graft.spark.{Z3Functions => H3, Z4Functions => H4}
+    def n3(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(H3.z3String(col("cell_id"))).as[String].collect().toSet
+    def n4h(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(H4.z4String(col("cell_id"))).as[String].collect().toSet
+    // aperture-3: full two-level quad cover cascades; 2-of-3 family stays
+    val full3 = Seq("05").toDF("p")
+      .select(explode(H3.z3DescendantsAt(H3.z3FromString(col("p")), lit(2)))
+        .as("cell_id"))
+    assert(n3(GridOps.compactCells3H(full3)) == Set("05"))
+    val punct3 = full3.where(H3.z3String(col("cell_id")) =!= "0500")
+    assert(n3(GridOps.compactCells3H(punct3)) ==
+      Set("051", "052", "0501", "0502"))
+    // cap rule: the lone descendant chain compacts to the base (family 1)
+    val cap3 = Seq("000000").toDF("n")
+      .select(H3.z3FromString(col("n")).as("cell_id"))
+    assert(n3(GridOps.compactCells3H(cap3)) == Set("00"))
+    // but a QUAD cell with a single child does NOT compact
+    val lone3 = Seq("0500").toDF("n")
+      .select(H3.z3FromString(col("n")).as("cell_id"))
+    assert(n3(GridOps.compactCells3H(lone3)) == Set("0500"))
+    // roundtrip on the uniform-res punctured set
+    assert(n3(GridOps.uncompactCells3H(GridOps.compactCells3H(punct3), 2)) ==
+      n3(punct3))
+    // aperture-4: family 4 on quads, cap 11 chain, 3-of-4 stays
+    val full4 = Seq("05").toDF("p")
+      .select(explode(H4.z4DescendantsAt(H4.z4FromString(col("p")), lit(2)))
+        .as("cell_id"))
+    assert(n4h(GridOps.compactCells4H(full4)) == Set("05"))
+    val punct4 = full4.where(H4.z4String(col("cell_id")) =!= "0500")
+    assert(n4h(GridOps.compactCells4H(punct4)) ==
+      Set("051", "052", "053", "0501", "0502", "0503"))
+    val cap4 = Seq("11000").toDF("n")
+      .select(H4.z4FromString(col("n")).as("cell_id"))
+    assert(n4h(GridOps.compactCells4H(cap4)) == Set("11"))
+    assert(n4h(GridOps.uncompactCells4H(GridOps.compactCells4H(punct4), 2)) ==
+      n4h(punct4))
+    // mixed aperture (n4=3): a full res-4 cover under a res-3 parent
+    // needs only 3 children per family at level 4 (aperture 3) but 4 at
+    // level 3 (aperture 4) — compaction crosses the boundary exactly
+    import graft.spark.{Z43Functions => H43}
+    def n43(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(H43.z43String(col("cell_id"))).as[String].collect().toSet
+    val full43 = Seq("0520").toDF("p")
+      .select(explode(H43.z43DescendantsAt(H43.z43FromString(col("p")), lit(4), 3))
+        .as("cell_id"))
+    assert(full43.count() == 12L) // 4 level-3 children x 3 level-4 children
+    assert(n43(GridOps.compactCells43H(full43, 3)) == Set("0520"))
+    val punct43 = full43.where(H43.z43String(col("cell_id")) =!= "052000")
+    assert(n43(GridOps.compactCells43H(punct43, 3)) ==
+      Set("05201", "05202", "05203", "052001", "052002"))
+    spark.catalog.clearCache()
+  }
+
+  test("hex extent ids: clip-pruned expansion == brute-force refine, incl. wrap box") {
+    import spark.implicits._
+    import graft.spark.{Z3Functions => H3, Z4Functions => H4, Z43Functions => H43}
+    // brute force: enumerate EVERY cell at the target res driver-side
+    // through the pure kernel and apply the same center-or-vertex-in-box
+    // refine — equality proves the levelwise margin pruning is LOSSLESS
+    // (and the final refine makes it exact, not a margin band)
+    def inBox(lon: Double, lat: Double, b: (Double, Double, Double, Double)): Boolean = {
+      val (lonMin, latMin, lonMax, latMax) = b
+      val lonOk = if (lonMin <= lonMax) lon >= lonMin && lon <= lonMax
+                  else lon >= lonMin || lon <= lonMax // antimeridian box
+      lonOk && lat >= latMin && lat <= latMax
+    }
+    val midBox = (20.2, 57.0, 28.4, 60.0)
+    val wrapBox = (175.0, -20.0, -175.0, -10.0)
+    def check(kernel: String, res: Int,
+              allCells: => Seq[Long],
+              center: Long => graft.dggs.Sphere.GeoRad,
+              boundary: Long => Array[graft.dggs.Sphere.GeoRad],
+              run: (Double, Double, Double, Double) => org.apache.spark.sql.DataFrame): Unit = {
+      val cells = allCells
+      for (b <- Seq(midBox, wrapBox)) {
+        val brute = cells.filter { z =>
+          val c = center(z)
+          inBox(c.lonDeg, c.latDeg, b) ||
+            boundary(z).exists(v => inBox(v.lonDeg, v.latDeg, b))
+        }.toSet
+        val got = run(b._1, b._2, b._3, b._4)
+          .select(col("cell_id")).as[Long].collect().toSet
+        assert(got.nonEmpty, s"$kernel $b empty")
+        assert(got == brute, s"$kernel $b: extra=${got -- brute} missing=${brute -- got}")
+      }
+    }
+    locally {
+      import graft.dggs.{Isea3HGrids, Z3}
+      val g = Isea3HGrids.default
+      check("3H", 6,
+        (0 to 11).flatMap(bse => Z3.descendants(Z3.pack(bse, Seq.empty), 6)),
+        g.cellCenter, g.cellBoundary,
+        (a, c, d, e) => GridOps.gridCellIdsForExtent3H(spark, 6, Some((a, c, d, e))))
+    }
+    locally {
+      import graft.dggs.{Isea4HGrids, Z4}
+      val g = Isea4HGrids.default
+      check("4H", 5,
+        (0 to 11).flatMap(bse => Z4.descendants(Z4.pack(bse, Seq.empty), 5)),
+        g.cellCenter, g.cellBoundary,
+        (a, c, d, e) => GridOps.gridCellIdsForExtent4H(spark, 5, Some((a, c, d, e))))
+    }
+    locally {
+      import graft.dggs.{Isea43HGrids, Z4}
+      val g = Isea43HGrids.default(3)
+      check("43H", 5,
+        (0 to 11).flatMap(bse => g.descendants(Z4.pack(bse, Seq.empty), 5)),
+        g.cellCenter, g.cellBoundary,
+        (a, c, d, e) => GridOps.gridCellIdsForExtent43H(spark, 5, 3, Some((a, c, d, e))))
+    }
+  }
+
   test("cellPyramid: level-from-level == direct, conservation, weights, raises") {
     import spark.implicits._
     val geo = CorpusOps.geoSpans(corpus(100))
