@@ -775,6 +775,21 @@ object BenchHexKernels {
     leg("isea3h", df => GridOps.cellsForGeoPoints3H(df, "lon", "lat", res))
     leg("isea4h", df => GridOps.cellsForGeoPoints4H(df, "lon", "lat", res))
     leg("isea43h", df => GridOps.cellsForGeoPoints43H(df, "lon", "lat", res, 3))
+    // region-extent leg: the round-8 sample-assign-refine operator over a
+    // country-scale box at fine res (~230k result cells at res 15 —
+    // ~9M samples through the kernel, one range map + one distinct)
+    locally {
+      val box = Some((10.0, 45.0, 20.0, 55.0))
+      def chk = sum(pmod(col("cell_id"), lit(1000000007L)))
+      GridOps.gridCellIdsForExtent3H(spark, 8, box).agg(chk).collect() // warmup
+      val t0 = System.nanoTime()
+      val r0 = GridOps.gridCellIdsForExtent3H(spark, 15, box)
+        .agg(chk.as("s"), count(lit(1)).as("c")).collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"""{"bench":"hex_extent","leg":"isea3h_res15","cpus":$cpus,""" +
+        s""""wall_sec":$wall,"cells":${r0.getLong(1)},"cells_per_sec":${(r0.getLong(1) / wall).toLong},""" +
+        s""""checksum":${r0.getLong(0)}}""")
+    }
     spark.stop()
   }
 }

@@ -643,16 +643,9 @@ object GridOps {
                              clip: Option[(Double, Double, Double, Double)] = None,
                              lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                              az: Double = Grids.DefaultAz): DataFrame = {
-    import spark.implicits._
     import graft.spark.{Z3Functions => H}
     clip match {
-      case None =>
-        var df = ((0 to 11).map(b => graft.dggs.Z3.pack(b, Seq.empty))).toDF("cell_id")
-        for (k <- 1 to res) {
-          df = df.select(explode(H.z3Children(col("cell_id"))).as("cell_id"))
-          if (lineageStopAt(k, res)) df = lineageStop(df)
-        }
-        df
+      case None => hexWholeEarth(spark, res, 2, _ => 3)
       case Some(box) =>
         hexExtentClipped(spark, box,
           math.toDegrees(0.64 / math.pow(3.0, res / 2.0)),
@@ -660,6 +653,46 @@ object GridOps {
           c => H.cellCenter(c, lat0, lon0, az),
           c => H.cellBoundary(c, lat0, lon0, az))
     }
+  }
+
+  /** Whole-earth hex-grid enumeration via the dense rank bijection —
+    * the Z7-seqnum-style fast path for the hex codecs: ONE evenly
+    * partitioned `spark.range(10·Πradix + 2)` with pure native bit
+    * arithmetic per row (no explode chain, no driver-side level loop —
+    * the right plan shape for N(15) ≈ 1.4×10⁸ cells on a cluster).
+    * Rank 0 = cap base 0, ranks 1..10·Πradix = the ten quads' digit
+    * strings (mixed-radix little-endian decomposition; the subtract-
+    * remainder divide is EXACT in doubles for all counts < 2⁵³), last
+    * rank = cap base 11. `slotBits`/`radixAt` parameterize the Z3 (2-bit,
+    * radix 3), Z4 (3-bit, radix 4) and Z43 (3-bit, mixed 4-then-3)
+    * layouts; pad slots are all-ones per the codec contracts.
+    */
+  private def hexWholeEarth(spark: SparkSession, res: Int,
+                            slotBits: Int, radixAt: Int => Int): DataFrame = {
+    val perQuad = (1 to res).map(radixAt(_).toLong).product
+    val n = 10L * perQuad + 2L
+    val padVal = if (60 - slotBits * res == 0) 0L
+      else (1L << (60 - slotBits * res)) - 1L
+    val rank = col("id")
+    val base = when(rank === 0L, lit(0L)).when(rank === n - 1L, lit(11L))
+      .otherwise((((rank - 1L) - pmod(rank - 1L, lit(perQuad))) /
+        lit(perQuad.toDouble)).cast("long") + 1L)
+    val idx = when(rank === 0L || rank === n - 1L, lit(0L))
+      .otherwise(pmod(rank - 1L, lit(perQuad)))
+    // per-level digits by stride division (NOT a quotient recurrence —
+    // that doubles the expression tree per level; this stays linear in
+    // res): d_level = (idx div stride_level) mod radix_level, with
+    // stride_level = Π radix of the deeper levels
+    var acc: Column = shiftleft(base, 60).bitwiseOR(lit(padVal))
+    var stride = 1L
+    for (level <- res to 1 by -1) {
+      val radix = radixAt(level).toLong
+      val q = if (stride == 1L) idx
+        else ((idx - pmod(idx, lit(stride))) / lit(stride.toDouble)).cast("long")
+      acc = acc.bitwiseOR(shiftleft(pmod(q, lit(radix)), 60 - slotBits * level))
+      stride *= radix
+    }
+    spark.range(n).select(acc.as("cell_id"))
   }
 
   /** Clipped hex-grid cell enumeration by sampling: assign a point grid
@@ -700,17 +733,38 @@ object GridOps {
     val h = nominalDeg * 0.35
     val nLon = math.max(2L, math.ceil(lonSpan / h).toLong + 1)
     val nLat = math.max(2L, math.ceil((latHi - latLo) / h).toLong + 1)
-    val ids = spark.range(nLon * nLat).select(
+    val samples = spark.range(nLon * nLat).select(
         (lit(lonLo) + (col("id") % nLon) * (lonSpan / (nLon - 1))).as("lon0"),
         (lit(latLo) + (col("id") / nLon) * ((latHi - latLo) / (nLat - 1))).as("lat"))
       .select((pmod(col("lon0") + lit(180.0), lit(360.0)) - lit(180.0)).as("lon"),
         col("lat"))
-      .select(cellFor(col("lon"), col("lat")).as("cell_id"))
-      .distinct()
+    // signed box-interiority of each sample in degrees (negative outside;
+    // wrap-aware on the lon axis), lon scaled by the worst-case cos(lat)
+    // so it under-states physical distance. A sample ≥ pad inside proves
+    // its cell's center is in the box (center-to-sample ≤ circumradius
+    // ≤ pad), so such cells skip the per-cell refine below — the refine
+    // cost drops from O(box area) to O(box perimeter) cells, which is
+    // what makes the operator usable at region scale: cellCenter /
+    // cellBoundary run the ITERATIVE inverse Snyder projection (~100 µs),
+    // 60× the forward assignment's cost
+    val lonIn =
+      if (lonMin <= lonMax) least(col("lon") - lit(lonMin), lit(lonMax) - col("lon"))
+      else when(col("lon") >= lonMin,
+          least(col("lon") - lit(lonMin), lit(lonMax + 360.0) - col("lon")))
+        .otherwise(least(col("lon") - lit(lonMin - 360.0), lit(lonMax) - col("lon")))
+    val latIn = least(col("lat") - lit(latMin), lit(latMax) - col("lat"))
+    val interiority = least(latIn,
+      lonIn * lit(math.cos(math.toRadians(maxAbsLat))))
+    val ids = samples
+      .select(cellFor(col("lon"), col("lat")).as("cell_id"),
+        interiority.as("__in"))
+      .groupBy("cell_id").agg(max(col("__in")).as("__in"))
     val c = center(col("cell_id"))
     val bnd = boundary(col("cell_id"))
-    ids.where(boxContains(c, lonMin, latMin, lonMax, latMax) ||
-      exists(bnd, v => boxContains(v, lonMin, latMin, lonMax, latMax)))
+    ids.where(col("__in") >= lit(pad) ||
+        boxContains(c, lonMin, latMin, lonMax, latMax) ||
+        exists(bnd, v => boxContains(v, lonMin, latMin, lonMax, latMax)))
+      .select("cell_id")
   }
 
   /** address transform on the ISEA3H grid: Z3 int64, Z3_STRING, ZORDER,
@@ -773,16 +827,9 @@ object GridOps {
                              clip: Option[(Double, Double, Double, Double)] = None,
                              lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                              az: Double = Grids.DefaultAz): DataFrame = {
-    import spark.implicits._
     import graft.spark.{Z4Functions => H}
     clip match {
-      case None =>
-        var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
-        for (k <- 1 to res) {
-          df = df.select(explode(H.z4Children(col("cell_id"))).as("cell_id"))
-          if (lineageStopAt(k, res)) df = lineageStop(df)
-        }
-        df
+      case None => hexWholeEarth(spark, res, 3, _ => 4)
       case Some(box) =>
         hexExtentClipped(spark, box,
           math.toDegrees(0.64 / math.pow(2.0, res)),
@@ -854,16 +901,10 @@ object GridOps {
                               clip: Option[(Double, Double, Double, Double)] = None,
                               lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                               az: Double = Grids.DefaultAz): DataFrame = {
-    import spark.implicits._
     import graft.spark.{Z43Functions => H}
     clip match {
       case None =>
-        var df = ((0 to 11).map(b => graft.dggs.Z4.pack(b, Seq.empty))).toDF("cell_id")
-        for (k <- 1 to res) {
-          df = df.select(explode(H.z43Children(col("cell_id"), n4)).as("cell_id"))
-          if (lineageStopAt(k, res)) df = lineageStop(df)
-        }
-        df
+        hexWholeEarth(spark, res, 3, level => if (level <= n4) 4 else 3)
       case Some(box) =>
         hexExtentClipped(spark, box,
           math.toDegrees(0.64 / math.sqrt(

@@ -109,6 +109,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!packPlan.contains("Join"), packPlan.take(2000))
   }
 
+  test("hex whole-earth enumeration: one codegen'd range projection, no exchange/UDF") {
+    // the rank-bijection path's 100 TB story: N(res) cells from ONE
+    // evenly-partitioned Range + native bit arithmetic — a UDF, explode
+    // chain, or exchange here voids the plan-shape claim
+    for (df <- Seq(GridOps.gridCellIdsForExtent3H(spark, 6),
+                   GridOps.gridCellIdsForExtent4H(spark, 6),
+                   GridOps.gridCellIdsForExtent43H(spark, 6, 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"),
+        plan.take(2000))
+      assert(!plan.toLowerCase.contains("pythonudf") &&
+        !plan.contains("ScalaUDF"), plan.take(2000))
+      assert(plan.contains("Range"), plan.take(2000))
+      // "*(1)" is the whole-stage-codegen stage marker in the compact
+      // executedPlan rendering
+      assert(plan.contains("*(1) Project") && plan.contains("*(1) Range"),
+        plan.take(2000))
+    }
+  }
+
   test("hamming64Pairs: explicit band partitioning; refine precedes pair dedup") {
     import spark.implicits._
     val sigs = (0L until 64L).map(i => (i, f"$i%016x")).toDF("media_id", "h")

@@ -899,6 +899,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("hex whole-earth rank bijection == kernel index enumeration (3H/4H/43H)") {
+    import spark.implicits._
+    // the native-arithmetic range path must produce EXACTLY the codec's
+    // descendant set (caps included) — set equality at res 4 per kernel
+    def got(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("cell_id")).as[Long].collect().toSet
+    locally {
+      import graft.dggs.Z3
+      val want = (0 to 11).flatMap(b => Z3.descendants(Z3.pack(b, Seq.empty), 4)).toSet
+      assert(want.size == 10 * 81 + 2)
+      assert(got(GridOps.gridCellIdsForExtent3H(spark, 4)) == want)
+    }
+    locally {
+      import graft.dggs.Z4
+      val want = (0 to 11).flatMap(b => Z4.descendants(Z4.pack(b, Seq.empty), 4)).toSet
+      assert(want.size == 10 * 256 + 2)
+      assert(got(GridOps.gridCellIdsForExtent4H(spark, 4)) == want)
+    }
+    locally {
+      import graft.dggs.{Isea43HGrids, Z4}
+      val g = Isea43HGrids.default(3)
+      // res 4 crosses the 4->3 boundary: 4^3 x 3 per quad
+      val want = (0 to 11).flatMap(b => g.descendants(Z4.pack(b, Seq.empty), 4)).toSet
+      assert(want.size == 10 * 64 * 3 + 2)
+      assert(got(GridOps.gridCellIdsForExtent43H(spark, 4, 3)) == want)
+    }
+  }
+
   test("hex extent ids: clip-pruned expansion == brute-force refine, incl. wrap box") {
     import spark.implicits._
     import graft.spark.{Z3Functions => H3, Z4Functions => H4, Z43Functions => H43}
