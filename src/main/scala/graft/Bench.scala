@@ -790,6 +790,26 @@ object BenchHexKernels {
         s""""wall_sec":$wall,"cells":${r0.getLong(1)},"cells_per_sec":${(r0.getLong(1) / wall).toLong},""" +
         s""""checksum":${r0.getLong(0)}}""")
     }
+    // whole-earth enumeration leg: the round-8 rank-bijection path at
+    // res 15 (10*3^15 + 2 = 143M cells) - one codegen'd Range->Project,
+    // raw native-arithmetic generation throughput. The checksum is two
+    // cheap commutative folds (% 97 gets JIT magic-number strength
+    // reduction; >>> 40 is a shift) - a `pmod(id, 1000000007)` checksum
+    // measured 5x SLOWER at 32 threads than at 8 because SMT siblings
+    // serialize on the core's non-pipelined 64-bit divider, swamping
+    // the enumeration being measured
+    locally {
+      def chk1 = sum(col("cell_id") % lit(97L))
+      def chk2 = sum(shiftrightunsigned(col("cell_id"), 40))
+      GridOps.gridCellIdsForExtent3H(spark, 8).agg(chk1).collect() // warmup
+      val t0 = System.nanoTime()
+      val r0 = GridOps.gridCellIdsForExtent3H(spark, 15)
+        .agg(chk1.as("s1"), chk2.as("s2"), count(lit(1)).as("c")).collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(s"""{"bench":"hex_whole_earth","leg":"isea3h_res15","cpus":$cpus,""" +
+        s""""wall_sec":$wall,"cells":${r0.getLong(2)},"cells_per_sec":${(r0.getLong(2) / wall).toLong},""" +
+        s""""checksum":${r0.getLong(0) ^ r0.getLong(1)}}""")
+    }
     spark.stop()
   }
 }

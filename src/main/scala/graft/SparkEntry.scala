@@ -1027,6 +1027,19 @@ object SparkEntry {
       GridOps.gridCellIdsForExtent3H(s, 8, Some((20.2, 57.0, 28.4, 60.0)))
         .select(H.z3String(col("cell_id")).as("name"))
     }),
+    "dggs_3h_cell_geom" -> ((s, _) => {
+      // H1/H2 analog on the hex grid: centroid (µdeg floor) + vertex
+      // count per extent cell via the SPARK column path; the oracle is
+      // frozen from the DRIVER-side pure kernel — the two paths
+      // cross-check (the polar_cover pattern)
+      import graft.spark.{Z3Functions => H}
+      val c = H.cellCenter(col("cell_id"))
+      GridOps.gridCellIdsForExtent3H(s, 8, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z3String(col("cell_id")).as("name"),
+          floor(c.getField("lon") * 1e6).cast("long").as("lon_udeg"),
+          floor(c.getField("lat") * 1e6).cast("long").as("lat_udeg"),
+          size(H.cellBoundary(col("cell_id"))).cast("long").as("n_vertices"))
+    }),
 
     // ---- ISEA4H (aperture-4 hexagon kernel, round 8) ----
     "dggs_4h_stats" -> ((s, _) => {
@@ -1102,6 +1115,15 @@ object SparkEntry {
       GridOps.gridCellIdsForExtent4H(s, 6, Some((20.2, 57.0, 28.4, 60.0)))
         .select(H.z4String(col("cell_id")).as("name"))
     }),
+    "dggs_4h_cell_geom" -> ((s, _) => {
+      import graft.spark.{Z4Functions => H}
+      val c = H.cellCenter(col("cell_id"))
+      GridOps.gridCellIdsForExtent4H(s, 6, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z4String(col("cell_id")).as("name"),
+          floor(c.getField("lon") * 1e6).cast("long").as("lon_udeg"),
+          floor(c.getField("lat") * 1e6).cast("long").as("lat_udeg"),
+          size(H.cellBoundary(col("cell_id"))).cast("long").as("n_vertices"))
+    }),
 
     // ---- ISEA43H (MIXED-aperture hexagon kernel, round 8; gate config
     // mixed_aperture_level = 3: levels 1-3 aperture 4, 4+ aperture 3) ----
@@ -1158,6 +1180,15 @@ object SparkEntry {
       import graft.spark.{Z43Functions => H}
       GridOps.gridCellIdsForExtent43H(s, 6, 3, Some((20.2, 57.0, 28.4, 60.0)))
         .select(H.z43String(col("cell_id")).as("name"))
+    }),
+    "dggs_43h_cell_geom" -> ((s, _) => {
+      import graft.spark.{Z43Functions => H}
+      val c = H.cellCenter(col("cell_id"), 3)
+      GridOps.gridCellIdsForExtent43H(s, 6, 3, Some((20.2, 57.0, 28.4, 60.0)))
+        .select(H.z43String(col("cell_id")).as("name"),
+          floor(c.getField("lon") * 1e6).cast("long").as("lon_udeg"),
+          floor(c.getField("lat") * 1e6).cast("long").as("lat_udeg"),
+          size(H.cellBoundary(col("cell_id"), 3)).cast("long").as("n_vertices"))
     }),
     "dggs_43h_compact" -> ((s, _) => {
       import s.implicits._
@@ -2050,6 +2081,7 @@ object SparkEntry {
          |SELECT name FROM c6""".stripMargin
     },
     "dggs_3h_extent_ids" -> OracleFixtures.extent3hSql,
+    "dggs_3h_cell_geom" -> OracleFixtures.geom3hSql,
     // ---- ISEA4H oracles: frozen f6 column (round 8). Z4 paths are
     // prefix-hierarchical (index space), so ancestors are substrs; the
     // assignment itself is the frozen kernel map, like Z7/T4/D4/Z3 ----
@@ -2111,6 +2143,7 @@ object SparkEntry {
          |SELECT name FROM c6""".stripMargin
     },
     "dggs_4h_extent_ids" -> OracleFixtures.extent4hSql,
+    "dggs_4h_cell_geom" -> OracleFixtures.geom4hSql,
     // ---- ISEA43H oracles: frozen m6 column (round 8, mixed level 3).
     // The packed digit paths are prefix-hierarchical regardless of the
     // per-level aperture, so ancestors are substrs ----
@@ -2144,6 +2177,7 @@ object SparkEntry {
       s"""WITH $geoCellsCte
          |SELECT doc_id, "offset", m6 AS name FROM gc""".stripMargin,
     "dggs_43h_extent_ids" -> OracleFixtures.extent43hSql,
+    "dggs_43h_cell_geom" -> OracleFixtures.geom43hSql,
     "dggs_43h_compact" -> {
       // mixed-aperture mechanical compaction SQL: per-round family size
       // follows the aperture at the CHILD level (4 through level n4=3,

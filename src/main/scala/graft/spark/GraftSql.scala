@@ -22,6 +22,8 @@ object GraftSql {
     "z7_range_min", "z7_range_max", "z7_seqnum", "z7_from_seqnum",
     "z7_center_lon", "z7_center_lat", "z7_boundary_wkt",
     "t4_cell", "t4_string", "t4_ancestor", "d4_cell", "d4_string", "d4_ancestor",
+    "z3_cell", "z3_string", "z3_ancestor",
+    "z4_cell", "z4_string", "z4_ancestor", "z43_cell",
     "to_authalic_lat", "to_geodetic_lat",
     "z7_vertex2dd", "z7_projtri", "z7_q2dd", "z7_plane",
     "word_shingles", "top_word_n", "top_bigram_n", "ahash64_pnm",
@@ -63,6 +65,19 @@ object GraftSql {
       graft.dggs.Isea4DGrids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
     r.register("d4_string", (id: Long) => D4.toD4String(id))
     r.register("d4_ancestor", (id: Long, res: Int) => D4.ancestorAt(id, res))
+    // hexagon kernels (round 8): the same cell/string/ancestor trio per
+    // grid; z43_cell takes the mixed_aperture_level as an argument (a
+    // grid CONFIG the reference passes the same way)
+    r.register("z3_cell", (lon: Double, lat: Double, res: Int) =>
+      graft.dggs.Isea3HGrids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
+    r.register("z3_string", (id: Long) => graft.dggs.Z3.toZ3String(id))
+    r.register("z3_ancestor", (id: Long, res: Int) => graft.dggs.Z3.ancestorAt(id, res))
+    r.register("z4_cell", (lon: Double, lat: Double, res: Int) =>
+      graft.dggs.Isea4HGrids.default.cellForPoint(GeoRad.fromDeg(lat, lon), res))
+    r.register("z4_string", (id: Long) => graft.dggs.Z4.toZ4String(id))
+    r.register("z4_ancestor", (id: Long, res: Int) => graft.dggs.Z4.ancestorAt(id, res))
+    r.register("z43_cell", (lon: Double, lat: Double, res: Int, n4: Int) =>
+      graft.dggs.Isea43HGrids.default(n4).cellForPoint(GeoRad.fromDeg(lat, lon), res))
     // coordinate conversions
     r.register("to_authalic_lat", (lat: Double) => Authalic.toAuthalicDeg(lat))
     r.register("to_geodetic_lat", (lat: Double) => Authalic.toGeodeticDeg(lat))

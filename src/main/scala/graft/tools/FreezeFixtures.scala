@@ -79,15 +79,36 @@ object FreezeFixtures {
     // exact against full driver-side enumeration for mid-lat and
     // antimeridian boxes on all three kernels)
     val hexBox = Some((20.2, 57.0, 28.4, 60.0))
-    val extent3hRows = GridOps.gridCellIdsForExtent3H(spark, 8, hexBox)
+    val extent3hNames = GridOps.gridCellIdsForExtent3H(spark, 8, hexBox)
       .select(graft.spark.Z3Functions.z3String(col("cell_id")))
-      .as[String].collect().sorted.map(n => s"  ('$n')")
-    val extent4hRows = GridOps.gridCellIdsForExtent4H(spark, 6, hexBox)
+      .as[String].collect().sorted
+    val extent4hNames = GridOps.gridCellIdsForExtent4H(spark, 6, hexBox)
       .select(graft.spark.Z4Functions.z4String(col("cell_id")))
-      .as[String].collect().sorted.map(n => s"  ('$n')")
-    val extent43hRows = GridOps.gridCellIdsForExtent43H(spark, 6, 3, hexBox)
+      .as[String].collect().sorted
+    val extent43hNames = GridOps.gridCellIdsForExtent43H(spark, 6, 3, hexBox)
       .select(graft.spark.Z43Functions.z43String(col("cell_id")))
-      .as[String].collect().sorted.map(n => s"  ('$n')")
+      .as[String].collect().sorted
+    val extent3hRows = extent3hNames.map(n => s"  ('$n')")
+    val extent4hRows = extent4hNames.map(n => s"  ('$n')")
+    val extent43hRows = extent43hNames.map(n => s"  ('$n')")
+
+    // hex cell geometry (centroid µdeg floor + vertex count), computed
+    // DRIVER-SIDE through the pure kernels — the driver queries run the
+    // Spark column path over the same ids, so the two paths cross-check
+    def geomRows(names: Array[String], fromName: String => Long,
+                 center: Long => GeoRad, boundary: Long => Array[GeoRad]): Array[String] =
+      names.map { n =>
+        val z = fromName(n)
+        val c = center(z)
+        s"  ('$n', ${math.floor(c.lonDeg * 1e6).toLong}, " +
+          s"${math.floor(c.latDeg * 1e6).toLong}, ${boundary(z).length})"
+      }
+    val geom3hRows = geomRows(extent3hNames, graft.dggs.Z3.fromZ3String,
+      h3g.cellCenter, h3g.cellBoundary)
+    val geom4hRows = geomRows(extent4hNames, graft.dggs.Z4.fromZ4String,
+      h4g.cellCenter, h4g.cellBoundary)
+    val geom43hRows = geomRows(extent43hNames, graft.dggs.Z4.fromZ4String,
+      h43g.cellCenter, h43g.cellBoundary)
 
     // antimeridian-crossing box (Fiji-ish): frozen as the UNION of its
     // two split halves, each computed by the ordinary NON-wrapped path —
@@ -185,6 +206,27 @@ object FreezeFixtures {
          |  val extent43hSql: String =
          |    ${q3}SELECT name FROM (VALUES
          |${extent43hRows.mkString(",\n")}) t(name)${q3}
+         |
+         |  /** hex cell geometry over the same extents (centroid µdeg
+         |    * floor + vertex count), frozen from the DRIVER-side pure
+         |    * kernels — the driver queries run the Spark column path,
+         |    * cross-checking the two.
+         |    */
+         |  val geom3hSql: String =
+         |    ${q3}SELECT name, CAST(lon_udeg AS BIGINT) AS lon_udeg,
+         |      CAST(lat_udeg AS BIGINT) AS lat_udeg,
+         |      CAST(n_vertices AS BIGINT) AS n_vertices FROM (VALUES
+         |${geom3hRows.mkString(",\n")}) t(name, lon_udeg, lat_udeg, n_vertices)${q3}
+         |  val geom4hSql: String =
+         |    ${q3}SELECT name, CAST(lon_udeg AS BIGINT) AS lon_udeg,
+         |      CAST(lat_udeg AS BIGINT) AS lat_udeg,
+         |      CAST(n_vertices AS BIGINT) AS n_vertices FROM (VALUES
+         |${geom4hRows.mkString(",\n")}) t(name, lon_udeg, lat_udeg, n_vertices)${q3}
+         |  val geom43hSql: String =
+         |    ${q3}SELECT name, CAST(lon_udeg AS BIGINT) AS lon_udeg,
+         |      CAST(lat_udeg AS BIGINT) AS lat_udeg,
+         |      CAST(n_vertices AS BIGINT) AS n_vertices FROM (VALUES
+         |${geom43hRows.mkString(",\n")}) t(name, lon_udeg, lat_udeg, n_vertices)${q3}
          |
          |  /** antimeridian-crossing extent (175,−20)→(−175,−10) at res 4,
          |    * frozen as the union of its two split halves (each via the

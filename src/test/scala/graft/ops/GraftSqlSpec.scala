@@ -92,6 +92,36 @@ class GraftSqlSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d4_ancestor" -> (() =>
         assert(one("d4_string(d4_ancestor(d4_cell(24.7D, 59.4D, 4), 2))") ==
           one("substr(d4_string(d4_cell(24.7D, 59.4D, 4)), 1, 4)"))),
+      "z3_cell" -> (() => {
+        // SQL path == column/kernel path (the frozen-mapping anchor)
+        assert(one("z3_string(z3_cell(24.7D, 59.4D, 6))") ==
+          graft.dggs.Z3.toZ3String(graft.dggs.Isea3HGrids.default
+            .cellForPoint(graft.dggs.Sphere.GeoRad.fromDeg(59.4, 24.7), 6)))
+      }),
+      "z3_string" -> (() =>
+        assert(one("length(z3_string(z3_cell(0.0D, 0.0D, 3)))") == 5)),
+      "z3_ancestor" -> (() =>
+        assert(one("z3_string(z3_ancestor(z3_cell(24.7D, 59.4D, 6), 2))") ==
+          one("substr(z3_string(z3_cell(24.7D, 59.4D, 6)), 1, 4)"))),
+      "z4_cell" -> (() => {
+        assert(one("z4_string(z4_cell(24.7D, 59.4D, 6))") ==
+          graft.dggs.Z4.toZ4String(graft.dggs.Isea4HGrids.default
+            .cellForPoint(graft.dggs.Sphere.GeoRad.fromDeg(59.4, 24.7), 6)))
+      }),
+      "z4_string" -> (() =>
+        assert(one("length(z4_string(z4_cell(0.0D, 0.0D, 3)))") == 5)),
+      "z4_ancestor" -> (() =>
+        assert(one("z4_string(z4_ancestor(z4_cell(24.7D, 59.4D, 6), 2))") ==
+          one("substr(z4_string(z4_cell(24.7D, 59.4D, 6)), 1, 4)"))),
+      "z43_cell" -> (() => {
+        // mixed level 3 in the shared Z4 layout; n4 = res reproduces the
+        // pure aperture-4 id (the Isea43H pure-equivalence contract)
+        assert(one("z4_string(z43_cell(24.7D, 59.4D, 6, 3))") ==
+          graft.dggs.Z4.toZ4String(graft.dggs.Isea43HGrids.default(3)
+            .cellForPoint(graft.dggs.Sphere.GeoRad.fromDeg(59.4, 24.7), 6)))
+        assert(one("z43_cell(24.7D, 59.4D, 6, 6)") ==
+          one("z4_cell(24.7D, 59.4D, 6)"))
+      }),
       "to_authalic_lat" -> (() => {
         val a = one("to_authalic_lat(45.0D)").asInstanceOf[Double]
         assert(a < 45.0 && a > 44.5, a) // authalic pulls toward the equator

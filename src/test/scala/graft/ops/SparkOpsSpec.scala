@@ -942,13 +942,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val midBox = (20.2, 57.0, 28.4, 60.0)
     val wrapBox = (175.0, -20.0, -175.0, -10.0)
+    // pole-touching full-longitude cap: exercises the lat clamp, the
+    // full-lon sampling fallback, and the degenerate-lon pole samples
+    val polarBox = (-180.0, 85.0, 180.0, 90.0)
     def check(kernel: String, res: Int,
               allCells: => Seq[Long],
               center: Long => graft.dggs.Sphere.GeoRad,
               boundary: Long => Array[graft.dggs.Sphere.GeoRad],
               run: (Double, Double, Double, Double) => org.apache.spark.sql.DataFrame): Unit = {
       val cells = allCells
-      for (b <- Seq(midBox, wrapBox)) {
+      for (b <- Seq(midBox, wrapBox, polarBox)) {
         val brute = cells.filter { z =>
           val c = center(z)
           inBox(c.lonDeg, c.latDeg, b) ||
