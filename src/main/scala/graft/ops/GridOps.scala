@@ -666,6 +666,12 @@ object GridOps {
     * rank = cap base 11. `slotBits`/`radixAt` parameterize the Z3 (2-bit,
     * radix 3), Z4 (3-bit, radix 4) and Z43 (3-bit, mixed 4-then-3)
     * layouts; pad slots are all-ones per the codec contracts.
+    *
+    * Perf note (BENCH/BASELINE.md round 8): the per-row work is a chain
+    * of 64-bit integer modulo/divides, which SMT siblings serialize on
+    * (non-pipelined divider) — measured 0.84-0.86 step efficiency
+    * through PHYSICAL cores and a collapse at 2× oversubscription. Size
+    * executors to physical cores for enumeration-heavy stages.
     */
   private def hexWholeEarth(spark: SparkSession, res: Int,
                             slotBits: Int, radixAt: Int => Int): DataFrame = {
