@@ -246,11 +246,7 @@ object SparkEntry {
         prints.get().unpersist(false)
         docs.unpersist(false)
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        val dir = outDir.toFile
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir)
+        graft.tools.Fs.deleteRecursively(outDir)
       }
     }),
     "dedup_clusters" -> ((s, dir) =>

@@ -511,8 +511,14 @@ final class Isea3H(vert0LatDeg: Double = 58.28252559,
     var i = 0L; var j = 0L
     var k = 0
     while (k < r) {
-      i = i * 3 + (sx.charAt(2 + 2 * k) - '0')
-      j = j * 3 + (sx.charAt(3 + 2 * k) - '0')
+      // per-digit radix check (see Isea4H.fromZorderString): an
+      // out-of-radix char must raise, not alias another cell
+      val ci = sx.charAt(2 + 2 * k) - '0'
+      val cj = sx.charAt(3 + 2 * k) - '0'
+      require(ci >= 0 && ci <= 2 && cj >= 0 && cj <= 2,
+        s"bad ZORDER_STRING digit pair in '$sx' at position $k")
+      i = i * 3 + ci
+      j = j * 3 + cj
       k += 1
     }
     fromQ2di(base, i, j, r)

@@ -590,8 +590,14 @@ final class Isea43H(val n4: Int,
     val dj = new Array[Int](r)
     var k = 0
     while (k < r) {
+      // per-digit radix check against the LEVEL's radix (2 through n4,
+      // 3 after) — an out-of-radix char must raise, not alias another
+      // cell (see Isea4H.fromZorderString)
+      val rad = radixAt(k + 1).toInt
       di(k) = sx.charAt(2 + 2 * k) - '0'
       dj(k) = sx.charAt(3 + 2 * k) - '0'
+      require(di(k) >= 0 && di(k) < rad && dj(k) >= 0 && dj(k) < rad,
+        s"bad ZORDER_STRING digit pair in '$sx' at position $k")
       k += 1
     }
     fromQ2di(base, fromMixedDigits(di), fromMixedDigits(dj), r)

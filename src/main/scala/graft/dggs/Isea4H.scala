@@ -473,8 +473,15 @@ final class Isea4H(vert0LatDeg: Double = 58.28252559,
     var i = 0L; var j = 0L
     var k = 0
     while (k < r) {
-      i = i * 2 + (sx.charAt(2 + 2 * k) - '0')
-      j = j * 2 + (sx.charAt(3 + 2 * k) - '0')
+      // per-digit radix check: without it a non-binary char (e.g. '3')
+      // can still land inside the (i, j) range check and silently alias
+      // a DIFFERENT valid cell instead of raising
+      val ci = sx.charAt(2 + 2 * k) - '0'
+      val cj = sx.charAt(3 + 2 * k) - '0'
+      require(ci >= 0 && ci <= 1 && cj >= 0 && cj <= 1,
+        s"bad ZORDER_STRING digit pair in '$sx' at position $k")
+      i = i * 2 + ci
+      j = j * 2 + cj
       k += 1
     }
     fromQ2di(base, i, j, r)

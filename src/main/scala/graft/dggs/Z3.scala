@@ -40,8 +40,15 @@ object Z3 {
     var v = base.toLong << 60
     var i = 0
     while (i < MaxRes) {
-      val d = if (i < digits.length) digits(i) else 3
-      require(d >= 0 && d <= 3, s"digit $d out of range")
+      // REAL digit positions admit only 0-2: accepting the pad value 3
+      // here would let a malformed Z3_STRING (e.g. "0530") build an id
+      // whose bit pattern disagrees with its reported resolution, and
+      // every range/parent predicate downstream would silently lie
+      val d = if (i < digits.length) {
+        require(digits(i) >= 0 && digits(i) <= 2,
+          s"digit ${digits(i)} out of range at position ${i + 1}")
+        digits(i)
+      } else 3
       v |= d.toLong << (58 - 2 * i)
       i += 1
     }

@@ -47,8 +47,13 @@ object Z4 {
     var v = base.toLong << 60
     var i = 0
     while (i < MaxRes) {
-      val d = if (i < digits.length) digits(i) else 7
-      require(d == 7 || (d >= 0 && d <= 3), s"digit $d out of range")
+      // REAL digit positions admit only 0-3 (the pad 7 arrives only via
+      // the else branch) — same malformed-string hole as Z3.pack
+      val d = if (i < digits.length) {
+        require(digits(i) >= 0 && digits(i) <= 3,
+          s"digit ${digits(i)} out of range at position ${i + 1}")
+        digits(i)
+      } else 7
       v |= d.toLong << (57 - 3 * i)
       i += 1
     }

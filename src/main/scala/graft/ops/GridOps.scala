@@ -728,8 +728,16 @@ object GridOps {
     val pad = nominalDeg * 1.6
     val latLo = math.max(-90.0, latMin - pad)
     val latHi = math.min(90.0, latMax + pad)
-    val maxAbsLat = math.min(85.0, math.max(math.abs(latLo), math.abs(latHi)))
-    val lonPad = pad / math.cos(math.toRadians(maxAbsLat))
+    // the TRUE worst-case cos over the padded lat range — no 85° clamp:
+    // a clamp both under-pads the sample grid (boundary cells near the
+    // pole would contain no sample) and lets the fast-path interiority
+    // proof over-state a sample's physical lon margin. As latHi→90 the
+    // cos→0, lonPad→∞ and the box degrades to full-longitude sampling;
+    // the fast-path scale factor →0, so every cell takes the exact
+    // refine — slower near the poles, never wrong.
+    val maxAbsLat = math.max(math.abs(latLo), math.abs(latHi))
+    val cosMin = math.max(0.0, math.cos(math.toRadians(maxAbsLat)))
+    val lonPad = if (cosMin == 0.0) Double.PositiveInfinity else pad / cosMin
     // lonMin > lonMax = antimeridian-crossing box (same convention as
     // the Z7 variant): sample over the unwrapped span, wrap per-point
     val span0 = if (lonMin <= lonMax) lonMax - lonMin else lonMax + 360.0 - lonMin
@@ -760,7 +768,7 @@ object GridOps {
         .otherwise(least(col("lon") - lit(lonMin - 360.0), lit(lonMax) - col("lon")))
     val latIn = least(col("lat") - lit(latMin), lit(latMax) - col("lat"))
     val interiority = least(latIn,
-      lonIn * lit(math.cos(math.toRadians(maxAbsLat))))
+      lonIn * lit(cosMin))
     val ids = samples
       .select(cellFor(col("lon"), col("lat")).as("cell_id"),
         interiority.as("__in"))

@@ -49,6 +49,14 @@ class Isea3HSpec extends AnyFunSuite {
     assert(ds.forall(d => d >= Z3.rangeMin(p) && d <= Z3.rangeMax(p)))
     val ranges = Z3.children(p).map(c => (Z3.rangeMin(c), Z3.rangeMax(c))).sortBy(_._1)
     ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1); case _ => }
+    // malformed addresses raise LOUDLY instead of building corrupt ids
+    // (round-8 review): the pad digit '3' in a real position, and an
+    // out-of-radix ZORDER_STRING char that would otherwise alias a
+    // different valid cell
+    intercept[IllegalArgumentException](Z3.fromZ3String("0530"))
+    intercept[IllegalArgumentException](Z3.pack(5, Seq(3, 0)))
+    intercept[IllegalArgumentException](g.fromZorderString("05031x".take(6)))
+    intercept[IllegalArgumentException](g.fromZorderString("050533"))
   }
 
   test("exact partition: 10·3^r + 2 distinct cells, distinct centers, caps are v0/v11") {

@@ -176,6 +176,10 @@ class Isea43HSpec extends AnyFunSuite {
     assert(g0.ZorderMaxRes == 17)
     assert(gp.ZorderMaxRes == 20)
     assert(gm.ZorderMaxRes > 17 - 2 && gm.ZorderMaxRes <= 20)
+    // out-of-radix chars raise LOUDLY per LEVEL (round-8 review): '2'
+    // is legal at an aperture-3 level but not at a binary level 1-2
+    intercept[IllegalArgumentException](gm.fromZorderString("052000"))
+    intercept[IllegalArgumentException](gm.fromZorderString("05000023"))
   }
 
   test("stats: closed-form counts match the enumeration (n4=2)") {

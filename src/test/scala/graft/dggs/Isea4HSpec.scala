@@ -50,6 +50,12 @@ class Isea4HSpec extends AnyFunSuite {
     assert(ds.forall(d => d >= Z4.rangeMin(p) && d <= Z4.rangeMax(p)))
     val ranges = Z4.children(p).map(c => (Z4.rangeMin(c), Z4.rangeMax(c))).sortBy(_._1)
     ranges.sliding(2).foreach { case Seq(a, b) => assert(a._2 < b._1); case _ => }
+    // malformed addresses raise LOUDLY (round-8 review): pad digit '7'
+    // in a real position, and the non-binary ZORDER_STRING char that
+    // used to alias a different valid cell ("050013" ≠ "050111")
+    intercept[IllegalArgumentException](Z4.fromZ4String("0570"))
+    intercept[IllegalArgumentException](Z4.pack(5, Seq(7, 0)))
+    intercept[IllegalArgumentException](g.fromZorderString("050013"))
   }
 
   test("exact partition: 10·4^r + 2 distinct cells, distinct centers, caps are v0/v11") {

@@ -945,13 +945,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pole-touching full-longitude cap: exercises the lat clamp, the
     // full-lon sampling fallback, and the degenerate-lon pole samples
     val polarBox = (-180.0, 85.0, 180.0, 90.0)
+    // lon-BOUNDED box above 85°: the round-8 review case — an 85° cos
+    // clamp both under-pads the sample grid and inflates the fast-path
+    // interiority proof up here
+    val highLatBox = (0.0, 86.0, 60.0, 89.0)
     def check(kernel: String, res: Int,
               allCells: => Seq[Long],
               center: Long => graft.dggs.Sphere.GeoRad,
               boundary: Long => Array[graft.dggs.Sphere.GeoRad],
               run: (Double, Double, Double, Double) => org.apache.spark.sql.DataFrame): Unit = {
       val cells = allCells
-      for (b <- Seq(midBox, wrapBox, polarBox)) {
+      for (b <- Seq(midBox, wrapBox, polarBox, highLatBox)) {
         val brute = cells.filter { z =>
           val c = center(z)
           inBox(c.lonDeg, c.latDeg, b) ||
