@@ -50,7 +50,7 @@ import Lattice._
   */
 final class Isea4H(vert0LatDeg: Double = 58.28252559,
                    vert0LonDeg: Double = 11.25,
-                   azimuthDeg: Double = 0.0) extends Serializable {
+                   azimuthDeg: Double = 0.0) extends Serializable with HexWalker {
 
   val ico = new Icosahedron(vert0LatDeg, vert0LonDeg, azimuthDeg)
   val snyder = new SnyderISEA(ico)
@@ -125,77 +125,23 @@ final class Isea4H(vert0LatDeg: Double = 58.28252559,
     * (Isea3H.fixForPoint's pattern at the aperture-4 spacing).
     */
   def fixForPoint(p: GeoRad, r: Int): Fix4 = {
-    val (q0, x0, y0) = quads.sphereToQuad(p)
-    val (fa, fb) = chartToLattice(x0, y0, r)
-    val v0 = hexRound(fa, fb)
-    val (cx, cy) = latticeToChart(v0, r)
-    val d0 = math.hypot(cx - x0, cy - y0)
-    val (u, w) = quads.rhombusUV(x0, y0)
-    val dr = s / pow2(r).toDouble
-    val margin = 1.5 * dr / s
-    var best = (q0, v0, d0)
-    if (u < margin || w < margin || u > 1 - margin || w > 1 - margin) {
-      val cs = quads.corners(q0)
-      val edges = Seq((cs(0), cs(1)), (cs(0), cs(2)), (cs(1), cs(3)), (cs(2), cs(3)))
-        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
-      for (e <- edges) {
-        val (nq, rot, t) = quads.edgeNeighbors((q0, e))
-        val nx = rot._1 * x0 - rot._2 * y0 + t._1
-        val ny = rot._1 * y0 + rot._2 * x0 + t._2
-        val (na, nb) = chartToLattice(nx, ny, r)
-        val nv = hexRound(na, nb)
-        val (ncx, ncy) = latticeToChart(nv, r)
-        val nd = math.hypot(ncx - nx, ncy - ny)
-        val (ncu, ncv) = quads.rhombusUV(ncx, ncy)
-        val in = ncu >= -1e-12 && ncu <= 1 + 1e-12 && ncv >= -1e-12 && ncv <= 1 + 1e-12
-        if (in && nd < best._3 - 1e-14) best = (nq, nv, nd)
-      }
-    }
-    Fix4(best._1, best._2, r)
+    val (q, v) = fixQV(p, r)
+    Fix4(q, v, r)
   }
-
   /** fold a fix across quad edges until its rep lies in the CLOSED
     * rhombus of its chart (exact isometries re-rounded to the lattice).
     */
   def foldToRhombus(fix: Fix4): Fix4 = {
-    var q = fix.quad; var v = fix.v
-    var guard = 0
-    while (guard < 12) {
-      val (i, j) = ijOf(v)
-      val n = pow2(fix.res)
-      if (i >= 0 && i <= n && j >= 0 && j <= n) return Fix4(q, v, fix.res)
-      val cs = quads.corners(q)
-      val e0 =
-        if (j < 0) (cs(0), cs(1))      // below O-A
-        else if (i < 0) (cs(0), cs(2)) // left of O-B
-        else if (i > n) (cs(1), cs(3)) // beyond A-C
-        else (cs(2), cs(3))            // beyond B-C
-      val e = if (e0._1 < e0._2) e0 else (e0._2, e0._1)
-      val (nq, rot, t) = quads.edgeNeighbors((q, e))
-      val (x, y) = latticeToChart(v, fix.res)
-      val nx = rot._1 * x - rot._2 * y + t._1
-      val ny = rot._1 * y + rot._2 * x + t._2
-      val (na, nb) = chartToLattice(nx, ny, fix.res)
-      v = hexRound(na, nb)
-      q = nq
-      guard += 1
-    }
-    throw new IllegalStateException(s"foldToRhombus did not converge for $fix")
+    val (q, v) = foldQV(fix.quad, fix.v, fix.res)
+    Fix4(q, v, fix.res)
   }
-
   /** re-express a rhombus-boundary fix in the chart of quad `toQ`
     * (which shares the boundary edge).
     */
   private def foldToQuad(fix: Fix4, toQ: Int, edge: (Int, Int)): Fix4 = {
-    val (nq, rot, t) = quads.edgeNeighbors((fix.quad, edge))
-    require(nq == toQ, s"edge $edge of quad ${fix.quad} leads to $nq, not $toQ")
-    val (x, y) = latticeToChart(fix.v, fix.res)
-    val nx = rot._1 * x - rot._2 * y + t._1
-    val ny = rot._1 * y + rot._2 * x + t._2
-    val (na, nb) = chartToLattice(nx, ny, fix.res)
-    Fix4(toQ, hexRound(na, nb), fix.res)
+    val (q, v) = foldQVToQuad(fix.quad, fix.v, fix.res, toQ, edge)
+    Fix4(q, v, fix.res)
   }
-
   /** digit string of `v` in its chart (pure integer walk; digits depend
     * only on v mod 2^r, so any chart representative works).
     */
@@ -303,29 +249,12 @@ final class Isea4H(vert0LatDeg: Double = 58.28252559,
   /** chart position -> sphere, re-charting across edges when outside
     * (Isea3H.chartToSphere's fold loop).
     */
-  def chartToSphere(quad: Int, x: Double, y: Double): GeoRad = {
-    var q = quad; var px = x; var py = y
-    var guard = 0
-    while (guard < 12) {
-      val (u, v) = quads.rhombusUV(px, py)
-      if (u >= -1e-12 && u <= 1 + 1e-12 && v >= -1e-12 && v <= 1 + 1e-12)
-        return quads.quadToSphere(q, px, py)
-      val cs = quads.corners(q)
-      val e0 =
-        if (v < -1e-12) (cs(0), cs(1))
-        else if (u < -1e-12) (cs(0), cs(2))
-        else if (u > 1 + 1e-12) (cs(1), cs(3))
-        else (cs(2), cs(3))
-      val e = if (e0._1 < e0._2) e0 else (e0._2, e0._1)
-      val (nq, rot, t) = quads.edgeNeighbors((q, e))
-      val nx = rot._1 * px - rot._2 * py + t._1
-      val ny = rot._1 * py + rot._2 * px + t._2
-      q = nq; px = nx; py = ny
-      guard += 1
-    }
-    quads.quadToSphere(q, px, py)
-  }
+  // chartToSphere: provided by HexWalker
 
+  override protected def spacingFrac(r: Int): Double =
+    1.0 / pow2(r).toDouble
+  override protected def rhombusDenom(r: Int): Long = pow2(r)
+  override protected def ijOfAt(v: Eis, r: Int): (Long, Long) = ijOf(v)
   /** cell boundary: 6 hexagon corners (each ⅓ of the two adjacent unit
     * sums, the hex Voronoi vertices), 5 for the vertex pentagons.
     */
