@@ -733,6 +733,39 @@ object BenchStore {
   }
 }
 
+/** Continent-scale clipped-extent stress leg (round 8): the
+  * sample-assign-refine operator over a 90°×40° box at res 14 — ~4M
+  * result cells from ~70M kernel samples, with the exact inverse-
+  * projection refine paying only the O(perimeter) border ring.
+  *
+  *   sbt "runMain graft.BenchHexExtentBig <cpus>"
+  */
+object BenchHexExtentBig {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0) else "16"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.GridOps
+    val box = Some((-30.0, 30.0, 60.0, 70.0))
+    def chk1 = sum(col("cell_id") % lit(97L))
+    def chk2 = sum(shiftrightunsigned(col("cell_id"), 40))
+    GridOps.gridCellIdsForExtent3H(spark, 8, box).agg(chk1).collect() // warmup
+    val t0 = System.nanoTime()
+    val r0 = GridOps.gridCellIdsForExtent3H(spark, 14, box)
+      .agg(chk1.as("s1"), chk2.as("s2"), count(lit(1)).as("c")).collect()(0)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"bench":"hex_extent_big","leg":"isea3h_res14_90x40","cpus":$cpus,""" +
+      s""""wall_sec":$wall,"cells":${r0.getLong(2)},"cells_per_sec":${(r0.getLong(2) / wall).toLong},""" +
+      s""""checksum":${r0.getLong(0) ^ r0.getLong(1)}}""")
+    spark.stop()
+  }
+}
+
 /** Round-8 hex-kernel scaling leg: point→cell assignment throughput of
   * the three NEW hexagon kernels (ISEA3H / ISEA4H / ISEA43H n4=3) over
   * deterministic world-wide points, one parallelism level per run —
