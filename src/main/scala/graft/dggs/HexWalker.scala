@@ -12,13 +12,22 @@ import Lattice.{Eis, hexRound}
   * (the copies had already begun to drift in spelling: `pow(3, r/2.0)`
   * vs the exact `sqrt(norm(F_r))` — the same value, written twice).
   *
-  * All bodies are verbatim the pre-extraction code; the kernels' Fix
-  * wrappers call these and re-wrap, so ids, fixtures, and goldens are
-  * bit-identical (pinned by the pure-equivalence specs: Isea43H at
-  * n4=0 reproduces Isea3H digit-for-digit, n4≥res reproduces Isea4H
-  * id-for-id).
+  * All bodies are ALGEBRAICALLY identical to the pre-extraction code
+  * (the margin `1.5·dr/s` became `1.5·spacingFrac(r)` — the s cancels;
+  * up to 1 ulp of threshold drift on a 1.5×-headroom candidate gate,
+  * which cannot change an assignment); the kernels' Fix wrappers call
+  * these and re-wrap, so ids, fixtures, and goldens are bit-identical
+  * (pinned by the pure-equivalence specs: Isea43H at n4=0 reproduces
+  * Isea3H digit-for-digit, n4≥res reproduces Isea4H id-for-id — and
+  * for IGeo7, by the 551-cell DGGRID goldens).
+  *
+  * [[HexWalkerCore]] carries the two walkers every hex kernel shares
+  * (nearest-center search, chart→sphere unfold) — IGeo7 mixes this in;
+  * [[HexWalker]] adds the closed-rhombus folding the three
+  * residue-hierarchy kernels use (IGeo7 resolves cells through its own
+  * cut-edge digit walk instead).
   */
-private[dggs] trait HexWalker {
+private[dggs] trait HexWalkerCore {
   def quads: QuadLayout
   def latticeToChart(v: Eis, r: Int): (Double, Double)
   def chartToLattice(x: Double, y: Double, r: Int): (Double, Double)
@@ -27,14 +36,6 @@ private[dggs] trait HexWalker {
     * cross-quad candidate margin unit in [[fixQV]]
     */
   protected def spacingFrac(r: Int): Double
-
-  /** rhombus lattice denominator n at res r — the closed-rhombus
-    * membership test is 0 ≤ i,j ≤ n
-    */
-  protected def rhombusDenom(r: Int): Long
-
-  /** (i, j) of a lattice rep in its chart at res r */
-  protected def ijOfAt(v: Eis, r: Int): (Long, Long)
 
   /** nearest res-r cell center to a sphere point: hex Voronoi in the
     * point's quad chart, with cross-quad candidates near boundaries.
@@ -67,6 +68,46 @@ private[dggs] trait HexWalker {
     }
     (best._1, best._2)
   }
+
+  /** unfold an (possibly out-of-rhombus) chart point across quad edges
+    * until it lies in a closed rhombus, then project to the sphere.
+    */
+  final def chartToSphere(quad: Int, x: Double, y: Double): GeoRad = {
+    var q = quad; var px = x; var py = y
+    var guard = 0
+    while (guard < 12) {
+      val (u, v) = quads.rhombusUV(px, py)
+      if (u >= -1e-12 && u <= 1 + 1e-12 && v >= -1e-12 && v <= 1 + 1e-12)
+        return quads.quadToSphere(q, px, py)
+      val cs = quads.corners(q)
+      val e0 =
+        if (v < -1e-12) (cs(0), cs(1))
+        else if (u < -1e-12) (cs(0), cs(2))
+        else if (u > 1 + 1e-12) (cs(1), cs(3))
+        else (cs(2), cs(3))
+      val e = if (e0._1 < e0._2) e0 else (e0._2, e0._1)
+      val (nq, rot, t) = quads.edgeNeighbors((q, e))
+      val nx = rot._1 * px - rot._2 * py + t._1
+      val ny = rot._1 * py + rot._2 * px + t._2
+      q = nq; px = nx; py = ny
+      guard += 1
+    }
+    quads.quadToSphere(q, px, py)
+  }
+}
+
+/** [[HexWalkerCore]] + the closed-rhombus folding used by the three
+  * residue-hierarchy hexagon kernels (Isea3H / Isea4H / Isea43H).
+  */
+private[dggs] trait HexWalker extends HexWalkerCore {
+
+  /** rhombus lattice denominator n at res r — the closed-rhombus
+    * membership test is 0 ≤ i,j ≤ n
+    */
+  protected def rhombusDenom(r: Int): Long
+
+  /** (i, j) of a lattice rep in its chart at res r */
+  protected def ijOfAt(v: Eis, r: Int): (Long, Long)
 
   /** fold a (quad, rep) across quad edges until its rep lies in the
     * CLOSED rhombus of its chart (exact isometries re-rounded to the
@@ -111,31 +152,5 @@ private[dggs] trait HexWalker {
     val ny = rot._1 * y + rot._2 * x + t._2
     val (na, nb) = chartToLattice(nx, ny, res)
     (toQ, hexRound(na, nb))
-  }
-
-  /** unfold an (possibly out-of-rhombus) chart point across quad edges
-    * until it lies in a closed rhombus, then project to the sphere.
-    */
-  final def chartToSphere(quad: Int, x: Double, y: Double): GeoRad = {
-    var q = quad; var px = x; var py = y
-    var guard = 0
-    while (guard < 12) {
-      val (u, v) = quads.rhombusUV(px, py)
-      if (u >= -1e-12 && u <= 1 + 1e-12 && v >= -1e-12 && v <= 1 + 1e-12)
-        return quads.quadToSphere(q, px, py)
-      val cs = quads.corners(q)
-      val e0 =
-        if (v < -1e-12) (cs(0), cs(1))
-        else if (u < -1e-12) (cs(0), cs(2))
-        else if (u > 1 + 1e-12) (cs(1), cs(3))
-        else (cs(2), cs(3))
-      val e = if (e0._1 < e0._2) e0 else (e0._2, e0._1)
-      val (nq, rot, t) = quads.edgeNeighbors((q, e))
-      val nx = rot._1 * px - rot._2 * py + t._1
-      val ny = rot._1 * py + rot._2 * px + t._2
-      q = nq; px = nx; py = ny
-      guard += 1
-    }
-    quads.quadToSphere(q, px, py)
   }
 }

@@ -29,7 +29,7 @@ import Lattice._
   */
 final class IGeo7(vert0LatDeg: Double = 58.28252559,
                   vert0LonDeg: Double = 11.25,
-                  azimuthDeg: Double = 0.0) {
+                  azimuthDeg: Double = 0.0) extends HexWalkerCore {
 
   val ico = new Icosahedron(vert0LatDeg, vert0LonDeg, azimuthDeg)
   val snyder = new SnyderISEA(ico)
@@ -179,34 +179,11 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     * point's quad chart, with cross-quad candidates near boundaries.
     */
   def fixForPoint(p: GeoRad, r: Int): CellFix = {
-    val (q0, x0, y0) = quads.sphereToQuad(p)
-    val (fa, fb) = chartToLattice(x0, y0, r)
-    val v0 = hexRound(fa, fb)
-    val (cx, cy) = latticeToChart(v0, r)
-    val d0 = math.hypot(cx - x0, cy - y0)
-    val (u, w) = quads.rhombusUV(x0, y0)
-    val dr = s / math.pow(7.0, r / 2.0)
-    val margin = 1.5 * dr / s
-    var best = (q0, v0, d0)
-    if (u < margin || w < margin || u > 1 - margin || w > 1 - margin) {
-      val cs = quads.corners(q0)
-      val edges = Seq((cs(0), cs(1)), (cs(0), cs(2)), (cs(1), cs(3)), (cs(2), cs(3)))
-        .map { case (a, b) => if (a < b) (a, b) else (b, a) }
-      for (e <- edges) {
-        val (nq, rot, t) = quads.edgeNeighbors((q0, e))
-        val nx = rot._1 * x0 - rot._2 * y0 + t._1
-        val ny = rot._1 * y0 + rot._2 * x0 + t._2
-        val (na, nb) = chartToLattice(nx, ny, r)
-        val nv = hexRound(na, nb)
-        val (ncx, ncy) = latticeToChart(nv, r)
-        val nd = math.hypot(ncx - nx, ncy - ny)
-        val (ncu, ncv) = quads.rhombusUV(ncx, ncy)
-        val in = ncu >= -1e-12 && ncu <= 1 + 1e-12 && ncv >= -1e-12 && ncv <= 1 + 1e-12
-        if (in && nd < best._3 - 1e-14) best = (nq, nv, nd)
-      }
-    }
-    CellFix(best._1, best._2, r)
+    val (q, v) = fixQV(p, r)
+    CellFix(q, v, r)
   }
+  override protected def spacingFrac(r: Int): Double =
+    1.0 / math.pow(7.0, r / 2.0)
 
   /** integer hierarchy walk: digits of the fix's cell. Resolves cut-edge
     * ambiguity by retrying on the neighbour side when the first nonzero
@@ -400,29 +377,7 @@ final class IGeo7(vert0LatDeg: Double = 58.28252559,
     (fix.quad, x, y)
   }
 
-  /** chart position -> sphere, re-charting across edges when outside */
-  def chartToSphere(quad: Int, x: Double, y: Double): GeoRad = {
-    var q = quad; var px = x; var py = y
-    var guard = 0
-    while (guard < 12) {
-      val (u, v) = quads.rhombusUV(px, py)
-      if (u >= -1e-12 && u <= 1 + 1e-12 && v >= -1e-12 && v <= 1 + 1e-12)
-        return quads.quadToSphere(q, px, py)
-      val cs = quads.corners(q)
-      val e0 =
-        if (v < -1e-12) (cs(0), cs(1))
-        else if (u < -1e-12) (cs(0), cs(2))
-        else if (u > 1 + 1e-12) (cs(1), cs(3))
-        else (cs(2), cs(3))
-      val e = if (e0._1 < e0._2) e0 else (e0._2, e0._1)
-      val (nq, rot, t) = quads.edgeNeighbors((q, e))
-      val nx = rot._1 * px - rot._2 * py + t._1
-      val ny = rot._1 * py + rot._2 * px + t._2
-      q = nq; px = nx; py = ny
-      guard += 1
-    }
-    quads.quadToSphere(q, px, py)
-  }
+  // chartToSphere: provided by HexWalkerCore
 
   def cellCenter(z: Long): GeoRad = {
     val (q, x, y) = centerChart(z)
