@@ -241,18 +241,27 @@ object GridOps {
     * keeps cover relations broadcast-able far past the point a
     * uniform-res cover would spill to a shuffle join.
     *
-    * Scale shape: ≤ maxRes rounds (resolution levels, ≤ 15), each ONE
-    * partial-aggregated groupBy(parent) + one anti-join over the
-    * current-res slice only — always on the CELL-SET relation (an
-    * aggregated cover, orders of magnitude smaller than the corpus that
-    * produced it). Per-round cache + count truncates lineage exactly
-    * like the CC loop; long-lived sessions release via
+    * Scale shape (round 9 — closed-form single pass, replacing the
+    * former ≤ maxRes driver-materialized rounds of groupBy + anti-join
+    * + cache + count each): ONE lazy plan — distinct, an ancestor
+    * explode (≤ res+1 rows per cell) into one partial-aggregated
+    * subtree-coverage sum, and one self-anti-join for maximality — on
+    * the CELL-SET relation (an aggregated cover, orders of magnitude
+    * smaller than the corpus that produced it). See
+    * [[compactCellsOnePass]] for the completeness identity. Long-lived
+    * sessions release the result cache via
     * `spark.catalog.clearCache()` (TextOps header note).
     */
   def compactCells(cells: DataFrame, cellCol: String = "cell_id",
-                   keyCols: Seq[String] = Nil): DataFrame =
-    compactCellsLoop(cells, cellCol, keyCols, F.z7Resolution, F.z7Parent,
-      p => when(F.z7IsPentagon(p), lit(6L)).otherwise(lit(7L)))
+                   keyCols: Seq[String] = Nil): DataFrame = {
+    val pent = (cell: Column, r: Column) =>
+      cell.bitwiseAND(lit((1L << 60) - 1L)) === get(typedLit(z7PadMasks), r)
+    compactCellsOnePass(cells, cellCol, keyCols, F.z7Resolution,
+      hexAncestorAt(3), (cell, r) =>
+        when(pent(cell, r), get(typedLit(z7PentSizes), r))
+          .otherwise(get(typedLit(z7HexSizes), r)),
+      Z7.MaxRes)
+  }
 
   /** [[compactCells]] for the aperture-4 TRIANGLE grid (ISEA4T): family
     * size is ALWAYS 4 (triangles have no pentagon special case) — the
@@ -260,9 +269,11 @@ object GridOps {
     */
   def compactCells4T(cells: DataFrame, cellCol: String = "cell_id",
                      keyCols: Seq[String] = Nil): DataFrame =
-    compactCellsLoop(cells, cellCol, keyCols,
-      graft.spark.T4Functions.t4Resolution, graft.spark.T4Functions.t4Parent,
-      _ => lit(4L))
+    compactCellsOnePass(cells, cellCol, keyCols,
+      // res rides the Quat2 layout's explicit high-bits field — native
+      c => shiftrightunsigned(c, 48).bitwiseAND(lit(31L)).cast("int"),
+      quat2AncestorAt, (_, r) => get(typedLit(t4Sizes), r),
+      graft.dggs.T4.MaxRes)
 
   /** Z3/Z4 base-cell extraction as NATIVE column arithmetic (top nibble
     * of the 64-bit id — both codecs put the base there) so the family
@@ -279,9 +290,8 @@ object GridOps {
   def compactCells3H(cells: DataFrame, cellCol: String = "cell_id",
                      keyCols: Seq[String] = Nil): DataFrame = {
     import graft.spark.{Z3Functions => H}
-    compactCellsLoop(cells, cellCol, keyCols, H.z3Resolution, H.z3Parent,
-      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
-        .otherwise(lit(3L)))
+    compactCellsOnePass(cells, cellCol, keyCols, H.z3Resolution,
+      hexAncestorAt(2), hexCapSizeOf(z3QuadSizes), graft.dggs.Z3.MaxRes)
   }
 
   /** [[compactCells]] for the engine-canonical ISEA4H aperture-4
@@ -291,9 +301,8 @@ object GridOps {
   def compactCells4H(cells: DataFrame, cellCol: String = "cell_id",
                      keyCols: Seq[String] = Nil): DataFrame = {
     import graft.spark.{Z4Functions => H}
-    compactCellsLoop(cells, cellCol, keyCols, H.z4Resolution, H.z4Parent,
-      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
-        .otherwise(lit(4L)))
+    compactCellsOnePass(cells, cellCol, keyCols, H.z4Resolution,
+      hexAncestorAt(3), hexCapSizeOf(z4QuadSizes), graft.dggs.Z4.MaxRes)
   }
 
   /** [[compactCells]] for the MIXED-aperture ISEA43H hierarchy: the
@@ -304,10 +313,9 @@ object GridOps {
   def compactCells43H(cells: DataFrame, n4: Int, cellCol: String = "cell_id",
                       keyCols: Seq[String] = Nil): DataFrame = {
     import graft.spark.{Z4Functions => H}
-    compactCellsLoop(cells, cellCol, keyCols, H.z4Resolution, H.z4Parent,
-      p => when(hexBaseCell(p) === 0L || hexBaseCell(p) === 11L, lit(1L))
-        .otherwise(when(H.z4Resolution(p) + lit(1) <= lit(n4), lit(4L))
-          .otherwise(lit(3L))))
+    val sizes = subtreeSizes(graft.dggs.Z4.MaxRes)(l => if (l <= n4) 4L else 3L)
+    compactCellsOnePass(cells, cellCol, keyCols, H.z4Resolution,
+      hexAncestorAt(3), hexCapSizeOf(sizes), graft.dggs.Z4.MaxRes)
   }
 
   /** Inverse of [[compactCells3H]]/[[compactCells4H]] — expand a mixed
@@ -324,70 +332,120 @@ object GridOps {
     cells.select(explode(
       graft.spark.Z4Functions.z4DescendantsAt(col(cellCol), lit(res))).as("cell_id"))
 
-  private def compactCellsLoop(cells: DataFrame, cellCol: String,
-                               keyCols: Seq[String],
-                               resOf: Column => Column,
-                               parentOf: Column => Column,
-                               expectedOf: Column => Column): DataFrame = {
+  /** per-level subtree-leaf counts: sizes(r) = number of res-`maxRes`
+    * descendants of a res-r cell whose every level ℓ ∈ (r, maxRes] has
+    * `radixAt(ℓ)` children — exact Long products (all codec maxima fit:
+    * 7^20 ≈ 8·10^16, 3^30 ≈ 2·10^14, 4^24 ≈ 2.8·10^14).
+    */
+  private def subtreeSizes(maxRes: Int)(radixAt: Int => Long): Array[Long] = {
+    val a = new Array[Long](maxRes + 1)
+    a(maxRes) = 1L
+    for (r <- maxRes - 1 to 0 by -1) a(r) = a(r + 1) * radixAt(r + 1)
+    a
+  }
+
+  private lazy val z7HexSizes = subtreeSizes(Z7.MaxRes)(_ => 7L)
+  // pentagon subtree: S(d) = 1 + 5·(7^d − 1)/6 = (5·7^d + 1)/6 leaves at
+  // depth d (center chain stays pentagonal, the other 5 children root
+  // full 7-ary subtrees)
+  private lazy val z7PentSizes =
+    Array.tabulate(Z7.MaxRes + 1)(r => (5L * z7HexSizes(r) + 1L) / 6L)
+  private lazy val z7PadMasks =
+    Array.tabulate(Z7.MaxRes + 1)(r => (1L << (60 - 3 * r)) - 1L)
+  private lazy val z3QuadSizes = subtreeSizes(graft.dggs.Z3.MaxRes)(_ => 3L)
+  private lazy val z4QuadSizes = subtreeSizes(graft.dggs.Z4.MaxRes)(_ => 4L)
+  private lazy val t4Sizes = subtreeSizes(graft.dggs.T4.MaxRes)(_ => 4L)
+
+  /** native ancestor-at-k for the hex codecs (base<<60, `slotBits` per
+    * digit, all-ones pad): pad every level deeper than the PLAN-TIME
+    * level k — identical to Z7/Z3/Z4.ancestorAt.
+    */
+  private def hexAncestorAt(slotBits: Int)(cell: Column, k: Int): Column = {
+    val keepBits = 60 - slotBits * k
+    if (keepBits <= 0) cell else cell.bitwiseOR(lit((1L << keepBits) - 1L))
+  }
+
+  /** native ancestor-at-k for the Quat2 (T4/D4) layout: explicit res
+    * field in the high bits, zero-padded digits — Quat2Codec.ancestorAt.
+    */
+  private def quat2AncestorAt(cell: Column, k: Int): Column = {
+    val mask = if (k == 0) 0L
+      else ~((1L << (48 - 2 * k)) - 1L) & ((1L << 48) - 1L)
+    shiftleft(shiftrightunsigned(cell, 48).bitwiseAND(lit(~31L))
+        .bitwiseOR(lit(k.toLong)), 48)
+      .bitwiseOR(cell.bitwiseAND(lit(mask)))
+  }
+
+  /** subtree size for the cap-vs-quad hex hierarchies (Z3/Z4/Z43): the
+    * polar caps 0/11 own only their center child chain (1 leaf at any
+    * depth); quad cells root full radix trees.
+    */
+  private def hexCapSizeOf(sizes: Array[Long])(cell: Column, r: Column): Column =
+    when(hexBaseCell(cell) === 0L || hexBaseCell(cell) === 11L, lit(1L))
+      .otherwise(get(typedLit(sizes), r))
+
+  /** Single-pass compaction engine shared by every grid codec (round 9 —
+    * replaces the former bottom-up loop of ≤ maxRes driver-materialized
+    * rounds, each one groupBy + anti-join + cache + count job).
+    *
+    * Closed form, for DISJOINT input covers (the operator contract —
+    * overlapping ancestor/descendant input is a caller contract breach,
+    * see the public scaladoc): an ancestor `a` at level k is COMPLETE
+    * (its whole subtree covered by input cells) iff
+    * Σ subtreeSize(c → maxRes) over input cells c under `a` equals
+    * subtreeSize(a → maxRes) — disjointness makes the subtree-leaf sets
+    * disjoint, so the sum counts exactly the covered leaves. A complete
+    * node's interior nodes are complete too (each intermediate's subtree
+    * is covered by exactly the input cells inside it), so bottom-up
+    * round-based compaction promotes precisely up to each MAXIMAL
+    * complete node — therefore: result = complete nodes whose parent is
+    * not complete (input cells are complete leaves of this lattice, so
+    * untouched scatter cells emerge unchanged).
+    *
+    * Plan shape: distinct → posexplode of the ≤ res+1 ancestors (with
+    * the parent riding along, so maximality needs no second ancestor
+    * computation) → ONE partial-aggregated sum keyed on (keys, ancestor)
+    * → completeness filter → one self-anti-join on the parent key. No
+    * driver iteration, no per-round caches; the ancestor bit math is
+    * native (codegen) for every codec.
+    */
+  private def compactCellsOnePass(cells: DataFrame, cellCol: String,
+                                  keyCols: Seq[String],
+                                  resOf: Column => Column,
+                                  ancestorAt: (Column, Int) => Column,
+                                  sizeOf: (Column, Column) => Column,
+                                  maxRes: Int): DataFrame = {
     // keyCols: compact independently per key group (e.g. per poly_id for
-    // a multi-polygon cover relation) — the family test then requires
-    // all siblings within ONE group, and extra per-group columns that
-    // are functionally dependent on the keys (a wkt per poly_id) ride
-    // along in keyCols unchanged
+    // a multi-polygon cover relation) — completeness then requires all
+    // siblings within ONE group, and extra per-group columns that are
+    // functionally dependent on the keys (a wkt per poly_id) ride along
+    // in keyCols unchanged
     val keys = keyCols.map(col)
-    val expected = expectedOf(col("__p"))
-    // per-round cache + count + LINEAGE TRUNCATION — without the
-    // truncate, each round's logical plan embeds every prior round's
-    // (cache lookup happens after analysis), and plan work dominates
-    // compute by round 3 even on a 2.5k-row cover (measured 26 s → <2 s)
-    def truncate(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.PlanUtils.truncatePreservingPartitioning(df)
-    var accCache = cells.select(keys :+ col(cellCol).as("cell_id"): _*)
-      .distinct().cache()
-    accCache.count()
-    var acc = truncate(accCache)
-    // per-res histogram (≤ 16 rows — metadata): rounds run ONLY for
-    // levels that hold cells, and the loop exits as soon as nothing can
-    // exist below — a round's exact contribution to level r-1 is its
-    // fams count, so the histogram stays exact without rescanning
-    val hist = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
-    acc.groupBy(resOf(col("cell_id")).as("__r")).count()
-      .collect().foreach(row => hist(row.getInt(0)) = row.getLong(1))
-    var r = if (hist.isEmpty) 0 else hist.keys.max
-    while (r >= 1) {
-      if (hist(r) == 0L) { r -= 1 }
-      else {
-        val atR = acc.where(resOf(col("cell_id")) === r)
-          .withColumn("__p", parentOf(col("cell_id")))
-        val fams = atR.groupBy(keys :+ col("__p"): _*)
-          .agg(count(lit(1)).as("__n"))
-          .where(col("__n") === expected)
-          .select(keys :+ col("__p"): _*)
-        val nextCache = acc.where(resOf(col("cell_id")) =!= r)
-          .unionByName(atR.join(fams, keyCols :+ "__p", "left_anti")
-            .select(keys :+ col("cell_id"): _*))
-          .unionByName(fams.select(keys :+ col("__p").as("cell_id"): _*))
-          .cache()
-        // ONE action per round: the histogram update (cells now at
-        // r-1 = pre-existing + newly-compacted parents) rides the
-        // materializing count as an Observation, CC-loop style
-        val o = org.apache.spark.sql.Observation()
-        nextCache.observe(o,
-          sum(when(resOf(col("cell_id")) === lit(r - 1), 1L)
-            .otherwise(0L)).as("n1")).count()
-        hist(r - 1) = o.get("n1") match {
-          case null => 0L
-          case l: java.lang.Long => l.longValue
-          case x => x.toString.toLong
-        }
-        val next = truncate(nextCache)
-        accCache.unpersist(false)
-        accCache = nextCache
-        acc = next
-        r -= 1
-      }
-    }
-    acc
+    val dist = cells.select(keys :+ col(cellCol).as("cell_id"): _*).distinct()
+      .withColumn("__r", resOf(col("cell_id")))
+      .withColumn("__size", sizeOf(col("cell_id"), col("__r")))
+    val ancs = (0 to maxRes).map(k => ancestorAt(col("cell_id"), k))
+    // ancestors at levels 0..__r as (level, ancestor, its parent)
+    // structs; levels deeper than __r are sliced away before the explode
+    val pairArr = array((0 to maxRes).map { k =>
+      struct(ancs(k).as("a"),
+        (if (k == 0) lit(null).cast("long") else ancs(k - 1)).as("p"))
+    }: _*)
+    val anc = dist
+      .select(keys ++ Seq(col("__size"),
+        posexplode(slice(pairArr, lit(1), col("__r") + lit(1)))): _*)
+      .select(keys ++ Seq(col("pos").as("__k"), col("col.a").as("__a"),
+        col("col.p").as("__p"), col("__size")): _*)
+    // __k and __p are functionally dependent on __a — they ride the
+    // group key so no second pass re-derives them
+    val complete = anc
+      .groupBy(keys ++ Seq(col("__a"), col("__k"), col("__p")): _*)
+      .agg(sum(col("__size")).as("__tot"))
+      .where(col("__tot") === sizeOf(col("__a"), col("__k")))
+    val parents = complete.select(keys :+ col("__a").as("__p"): _*)
+    complete.join(parents, keyCols :+ "__p", "left_anti")
+      .select(keys :+ col("__a").as("cell_id"): _*)
+      .cache() // consumed by multiple plan branches in the join callers
   }
 
   /** Multi-resolution aggregation PYRAMID (the map-tile / zoom-level
