@@ -733,14 +733,19 @@ object GridOps {
     */
   private def hexWholeEarth(spark: SparkSession, res: Int,
                             slotBits: Int, radixAt: Int => Int): DataFrame = {
+    // codec ceiling (round-8 ADVICE): beyond it 60 − slotBits·res goes
+    // negative and JVM shifts (mod 64) would silently corrupt every id
+    // where the explode path raised via the codec's require
+    require(res >= 0 && slotBits * res <= 60,
+      s"hexWholeEarth: res $res exceeds the ${60 / slotBits}-level " +
+        s"ceiling of the $slotBits-bit-digit codec")
     val perQuad = (1 to res).map(radixAt(_).toLong).product
     val n = 10L * perQuad + 2L
     val padVal = if (60 - slotBits * res == 0) 0L
       else (1L << (60 - slotBits * res)) - 1L
     val rank = col("id")
     val base = when(rank === 0L, lit(0L)).when(rank === n - 1L, lit(11L))
-      .otherwise((((rank - 1L) - pmod(rank - 1L, lit(perQuad))) /
-        lit(perQuad.toDouble)).cast("long") + 1L)
+      .otherwise(longDiv(rank - 1L, perQuad) + 1L)
     val idx = when(rank === 0L || rank === n - 1L, lit(0L))
       .otherwise(pmod(rank - 1L, lit(perQuad)))
     // per-level digits by stride division (NOT a quotient recurrence —
@@ -751,12 +756,29 @@ object GridOps {
     var stride = 1L
     for (level <- res to 1 by -1) {
       val radix = radixAt(level).toLong
-      val q = if (stride == 1L) idx
-        else ((idx - pmod(idx, lit(stride))) / lit(stride.toDouble)).cast("long")
+      // LONG integral divide by a literal constant (round 9, the
+      // round-8 SMT cliff fix): the former subtract-remainder double
+      // division put `res` FP divides in every row's dependency chain,
+      // and the FP divider is the one unit SMT siblings serialize on
+      // (measured collapse to ~0.2× at 2× oversubscription). An
+      // integer divide by a JIT-visible constant strength-reduces to
+      // multiply+shift — no divider at all.
+      val q = if (stride == 1L) idx else longDiv(idx, stride)
       acc = acc.bitwiseOR(shiftleft(pmod(q, lit(radix)), 60 - slotBits * level))
       stride *= radix
     }
     spark.range(n).select(acc.as("cell_id"))
+  }
+
+  /** floor division of a non-negative long column by a positive literal
+    * — codegen emits a plain Java `/` with an inline constant, which C2
+    * strength-reduces to multiply+shift (no divider).
+    */
+  private def longDiv(c: Column, d: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    org.apache.spark.sql.graft.ExprBridge.column(
+      new IntegralDivide(org.apache.spark.sql.graft.ExprBridge.expression(c),
+        Literal(d)))
   }
 
   /** Clipped hex-grid cell enumeration by sampling: assign a point grid
@@ -805,9 +827,15 @@ object GridOps {
     val h = nominalDeg * 0.35
     val nLon = math.max(2L, math.ceil(lonSpan / h).toLong + 1)
     val nLat = math.max(2L, math.ceil((latHi - latLo) / h).toLong + 1)
+    // row index via INTEGER division (round-8 ADVICE: `/` is Spark's
+    // double Divide, which sheared the sample grid per lon column and
+    // overshot latHi by up to one spacing — including lat > 90 on
+    // pole-clamped boxes — degrading the covering bound the
+    // no-missed-cell proof relies on)
+    val rowIdx = longDiv(col("id"), nLon)
     val samples = spark.range(nLon * nLat).select(
         (lit(lonLo) + (col("id") % nLon) * (lonSpan / (nLon - 1))).as("lon0"),
-        (lit(latLo) + (col("id") / nLon) * ((latHi - latLo) / (nLat - 1))).as("lat"))
+        (lit(latLo) + rowIdx * ((latHi - latLo) / (nLat - 1))).as("lat"))
       .select((pmod(col("lon0") + lit(180.0), lit(360.0)) - lit(180.0)).as("lon"),
         col("lat"))
     // signed box-interiority of each sample in degrees (negative outside;

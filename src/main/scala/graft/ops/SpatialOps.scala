@@ -35,15 +35,24 @@ object SpatialOps {
   def coverCells(wkt: String, res: Int,
                  lat0: Double = Grids.DefaultLat, lon0: Double = Grids.DefaultLon,
                  az: Double = Grids.DefaultAz): Seq[Long] = {
+    import scala.collection.parallel.CollectionConverters._
     val grid = Grids.get(lat0, lon0, az)
     val gf = new GeometryFactory()
     val poly = new WKTReader(gf).read(wkt)
     val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(poly)
     val env = poly.getEnvelopeInternal
     var cells: Seq[Long] = (0 to 11).map(b => Z7.pack(b, Seq.empty))
+    // per-level pruning and the final ring refine run PARALLEL on the
+    // driver (round 9): cellCenter/cellBoundary run the ~100 µs
+    // iterative inverse projection, and a world-spanning polygon keeps
+    // tens of thousands of candidates live per level — measured ~3 s
+    // single-threaded for the 5 zonal world bands at res 4. The kernel
+    // is immutable/thread-safe (Grids scaladoc) and JTS prepared
+    // geometry is already shared across executor task threads by the
+    // refine UDFs. `.seq` restores deterministic output order.
     for (k <- 1 to res) {
       val margin = math.toDegrees(0.6954709 / math.pow(7.0, k / 2.0)) * 2.0
-      cells = cells.flatMap(Z7.children).filter { z =>
+      cells = cells.par.flatMap(z => Z7.children(z).filter { z =>
         val c = grid.cellCenter(z)
         // a degree of longitude shrinks by cos(lat): scale the lon margin
         // by 1/cos(lat) (clamped at 85°) so high-latitude cells whose
@@ -54,12 +63,12 @@ object SpatialOps {
           math.cos(math.toRadians(math.min(85.0, math.abs(c.latDeg))))
         lonDistToRangeD(c.lonDeg, env.getMinX, env.getMaxX) <= lonMargin &&
           c.latDeg >= env.getMinY - margin && c.latDeg <= env.getMaxY + margin
-      }
+      }).seq.toSeq
     }
-    cells.filter { z =>
+    cells.par.filter { z =>
       val ring = grid.cellBoundary(z).map(g => (g.lonDeg, g.latDeg))
       JtsCache.ringIntersects(prep, gf, ring)
-    }
+    }.seq.toSeq
   }
 
   /** wrapped angular distance (deg) from lon `p` to interval [a,b] */

@@ -214,8 +214,13 @@ object TextOps {
     val sh = cappedShingles(docs, k, maxDf).cache()
     // all `numHashes` min-hashes in ONE partial-aggregated pass (same m
     // values as minhashSignatures — see minhashWide for the 2-digest
-    // 32-bit-slice hash family and why)
-    val sigs = minhashWide(sh, numHashes)
+    // 32-bit-slice hash family and why). CACHED (~1 narrow row per doc):
+    // the band self-join below consumes `bands` on both sides, and when
+    // AQE plans it as a broadcast join the two sides no longer share an
+    // exchange — without the cache each side re-runs the whole
+    // shingle→minhash aggregation (measured ~0.6 s of a 3.3 s sf0.1
+    // wall, and one full extra corpus pass at scale)
+    val sigs = minhashWide(sh, numHashes).cache()
     // ceil-divide so a trailing partial band still participates when
     // numHashes % rowsPerBand != 0 (parity with the floor(h/rows) banding)
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand

@@ -65,6 +65,40 @@ object DggsFunctions {
   private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graft.ExprBridge.expression(c)
 
+  /** `1L << bits` with a COLUMN shift count (the Scala `shiftleft`
+    * wrapper only takes an Int literal) — native codegen, used by the
+    * hex/Quat2 ancestor expressions below.
+    */
+  private[spark] def shiftLeftC(v: Column, bits: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graft.ExprBridge.expression(v),
+        org.apache.spark.sql.graft.ExprBridge.expression(bits)))
+
+  /** native ancestor-at for the base<<60 / all-ones-pad hex layouts
+    * (Z3: 2-bit digits, Z4/Z43: 3-bit): pad every level deeper than r.
+    * No validity raise (mirrors [[z7AncestorAtExpr]]): r above the
+    * cell's res is a no-op, callers needing the loud contract use the
+    * UDF forms.
+    */
+  private[spark] def hexAncestorAtExpr(slotBits: Int)(cell: Column, r: Column): Column =
+    cell.bitwiseOR(
+      shiftLeftC(lit(1L), lit(60) - lit(slotBits) * r.cast("int")) - lit(1L))
+
+  /** native ancestor-at for the Quat2 (T4/D4) layout: explicit res
+    * field in the high bits, zero-padded digits (Quat2Codec.ancestorAt;
+    * same no-raise contract as the hex variant).
+    */
+  private[spark] def quat2AncestorAtExpr(cell: Column, r: Column): Column = {
+    val ri = r.cast("int")
+    val digitMask = when(ri === 0, lit(0L)).otherwise(
+      shiftLeftC(lit(1L), lit(48)) -
+        shiftLeftC(lit(1L), lit(48) - lit(2) * ri))
+    shiftleft(shiftrightunsigned(cell, 48).bitwiseAND(lit(~31L))
+        .bitwiseOR(ri.cast("long")), 48)
+      .bitwiseOR(cell.bitwiseAND(digitMask))
+  }
+
   /** Z7 int64 → Z7_STRING (2-digit base + digit chars). */
   private lazy val z7StringUdf = udf((z: Long) => Z7.toZ7String(z))
   def z7String(cell: Column): Column = z7StringUdf(cell)
@@ -340,6 +374,9 @@ object T4Functions {
   def t4Parent(cell: Column): Column = parentUdf(cell)
   private lazy val ancestorUdf = udf((id: Long, r: Int) => T4.ancestorAt(id, r))
   def t4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  /** native codegen variant (inline bit math; no validity raise). */
+  def t4AncestorAtExpr(cell: Column, r: Column): Column =
+    DggsFunctions.quat2AncestorAtExpr(cell, r)
   private lazy val resolutionUdf = udf((id: Long) => T4.resolution(id))
   def t4Resolution(cell: Column): Column = resolutionUdf(cell)
   private lazy val childrenUdf = udf((id: Long) => T4.children(id))
@@ -398,6 +435,9 @@ object D4Functions {
   def d4FromString(s: Column): Column = fromStringUdf(s)
   private lazy val ancestorUdf = udf((id: Long, r: Int) => D4.ancestorAt(id, r))
   def d4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  /** native codegen variant (inline bit math; no validity raise). */
+  def d4AncestorAtExpr(cell: Column, r: Column): Column =
+    DggsFunctions.quat2AncestorAtExpr(cell, r)
   private lazy val childrenUdf = udf((id: Long) => D4.children(id))
   def d4Children(cell: Column): Column = childrenUdf(cell)
   private lazy val descendantsUdf = udf((id: Long, r: Int) => D4.descendants(id, r))
@@ -537,6 +577,9 @@ object Z3Functions {
   def z3Parent(cell: Column): Column = parentUdf(cell)
   private lazy val ancestorUdf = udf((id: Long, r: Int) => Z3.ancestorAt(id, r))
   def z3AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  /** native codegen variant (inline bit math; no validity raise). */
+  def z3AncestorAtExpr(cell: Column, r: Column): Column =
+    DggsFunctions.hexAncestorAtExpr(2)(cell, r)
   private lazy val resolutionUdf = udf((id: Long) => Z3.resolution(id))
   def z3Resolution(cell: Column): Column = resolutionUdf(cell)
   private lazy val childrenUdf = udf((id: Long) => Z3.children(id))
@@ -613,6 +656,9 @@ object Z4Functions {
   def z4Parent(cell: Column): Column = parentUdf(cell)
   private lazy val ancestorUdf = udf((id: Long, r: Int) => Z4.ancestorAt(id, r))
   def z4AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  /** native codegen variant (inline bit math; no validity raise). */
+  def z4AncestorAtExpr(cell: Column, r: Column): Column =
+    DggsFunctions.hexAncestorAtExpr(3)(cell, r)
   private lazy val resolutionUdf = udf((id: Long) => Z4.resolution(id))
   def z4Resolution(cell: Column): Column = resolutionUdf(cell)
   private lazy val childrenUdf = udf((id: Long) => Z4.children(id))
@@ -692,6 +738,9 @@ object Z43Functions {
   def z43Parent(cell: Column): Column = parentUdf(cell)
   private lazy val ancestorUdf = udf((id: Long, r: Int) => Z4.ancestorAt(id, r))
   def z43AncestorAt(cell: Column, r: Column): Column = ancestorUdf(cell, r)
+  /** native codegen variant (inline bit math; no validity raise). */
+  def z43AncestorAtExpr(cell: Column, r: Column): Column =
+    DggsFunctions.hexAncestorAtExpr(3)(cell, r)
 
   /** children / descendants need the aperture sequence (digit alphabet
     * is per-level), so they go through the kernel.
