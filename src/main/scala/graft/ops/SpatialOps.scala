@@ -391,12 +391,22 @@ object SpatialOps {
     // (pre-filter count over the partition) all within diskSafeKm (max
     // over the kept top-k rows). Both extra window functions share the
     // top-k window's exchange, so the proof costs no additional shuffle.
+    // EXPLICIT partition count into the top-k window (round 9): the
+    // candidate relation is small in bytes but the window pays a
+    // CPU-heavy sort (distance + full tie-column order) per query
+    // group, so AQE's byte advisory coalesces the exchange to ONE task
+    // (measured 1.2 s single-threaded of a 2.6 s warm wall at sf0.1).
+    // A user-specified repartition on the window key is exempt from
+    // coalescing — the same discipline as the banding engine and
+    // distanceJoin (windows have no map-side combine to lose).
+    val nPart = queries.sparkSession.sessionState.conf.numShufflePartitions
     val cand = qc
       .withColumn("probe_cell", explode(F.z7Disk(col("cell_id"), probeDisk)))
       .drop("cell_id")
       .join(tCell, "probe_cell").drop("probe_cell")
       .where(keep)
       .withColumn("dist_km", dist)
+      .repartition(nPart, col("__qid"))
     val w = Window.partitionBy("__qid")
       .orderBy(col("dist_km").asc +: tieCols.toSeq: _*)
     val wAll = Window.partitionBy("__qid")

@@ -211,6 +211,22 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 8,
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                       maxDf: Long = DefaultMaxShingleDf): DataFrame = {
+    val (sh, cand) = minhashLshCandidateStage(docs, k, numHashes, rowsPerBand, maxDf)
+    // exact-Jaccard refine over the CANDIDATE pairs only (round-1 fix:
+    // refining via the full-corpus all-pairs join made the banding
+    // pointless — this recomputes co-shingle counts only for docs that
+    // appear in at least one candidate pair)
+    jaccardForPairs(cand, sh)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** banding stage of [[minhashLshPairs]] (shared with the probe tool):
+    * returns (cached capped shingles, cached candidate pairs).
+    */
+  private[graft] def minhashLshCandidateStage(
+      docs: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int,
+      maxDf: Long): (DataFrame, DataFrame) = {
     val sh = cappedShingles(docs, k, maxDf).cache()
     // all `numHashes` min-hashes in ONE partial-aggregated pass (same m
     // values as minhashSignatures — see minhashWide for the 2-digest
@@ -238,14 +254,15 @@ object TextOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .cache() // tiny; referenced by candDocs AND the final pair join
-    // exact-Jaccard refine over the CANDIDATE pairs only (round-1 fix:
-    // refining via the full-corpus all-pairs join made the banding
-    // pointless — this recomputes co-shingle counts only for docs that
-    // appear in at least one candidate pair)
-    jaccardForPairs(cand, sh)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    (sh, cand)
   }
+
+  /** candidate pairs only — probe/diagnostic surface (MinhashProbe). */
+  private[graft] def minhashLshCandidates(docs: DataFrame, k: Int = 3,
+                                          numHashes: Int = 8,
+                                          rowsPerBand: Int = 2,
+                                          maxDf: Long = DefaultMaxShingleDf): DataFrame =
+    minhashLshCandidateStage(docs, k, numHashes, rowsPerBand, maxDf)._2
 
   /** Connected-component clustering of near-duplicate PAIRS into keep
     * groups: every doc transitively connected through `pairs` gets the

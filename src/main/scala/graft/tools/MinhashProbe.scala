@@ -24,6 +24,7 @@ object MinhashProbe {
     time("shingles")(TextOps.shingles(docs, 3).count())
     time("cappedShingles")(TextOps.cappedShingles(docs, 3, 1000).count())
     time("signatures")(TextOps.minhashSignatures(docs).count())
+    time("lshCandidates")(TextOps.minhashLshCandidates(docs, 3, 8, 2).count())
     time("minhashLshPairs")(TextOps.minhashLshPairs(docs, 3, 8, 2, 0.5).count())
     time("ngramJaccardPairs")(TextOps.ngramJaccardPairs(docs, 3, 0.8).count())
     spark.stop()

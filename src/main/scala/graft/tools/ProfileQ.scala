@@ -42,6 +42,9 @@ object ProfileQ {
         val run = si.taskMetrics.executorRunTime / 1e3
         lines.add(f"STAGE ${si.stageId}%3d wall=$wall%6.3f run=$run%7.3f " +
           f"tasks=${si.numTasks}%3d  ${si.name.take(90)}")
+        if (run > 0.5)
+          lines.add("  DETAILS " + si.details.linesIterator
+            .filterNot(_.contains("org.apache.spark")).take(4).mkString(" <- "))
       }
     })
     val t0 = System.nanoTime()
