@@ -243,12 +243,13 @@ object SpatialOps {
     * levels, typically 2–4.
     *
     * Crossover guidance (BenchSpatialJoin, incl. the persisted legs —
-    * round-6 verdict #4): building + compacting the cover IN-QUERY
-    * costs multiples of the join itself (sf0.1: ~3.2 s of
-    * dggs_spatial_join_compact's 3.9 s wall), so compact ONLY pays
-    * one-shot when the join would otherwise be cover-bound (cover past
-    * the broadcast ceiling, or reused across ≥ a handful of in-session
-    * joins). The STEADY-STATE shape is the lake-resident cover:
+    * round-6 verdict #4; figures re-measured round 9 after the
+    * single-pass compaction): building + compacting the cover IN-QUERY
+    * still costs more than the join itself (round 9, 2000 polygons /
+    * 4M points at 32c: cover build 5.1 s + compaction 1.7 s vs
+    * 1.3-1.8 s join), so compact ONLY pays one-shot when the join
+    * would otherwise be cover-bound (cover past the broadcast ceiling,
+    * or reused across ≥ a handful of in-session joins). The STEADY-STATE shape is the lake-resident cover:
     * `coverCellsDf → compactCells → parquet` once per polygon-set
     * change, every join leg reads the compact relation and pays join
     * wall only — the same persisted-artifact economics as the dedup
