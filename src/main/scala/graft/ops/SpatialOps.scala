@@ -12,6 +12,17 @@ import graft.spark.{DggsFunctions => F, Grids}
   * north_star's "H3/S2-indexed broadcast-vs-shuffle spatial joins" —
   * realized with the engine's own Z7 index).
   *
+  * GRID CONTRACT — Z7/ISEA7H ONLY (round-8 verdict #4, documented
+  * loudly): every cover, disk, and safe-radius certificate in this
+  * object is derived from the Z7 kernel (`coverCells*`, `F.z7Disk`,
+  * `diskSafeKm`/KnnSafeRadiusSpec). Ids from the ISEA3H/4H/43H/4T/4D
+  * kernels are NOT accepted — join those datasets by round-tripping
+  * through GEO (`Z3Functions.cellCenter` → `pointInPolygonJoin*` /
+  * `knnJoin` / `distanceJoin` on lon/lat), which is exact because the
+  * joins here take raw coordinates, not foreign cell ids. Extending
+  * the disk/safe-radius certificates to the other kernels requires a
+  * per-kernel KnnProbe sweep and is future feature work.
+  *
   * Pattern (filter-refine): polygons → covering cells at a chosen res
   * (broadcast when the polygon side is small), points → cell id (narrow
   * map), equi-join on the cell, exact JTS predicate refine. The shuffle
